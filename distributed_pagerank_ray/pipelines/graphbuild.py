@@ -1,0 +1,289 @@
+"""Graph construction: url/id minting, edge table, degrees, vertices.
+
+Replaces the reference's load-time preprocessing (reference:
+pkg/graph/graph.go:51-99 — vertex map from src ∪ dst, in-link dedup,
+line-counted out-degrees, rank/E init) with normalized Arrow tables:
+
+    vertex_map(key, id)            key = url (or original int id)
+    edges(src, dst)                int64 dense ids, sorted by src
+    vertices(id, out_degree, e, dangling, shard)
+
+All artifacts are written once under ``run_dir/graph/`` (Parquet,
+shard-partitioned where a pipeline loads them as dense vectors) so an
+interrupted build or a resumed PageRank run re-reads instead of
+recomputing. Dense ids are minted by global sort + per-block offset
+assignment — two passes over the *distinct* key set, never a
+driver-side loop over rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import GraphSemantics, RunConfig
+from ..state.shards import SHARD_COL, ShardedVector, add_shard_column
+
+
+def _distinct(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """Distinct values of one column, as a Dataset (shuffle; no driver rows)."""
+    return ds.groupby(col).aggregate(Count(alias_name="_n")).select_columns([col])
+
+
+def mint_dense_ids(
+    ds: "ray.data.Dataset", col: str, key_out: str = "key"
+) -> tuple["ray.data.Dataset", int]:
+    """Distinct values of ``ds[col]`` → dense ids 0..n-1 by sorted rank.
+
+    Returns (vertex_map Dataset with columns (key, id), n). Ids are
+    deterministic (sorted order). Implementation: sort the distinct
+    set, materialize, then (pass 1) emit each block's (first_key,
+    count), compute prefix offsets on the driver — one tiny row per
+    block — and (pass 2) assign ``offset + arange`` per block, keyed by
+    the block's first value. Scales: only per-block metadata ever
+    reaches the driver.
+    """
+    distinct = _distinct(ds, col).sort(col).materialize()
+
+    def _block_meta(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first": pa.array([], ds.schema().field(col).type), "cnt": pa.array([], pa.int64())})
+        return pa.table({"first": t.column(col).slice(0, 1), "cnt": pa.array([len(t)], pa.int64())})
+
+    meta = distinct.map_batches(_block_meta, batch_size=None, batch_format="pyarrow").take_all()
+    meta = [m for m in meta if m["cnt"] > 0]
+    key = lambda v: v.encode() if isinstance(v, str) else v  # match Arrow utf8 binary sort order
+    meta.sort(key=lambda m: key(m["first"]))
+    offsets: dict = {}
+    acc = 0
+    for m in meta:
+        offsets[m["first"]] = acc
+        acc += m["cnt"]
+    n = acc
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key_out: t.column(col), "id": pa.array([], pa.int64())})
+        off = offsets[t.column(col)[0].as_py()]
+        return pa.table(
+            {key_out: t.column(col), "id": pa.array(off + np.arange(len(t), dtype=np.int64))}
+        )
+
+    vmap = distinct.map_batches(_assign, batch_size=None, batch_format="pyarrow")
+    return vmap, n
+
+
+def _join_ids(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    vmap: "ray.data.Dataset",
+    out_col: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Hash-join ``ds[key_col]`` against vertex_map; replace with int id."""
+    joined = ds.join(
+        vmap,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        right_on=("key",),
+    )
+    cols = [c for c in joined.columns() if c not in (key_col, "key", "id")]
+
+    def _fix(t: pa.Table) -> pa.Table:
+        arrays = [t.column(c) for c in cols] + [t.column("id")]
+        return pa.table(dict(zip(cols + [out_col], arrays)))
+
+    return joined.map_batches(_fix, batch_format="pyarrow")
+
+
+@dataclass
+class GraphTables:
+    """Handle to the on-disk graph artifacts under ``run_dir/graph``."""
+
+    run_dir: str
+    n: int  # vertices
+    m: int  # distinct edges
+    m_lines: int  # raw edge lines (incl. duplicates)
+    shard_rows: int
+    semantics: GraphSemantics
+
+    @property
+    def graph_dir(self) -> str:
+        return os.path.join(self.run_dir, "graph")
+
+    @property
+    def edges_path(self) -> str:
+        return os.path.join(self.graph_dir, "edges")
+
+    @property
+    def vertices_path(self) -> str:
+        return os.path.join(self.graph_dir, "vertices")
+
+    @property
+    def vertex_map_path(self) -> str:
+        return os.path.join(self.graph_dir, "vertex_map")
+
+    def edges(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.edges_path, columns=["src", "dst"])
+
+    def vertices(self, columns=None) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.vertices_path, columns=columns)
+
+    def vertex_map(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.vertex_map_path)
+
+    def weight_shards(self) -> ShardedVector:
+        """1/out_degree per vertex (0 for dangling) as a sharded vector."""
+        return ShardedVector.from_parquet(
+            self.vertices_path, self.n, self.shard_rows, "id", "inv_out", fill=0.0
+        )
+
+    def dangling_shards(self) -> ShardedVector:
+        return ShardedVector.from_parquet(
+            self.vertices_path, self.n, self.shard_rows, "id", "dangling", fill=1.0
+        )
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(
+            {
+                "n": self.n,
+                "m": self.m,
+                "m_lines": self.m_lines,
+                "outdegree_mode": self.semantics.outdegree_mode,
+                "dedup": self.semantics.dedup_in_links,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def build_graph(
+    links: "ray.data.Dataset",
+    run_dir: str,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    semantics: GraphSemantics | None = None,
+    run_cfg: RunConfig | None = None,
+    mint: bool = True,
+) -> GraphTables:
+    """links(src_col, dst_col) → GraphTables written under run_dir/graph.
+
+    ``mint=True`` treats keys as opaque (urls) and mints dense ids;
+    ``mint=False`` requires int keys that are already dense 0..n-1
+    (golden fixture graphs).
+
+    Matches reference load semantics (SURVEY §1.3): vertex set =
+    src ∪ dst (graph.go:66-76); out-degree per ``semantics``;
+    duplicate edges collapse when ``dedup_in_links`` (graph.go:77-78).
+    """
+    semantics = semantics or GraphSemantics()
+    run_cfg = run_cfg or RunConfig()
+    graph_dir = os.path.join(run_dir, "graph")
+    done = os.path.join(graph_dir, "_DONE.json")
+    if os.path.exists(done):
+        with open(done) as fh:
+            meta = json.load(fh)
+        return GraphTables(
+            run_dir, meta["n"], meta["m"], meta["m_lines"], run_cfg.shard_rows, semantics
+        )
+    os.makedirs(graph_dir, exist_ok=True)
+    P = run_cfg.num_partitions
+
+    links = links.select_columns([src_col, dst_col])
+
+    # vertex set = src ∪ dst  (reference graph.go:66-76)
+    def _as_key(colname):
+        return lambda t: pa.table({"key": t.column(colname)})
+
+    keys = links.map_batches(_as_key(src_col), batch_format="pyarrow").union(
+        links.map_batches(_as_key(dst_col), batch_format="pyarrow")
+    )
+    if mint:
+        vmap, n = mint_dense_ids(keys, "key")
+        vmap = vmap.materialize()
+        vmap.write_parquet(os.path.join(graph_dir, "vertex_map"))
+        edges_raw = _join_ids(links, src_col, vmap, "src", P)
+        edges_raw = _join_ids(edges_raw, dst_col, vmap, "dst", P)
+    else:
+        def _cast(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": t.column(src_col).cast(pa.int64()),
+                    "dst": t.column(dst_col).cast(pa.int64()),
+                }
+            )
+
+        edges_raw = links.map_batches(_cast, batch_format="pyarrow")
+        vmap, n = mint_dense_ids(keys, "key")
+        vmap.write_parquet(os.path.join(graph_dir, "vertex_map"))
+    edges_raw = edges_raw.materialize()
+    m_lines = edges_raw.count()
+
+    # distinct edges (in-link dedup, graph.go:77)
+    edges_distinct = (
+        edges_raw.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+    )
+    deg_input = edges_raw if semantics.outdegree_mode == "line_count" else edges_distinct
+    out_deg = deg_input.groupby("src").aggregate(Count(alias_name="out_degree"))
+
+    edges_final = (edges_distinct if semantics.dedup_in_links else edges_raw).sort("src")
+    edges_final = edges_final.materialize()
+    m = edges_final.count()
+    edges_final.write_parquet(os.path.join(graph_dir, "edges"))
+
+    # vertices: every id with its degree (0 ⇒ dangling), via union-aggregate
+    # (a join expressed as union + groupby-sum: one shuffle, no broadcast)
+    def _vm_zero(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id": t.column("id"), "deg": pa.array(np.zeros(len(t), dtype=np.int64))}
+        )
+
+    def _deg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("src"),
+                "deg": t.column("out_degree").cast(pa.int64()),
+            }
+        )
+
+    base = vmap.map_batches(_vm_zero, batch_format="pyarrow").union(
+        out_deg.map_batches(_deg, batch_format="pyarrow")
+    )
+    verts = base.groupby("id").aggregate(Sum("deg", alias_name="out_degree"))
+
+    shard_rows = run_cfg.shard_rows
+    e_default = 1.0 / n if n else 0.0
+
+    def _finish(t: pa.Table) -> pa.Table:
+        deg = t.column("out_degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        inv = np.zeros(len(deg))
+        nz = deg > 0
+        inv[nz] = 1.0 / deg[nz]
+        out = pa.table(
+            {
+                "id": t.column("id"),
+                "out_degree": pa.array(deg),
+                "inv_out": pa.array(inv),
+                "dangling": pa.array((~nz).astype(np.float64)),
+                "e": pa.array(np.full(len(deg), e_default)),
+            }
+        )
+        return add_shard_column(out, "id", shard_rows)
+
+    verts.map_batches(_finish, batch_format="pyarrow").write_parquet(
+        os.path.join(graph_dir, "vertices"), partition_cols=[SHARD_COL]
+    )
+
+    with open(done, "w") as fh:
+        json.dump({"n": n, "m": m, "m_lines": m_lines}, fh)
+    return GraphTables(run_dir, n, m, m_lines, shard_rows, semantics)

@@ -1,0 +1,77 @@
+"""Reference-format text edge-list reader (strict compat).
+
+Reproduces the reference parser's exact semantics
+(reference: pkg/graph/graph.go:178-196):
+
+- lines starting with ``#`` or ``//`` and empty lines are skipped
+  (graph.go:180-182)
+- only the FIRST space is replaced with a comma (graph.go:184), so
+  ``"0 1"`` and ``"0,1"`` parse but ``"0  1"`` (double space) and
+  tab-separated lines fail integer parsing — we raise ``ValueError``
+  exactly where the reference's ``strconv.Atoi`` errors
+  (graph.go:186-195)
+- self-loops are accepted from files (no exclusion in convertLine)
+- duplicate lines are kept here; dedup/out-degree policy is applied at
+  graph-build time (GraphSemantics)
+
+The distributed path streams via ``ray.data.read_text`` +
+vectorized ``map_batches``; ``parse_lines`` is the shared kernel.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# Go's strconv.Atoi rejects surrounding whitespace; Python's int() strips
+# it, so enforce the strict form explicitly (graph.go:186-195 compat).
+_ATOI_RE = re.compile(r"^-?[0-9]+$")
+
+
+def _atoi(s: str) -> int:
+    if not _ATOI_RE.match(s):
+        raise ValueError(f"not an integer: {s!r}")
+    return int(s)
+
+
+def parse_line(line: str) -> tuple[int, int] | None:
+    """Parse one line; None for skipped lines; ValueError on malformed."""
+    if line.startswith("#") or line.startswith("//") or line == "":
+        return None
+    s = line.replace(" ", ",", 1)  # first space only, graph.go:184
+    parts = s.split(",")
+    if len(parts) != 2:
+        raise ValueError(f"malformed edge line: {line!r}")
+    try:
+        return _atoi(parts[0]), _atoi(parts[1])
+    except ValueError as exc:  # mirrors strconv.Atoi failure, graph.go:186-195
+        raise ValueError(f"malformed edge line: {line!r}") from exc
+
+
+def parse_lines(lines: list[str]) -> pa.Table:
+    srcs: list[int] = []
+    dsts: list[int] = []
+    for line in lines:
+        pair = parse_line(line)
+        if pair is not None:
+            srcs.append(pair[0])
+            dsts.append(pair[1])
+    return pa.table(
+        {
+            "src": pa.array(np.asarray(srcs, dtype=np.int64)),
+            "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
+        }
+    )
+
+
+def _parse_batch(batch: pa.Table) -> pa.Table:
+    return parse_lines(batch.column("text").to_pylist())
+
+
+def read_edgelist(path: str) -> "ray.data.Dataset":
+    """Edge-list file(s) → Dataset(src: int64, dst: int64), duplicates kept."""
+    return ray.data.read_text(path).map_batches(_parse_batch, batch_format="pyarrow")

@@ -1,0 +1,112 @@
+"""Sharded dense vectors in the Ray object store.
+
+The reference keeps the whole rank vector (and graph) in every
+process's RAM and re-serializes it into every job payload (reference:
+proto/node.proto:36-43, pkg/node/master.go:225-241). Here the
+per-vertex vectors (rank, out-degree weight, labels, E) are dense
+numpy arrays **sharded by fixed id range**: shard ``s`` covers ids
+``[s*shard_rows, (s+1)*shard_rows)``. Shards are created by remote
+tasks reading a Parquet checkpoint partitioned by ``shard`` — never by
+the driver streaming all rows — and live in the object store, pulled
+on demand by map_batches tasks.
+
+Because the edge table is sorted by ``src``, each edge block's src
+range overlaps only 1-2 shards, so a gather stage pulls O(its range)
+bytes, not the whole vector. At 10^12 vertices the vector is ~8 TB:
+no single process ever holds it; each task holds only its shards.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+# NB: must not start with "_" — pyarrow dataset discovery treats
+# underscore-prefixed paths (incl. hive partition dirs) as metadata and
+# skips them.
+SHARD_COL = "shard"
+
+
+def n_shards(n: int, shard_rows: int) -> int:
+    return max(1, -(-n // shard_rows))
+
+
+def add_shard_column(batch: pa.Table, id_col: str, shard_rows: int) -> pa.Table:
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        SHARD_COL, pa.array((ids // shard_rows).astype(np.int64))
+    )
+
+
+@ray.remote
+def _load_shard(
+    path: str, shard: int, lo: int, size: int, id_col: str, val_col: str, fill: float
+) -> np.ndarray:
+    """Read one shard partition dir -> dense array for ids [lo, lo+size)."""
+    shard_dir = os.path.join(path, f"{SHARD_COL}={shard}")
+    out = np.full(size, fill, dtype=np.float64)
+    if os.path.isdir(shard_dir):
+        t = pq.read_table(shard_dir, columns=[id_col, val_col])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        vals = t.column(val_col).to_numpy(zero_copy_only=False)
+        out[ids - lo] = vals
+    return out
+
+
+@dataclass
+class ShardedVector:
+    """Handle to a dense float64 vector sharded across the object store."""
+
+    refs: list  # list[ObjectRef[np.ndarray]]
+    n: int
+    shard_rows: int
+
+    @classmethod
+    def from_parquet(
+        cls, path: str, n: int, shard_rows: int, id_col: str, val_col: str, fill: float = 0.0
+    ) -> "ShardedVector":
+        S = n_shards(n, shard_rows)
+        refs = [
+            _load_shard.remote(
+                path, s, s * shard_rows, min(shard_rows, n - s * shard_rows), id_col, val_col, fill
+            )
+            for s in range(S)
+        ]
+        return cls(refs=refs, n=n, shard_rows=shard_rows)
+
+    @classmethod
+    def from_numpy(cls, arr: np.ndarray, shard_rows: int) -> "ShardedVector":
+        n = len(arr)
+        S = n_shards(n, shard_rows)
+        refs = [ray.put(arr[s * shard_rows : (s + 1) * shard_rows]) for s in range(S)]
+        return cls(refs=refs, n=n, shard_rows=shard_rows)
+
+    def gather_range(self, lo: int, hi: int) -> tuple[int, np.ndarray]:
+        """Values for the id range [lo, hi] (inclusive), pulling only the
+        overlapping shards. Returns (offset, values) where values[i]
+        is the value of id offset+i."""
+        s0 = lo // self.shard_rows
+        s1 = hi // self.shard_rows
+        parts = ray.get(self.refs[s0 : s1 + 1])
+        return s0 * self.shard_rows, np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def to_numpy(self) -> np.ndarray:
+        return np.concatenate(ray.get(self.refs))[: self.n]
+
+
+def map_reduce_shards(vec: ShardedVector, fn, combine=sum):
+    """Apply ``fn(shard_array, lo)`` remotely per shard; combine scalars.
+
+    Used for e.g. dangling-mass = sum of rank over dangling ids without
+    any driver-side row iteration."""
+    f = ray.remote(fn)
+    out = ray.get(
+        [f.remote(r, s * vec.shard_rows) for s, r in enumerate(vec.refs)]
+    )
+    return combine(out)

@@ -1,0 +1,39 @@
+import pyarrow.parquet as pq
+
+import ray.data
+
+from distributed_pagerank_ray.stages.extract import extract_links, extract_page, extract_text
+
+
+def test_extract_page_pure():
+    html = (
+        b"<html><head><title>T &amp; U</title></head><body>"
+        b"<p>hello world</p><p>second para</p>"
+        b'<a href="https://x.example/a">go here</a>'
+        b"</body></html>"
+    )
+    text, links = extract_page(html)
+    assert text == "T & U\nhello world\nsecond para\ngo here"
+    assert links == [("https://x.example/a", "go here")]
+
+
+def test_text_byte_identical(tiny_corpus):
+    """input_hint invariant: extracted text byte-identical per url vs golden."""
+    pages = ray.data.read_parquet(f"{tiny_corpus}/pages.parquet")
+    out = extract_text(pages.select_columns(["url", "html"]), concurrency=2).take_all()
+    golden = {
+        r["url"]: r["text"]
+        for r in pq.read_table(f"{tiny_corpus}/pages.parquet", columns=["url", "text"]).to_pylist()
+    }
+    assert len(out) == len(golden)
+    for row in out:
+        assert row["text"].encode() == golden[row["url"]].encode(), row["url"]
+
+
+def test_links_exact(tiny_corpus):
+    pages = ray.data.read_parquet(f"{tiny_corpus}/pages.parquet", columns=["url", "html"])
+    got = extract_links(pages, concurrency=2).take_all()
+    got_pairs = sorted((r["src_url"], r["dst_url"]) for r in got)
+    golden = pq.read_table(f"{tiny_corpus}/links.parquet").to_pylist()
+    want_pairs = sorted((r["src_url"], r["dst_url"]) for r in golden)
+    assert got_pairs == want_pairs  # duplicates preserved, multiset equality
