@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..config import GraphSemantics, RunConfig
 from ..state.shards import SHARD_COL, ShardedVector, add_shard_column
+from ..util import compact_for_join
 
 
 def _distinct(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
@@ -90,8 +91,8 @@ def _join_ids(
     num_partitions: int,
 ) -> "ray.data.Dataset":
     """Hash-join ``ds[key_col]`` against vertex_map; replace with int id."""
-    joined = ds.join(
-        vmap,
+    joined = compact_for_join(ds, num_partitions).join(
+        compact_for_join(vmap, num_partitions),
         join_type="inner",
         num_partitions=num_partitions,
         on=(key_col,),

@@ -136,6 +136,7 @@ class PageRankResult:
     iterations: int
     converged: bool
     residual: float
+    shard_rows: int = 1 << 19  # layout the checkpoints were written with
     residual_history: list = field(default_factory=list)
 
     @property
@@ -145,9 +146,9 @@ class PageRankResult:
     def ranks(self) -> "ray.data.Dataset":
         return ray.data.read_parquet(self.final_ranks_path, columns=["id", "rank"])
 
-    def ranks_numpy(self, shard_rows: int = 1 << 19) -> np.ndarray:
+    def ranks_numpy(self, shard_rows: int | None = None) -> np.ndarray:
         vec = ShardedVector.from_parquet(
-            self.final_ranks_path, self.n, shard_rows, "id", "rank"
+            self.final_ranks_path, self.n, shard_rows or self.shard_rows, "id", "rank"
         )
         return vec.to_numpy()
 
@@ -170,8 +171,10 @@ def pagerank(
         else None
     )
     e_sig = "" if cfg.e_vector is None else str(float(np.asarray(cfg.e_vector).sum()))
+    # NB: max_iters deliberately NOT in the fingerprint — resuming a
+    # partial run with a higher cap is the normal resume path.
     fingerprint = (
-        f"{graph.fingerprint()}|c={cfg.c}|tol={cfg.threshold}|max={cfg.max_iters}"
+        f"{graph.fingerprint()}|c={cfg.c}|tol={cfg.threshold}"
         f"|dang={cfg.semantics.dangling}|e={e_sig}"
     )
 
@@ -213,10 +216,10 @@ def pagerank(
         converged = True
 
     # ---- iterate -------------------------------------------------------------
+    prev_ranks_path = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")
+    rank_vec = ShardedVector.from_parquet(prev_ranks_path, n, shard_rows, "id", "rank")
     while not converged and k < cfg.max_iters:
         t0 = time.time()
-        prev_ranks_path = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")
-        rank_vec = ShardedVector.from_parquet(prev_ranks_path, n, shard_rows, "id", "rank")
         dm = _dangling_mass(rank_vec, dang_vec) if dang_vec is not None else 0.0
 
         contribs = graph.edges().map_batches(
@@ -256,11 +259,13 @@ def pagerank(
         combined.map_batches(_update, batch_format="pyarrow").write_parquet(
             os.path.join(tmp, "ranks"), partition_cols=[SHARD_COL]
         )
-        # residual from the just-written checkpoint (cheap metadata+scan read;
-        # this is the per-iteration driver barrier, a single scalar)
-        residual = float(
-            ray.data.read_parquet(os.path.join(tmp, "ranks"), columns=["delta"]).sum("delta")
+        # one checkpoint read refreshes next iteration's rank shards AND
+        # piggy-backs the L1 residual (the per-iteration driver barrier is
+        # this single scalar)
+        rank_vec, residual = ShardedVector.from_parquet_with_sum(
+            os.path.join(tmp, "ranks"), n, shard_rows, "id", "rank", 0.0, "delta"
         )
+        prev_ranks_path = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")
         metrics = {
             "iteration": k,
             "residual": residual,
@@ -300,5 +305,6 @@ def pagerank(
         iterations=k,
         converged=converged,
         residual=residual,
+        shard_rows=shard_rows,
         residual_history=history,
     )

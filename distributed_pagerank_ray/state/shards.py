@@ -44,19 +44,33 @@ def add_shard_column(batch: pa.Table, id_col: str, shard_rows: int) -> pa.Table:
     )
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _load_shard(
-    path: str, shard: int, lo: int, size: int, id_col: str, val_col: str, fill: float
-) -> np.ndarray:
-    """Read one shard partition dir -> dense array for ids [lo, lo+size)."""
+    path: str,
+    shard: int,
+    lo: int,
+    size: int,
+    id_col: str,
+    val_col: str,
+    fill: float,
+    sum_col: str | None,
+):
+    """Read one shard partition dir -> (dense array for ids [lo, lo+size),
+    sum of ``sum_col`` over the shard). The piggy-backed sum lets the
+    PageRank loop get the L1 residual from the same checkpoint read that
+    refreshes the rank shards — one read per iteration, not two."""
     shard_dir = os.path.join(path, f"{SHARD_COL}={shard}")
     out = np.full(size, fill, dtype=np.float64)
+    extra = 0.0
     if os.path.isdir(shard_dir):
-        t = pq.read_table(shard_dir, columns=[id_col, val_col])
+        cols = [id_col, val_col] + ([sum_col] if sum_col else [])
+        t = pq.read_table(shard_dir, columns=cols)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         vals = t.column(val_col).to_numpy(zero_copy_only=False)
         out[ids - lo] = vals
-    return out
+        if sum_col:
+            extra = float(t.column(sum_col).to_numpy(zero_copy_only=False).sum())
+    return out, extra
 
 
 @dataclass
@@ -71,12 +85,51 @@ class ShardedVector:
     def from_parquet(
         cls, path: str, n: int, shard_rows: int, id_col: str, val_col: str, fill: float = 0.0
     ) -> "ShardedVector":
+        vec, _ = cls.from_parquet_with_sum(path, n, shard_rows, id_col, val_col, fill, None)
+        return vec
+
+    @classmethod
+    def from_parquet_with_sum(
+        cls,
+        path: str,
+        n: int,
+        shard_rows: int,
+        id_col: str,
+        val_col: str,
+        fill: float = 0.0,
+        sum_col: str | None = None,
+    ) -> tuple["ShardedVector", float]:
+        S = n_shards(n, shard_rows)
+        refs = []
+        sum_refs = []
+        for s in range(S):
+            arr_ref, sum_ref = _load_shard.remote(
+                path,
+                s,
+                s * shard_rows,
+                min(shard_rows, n - s * shard_rows),
+                id_col,
+                val_col,
+                fill,
+                sum_col,
+            )
+            refs.append(arr_ref)
+            sum_refs.append(sum_ref)
+        total = float(sum(ray.get(sum_refs))) if sum_col else 0.0
+        return cls(refs=refs, n=n, shard_rows=shard_rows), total
+
+    @classmethod
+    def arange(cls, n: int, shard_rows: int) -> "ShardedVector":
+        """Identity vector (labels init = own id) built by remote tasks —
+        the driver never materializes the full vector."""
+
+        @ray.remote
+        def make(lo: int, size: int) -> np.ndarray:
+            return np.arange(lo, lo + size, dtype=np.float64)
+
         S = n_shards(n, shard_rows)
         refs = [
-            _load_shard.remote(
-                path, s, s * shard_rows, min(shard_rows, n - s * shard_rows), id_col, val_col, fill
-            )
-            for s in range(S)
+            make.remote(s * shard_rows, min(shard_rows, n - s * shard_rows)) for s in range(S)
         ]
         return cls(refs=refs, n=n, shard_rows=shard_rows)
 
