@@ -1,0 +1,167 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as Arrow ``binary`` columns; decode /
+feature-extract / resize / frame-sample run as actor-pool
+``map_batches`` stages with small batch sizes (wide rows). The decode
+libraries (PIL, ffmpeg, torchaudio, ...) are NOT in this container, so
+the codec-dependent steps are STUBBED behind clearly marked gates:
+
+- the Ray-side plumbing (schema, batch sizing, actor signature, output
+  layout) is real and tested,
+- ``ByteFeatures`` (byte histogram + entropy) is a REAL deterministic
+  feature extractor needing no codec,
+- ``ImageDecodeStub`` raises NotImplementedError unless
+  ``fake_decode=True``, in which case it emits deterministic fake
+  dimensions derived from the payload bytes (documented, test-only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_I64 = pa.int64()
+
+
+def attach_binary_from_text(batch: pa.Table, text_col: str = "text", out_col: str = "payload") -> pa.Table:
+    """Synthesize a binary payload column (UTF-8 bytes of a text column)
+    — lets the multimodal plumbing be exercised on text-only tables."""
+    payloads = [(t or "").encode("utf-8") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(payloads, pa.binary()))
+
+
+class ByteFeatures:
+    """Real feature extractor over binary payloads: size, byte entropy,
+    and a 16-bin byte histogram (as 16 int columns — join-safe, no
+    list columns). Stateless math, but written as an actor class so
+    heavier extractors slot into the same shape."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        n = len(payloads)
+        size = np.zeros(n, dtype=np.int64)
+        entropy = np.zeros(n, dtype=np.float64)
+        hist = np.zeros((n, 16), dtype=np.int64)
+        for i, b in enumerate(payloads):
+            arr = np.frombuffer(b or b"", dtype=np.uint8)
+            size[i] = len(arr)
+            if len(arr):
+                counts = np.bincount(arr >> 4, minlength=16)
+                hist[i] = counts
+                p = counts[counts > 0] / len(arr)
+                entropy[i] = float(-(p * np.log2(p)).sum())
+        cols = {self.id_col: batch.column(self.id_col), "n_bytes": pa.array(size), "entropy": pa.array(entropy)}
+        for j in range(16):
+            cols[f"h{j:02d}"] = pa.array(hist[:, j])
+        return pa.table(cols)
+
+
+class ImageDecodeStub:
+    """Decode stage for image payloads.
+
+    Real decoding requires an image codec library that is NOT available
+    in this environment; construct with ``fake_decode=True`` to emit
+    deterministic fake (width, height, channels) derived from the
+    payload bytes so downstream plumbing (schema, resize budgeting,
+    batch sizing) can be exercised and tested. With the default
+    ``fake_decode=False`` the stage raises NotImplementedError — the
+    marker that a codec must be plugged in at deployment.
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id", fake_decode: bool = False):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.fake = fake_decode
+        try:  # pragma: no cover - not installed in this container
+            import PIL.Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._pil and not self.fake:
+            raise NotImplementedError(
+                "image decode requires PIL (not in this container); "
+                "pass fake_decode=True for deterministic test plumbing"
+            )
+        payloads = batch.column(self.payload_col).to_pylist()
+        n = len(payloads)
+        w = np.zeros(n, dtype=np.int64)
+        h = np.zeros(n, dtype=np.int64)
+        c = np.zeros(n, dtype=np.int64)
+        for i, b in enumerate(payloads):
+            b = b or b""
+            # deterministic fake: dims derived from payload content
+            w[i] = 16 + (len(b) % 240)
+            h[i] = 16 + ((sum(b[:16]) if b else 0) % 240)
+            c[i] = 3
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "channels": pa.array(c),
+            }
+        )
+
+
+class FrameSampleStub:
+    """'Video' frame sampler: splits a binary payload into ``n_frames``
+    equal chunks (one row per frame). The chunking/explode plumbing is
+    real; actual video decoding would replace ``_chunks``."""
+
+    def __init__(self, n_frames: int = 4, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.n = n_frames
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        frame_no: list[int] = []
+        frames: list[bytes] = []
+        for did, b in zip(
+            batch.column(self.id_col).to_pylist(), batch.column(self.payload_col).to_pylist()
+        ):
+            b = b or b""
+            step = max(1, len(b) // self.n)
+            for j in range(self.n):
+                ids.append(did)
+                frame_no.append(j)
+                frames.append(b[j * step : (j + 1) * step])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, _I64),
+                "frame": pa.array(frame_no, _I64),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def byte_features(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+    batch_size: int = 512,
+) -> "ray.data.Dataset":
+    """text → synthesized binary payload → ByteFeatures actor pool.
+
+    Small batch_size on purpose: binary rows are wide (guide: size
+    batches so batch x concurrency fits the worker heap).
+    """
+    with_payload = ds.map_batches(
+        lambda t: attach_binary_from_text(t, text_col), batch_format="pyarrow"
+    )
+    return with_payload.map_batches(
+        ByteFeatures(id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,236 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: the query matrix is broadcast once via
+  ``ray.put`` and every batch does one numpy matmul against it; per-
+  batch top-k candidates flow into a tiny global merge — never a full
+  V x Q score materialization.
+- LSH-bucketed variant (random hyperplanes): sign-bit bucket per
+  vector; queries probe only their own bucket (approximate, scale
+  path — the shuffle groups by bucket instead of scoring everything).
+- embedding near-dup pairs: all-pairs cosine >= threshold within LSH
+  buckets (approximate candidate generation, exact verification).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..util import ensure_schema
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    lists = batch.column(col)
+    flat = lists.combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute_force(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k: rows (query_id, neighbor_id, sim, rnk).
+
+    Deterministic ordering: score desc, then neighbor id asc on ties.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    kk = k
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = m @ q.T  # (batch, nq)
+        nq = sims.shape[1]
+        out_q: list[int] = []
+        out_id: list[int] = []
+        out_s: list[float] = []
+        top = min(kk, sims.shape[0])
+        for j in range(nq):
+            s = sims[:, j]
+            idx = np.argpartition(-s, top - 1)[:top]
+            out_q.extend([j] * top)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, _I64),
+                "neighbor_id": pa.array(out_id, _I64),
+                "sim": pa.array(out_s, _F64),
+            }
+        )
+
+    cands = ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(kk)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "sim", "rnk"]]
+
+    return (
+        cands.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {"query_id": _I64, "neighbor_id": _I64, "sim": _F64, "rnk": _I64}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage: bucket = sign bits of R @ x.
+
+    R generated once per actor from a fixed seed (all actors agree)."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.R = rng.standard_normal((n_bits, dim))
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.R.T) > 0
+        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.emb_col)
+        return pa.table(
+            {
+                "vec_id": batch.column(self.id_col),
+                "bucket": pa.array(self.bucket_of(m)),
+                "emb": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k: score only vectors in the query's
+    hyperplane bucket. Same output schema as knn_brute_force."""
+    q = np.asarray(queries, dtype=np.float64)
+    dim = dim or q.shape[1]
+    hasher = HyperplaneLSH(dim, n_bits, seed, id_col, emb_col)
+    q_buckets = hasher.bucket_of(q)
+    qn = _normalize(q)
+    q_ref = ray.put((qn, q_buckets))
+    kk = k
+
+    bucketed = ds.map_batches(
+        hasher, batch_format="pyarrow", concurrency=concurrency, batch_size=4096
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        qn_, qb = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        m = np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in batch.column("emb").to_pylist()]
+        ) if len(batch) else np.zeros((0, qn_.shape[1]))
+        m = _normalize(m)
+        out_q: list[int] = []
+        out_id: list[int] = []
+        out_s: list[float] = []
+        for j in range(len(qn_)):
+            mask = buckets == qb[j]
+            if not mask.any():
+                continue
+            s = m[mask] @ qn_[j]
+            sub_ids = ids[mask]
+            top = min(kk, len(s))
+            idx = np.argpartition(-s, top - 1)[:top]
+            out_q.extend([j] * top)
+            out_id.extend(sub_ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, _I64),
+                "neighbor_id": pa.array(out_id, _I64),
+                "sim": pa.array(out_s, _F64),
+            }
+        )
+
+    cands = bucketed.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(kk)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "sim", "rnk"]]
+
+    return (
+        cands.groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {"query_id": _I64, "neighbor_id": _I64, "sim": _F64, "rnk": _I64}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs (a, b, sim) with sim >= threshold,
+    candidates generated per LSH bucket (approximate recall, exact
+    verification). Rows a<b, deterministic."""
+    dim_probe = ds.take(1)[0][emb_col]
+    hasher = HyperplaneLSH(len(dim_probe), n_bits, seed, id_col, emb_col)
+    bucketed = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    thr = threshold
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype({"a": np.int64, "b": np.int64, "sim": np.float64})
+        m = _normalize(np.stack([np.frombuffer(b, dtype=np.float64) for b in g["emb"]]))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= thr
+        return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep], "sim": s[keep]})
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(
+            ensure_schema({"a": _I64, "b": _I64, "sim": _F64}), batch_format="pyarrow"
+        )
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized ``map_batches`` transforms over a text
+column (Arrow in / Arrow out) — language-ID (stopword n-gram
+heuristic), quality scoring (length/punct/stopword ratios), token
+counting (whitespace + a BPE-ish regex), and document fingerprinting
+(md5 + winnowing rolling hash). The reference engine has no string
+functions beyond Atoi (SURVEY §2.5); these are the additional
+capabilities a 100 TB text pipeline needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- tokens
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")  # words or single punctuation marks
+_PUNCT = set(r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")
+
+_EN_STOP = {"the", "and", "of", "a", "to", "in", "is", "with", "for", "on", "this", "that", "how"}
+_IT_STOP = {"il", "la", "di", "e", "un", "una", "che", "per", "con", "come", "della", "sopra", "tra", "i"}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens = number of maximal non-whitespace runs (0 for blank)."""
+    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    splits = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    n = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    n[blank] = 0
+    return batch.append_column("n_tokens", pa.array(n))
+
+
+def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Regex token count: words + punctuation marks counted separately
+    (an approximation of BPE-style pre-tokenization)."""
+    texts = batch.column(text_col).to_pylist()
+    n = np.fromiter((len(_BPE_ISH.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts))
+    return batch.append_column("n_bpe_tokens", pa.array(n))
+
+
+# ---------------------------------------------------------------- quality
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality facets (SQL-checkable) + a float score.
+
+    n_chars_utf8: UTF-8 character count; n_punct: ASCII punctuation
+    chars; n_upper: uppercase chars; n_digit: digits.
+    quality_score in [0,1]: penalizes very short docs, high punct
+    ratio, and all-caps shouting (heuristic, documented here as THE
+    definition — deterministic pure function of the text).
+    """
+    texts = batch.column(text_col).to_pylist()
+    n_chars = np.zeros(len(texts), dtype=np.int64)
+    n_punct = np.zeros(len(texts), dtype=np.int64)
+    n_upper = np.zeros(len(texts), dtype=np.int64)
+    n_digit = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        n_punct[i] = sum(c in _PUNCT for c in t)
+        n_upper[i] = sum(c.isupper() for c in t)
+        n_digit[i] = sum(c.isdigit() for c in t)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    punct_ratio = n_punct / denom
+    upper_ratio = n_upper / denom
+    length_term = np.clip(n_chars / 200.0, 0.0, 1.0)
+    score = length_term * (1.0 - np.clip(punct_ratio * 4, 0, 1)) * (1.0 - np.clip(upper_ratio * 2, 0, 1))
+    out = batch
+    for name, arr in [
+        ("n_chars_utf8", n_chars),
+        ("n_punct", n_punct),
+        ("n_upper", n_upper),
+        ("n_digit", n_digit),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out.append_column("quality_score", pa.array(score))
+
+
+# ---------------------------------------------------------------- lang id
+
+class LangId:
+    """Stateful language-ID stage (actor pool): stopword-set voting over
+    lowercased word tokens. en / it / und. Word regex compiled once per
+    actor (SURVEY §2.4 C8 pattern)."""
+
+    def __init__(self) -> None:
+        self.word = re.compile(r"[a-zà-ú]+")
+
+    def classify(self, text: str) -> str:
+        words = self.word.findall((text or "").lower())
+        if not words:
+            return "und"
+        en = sum(w in _EN_STOP for w in words)
+        it = sum(w in _IT_STOP for w in words)
+        if en == 0 and it == 0:
+            return "und"
+        return "en" if en >= it else "it"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+# ---------------------------------------------------------------- fingerprints
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    digests = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("fingerprint", pa.array(digests, pa.string()))
+
+
+_ROLL_BASE = np.uint64(1000003)
+_MASK = np.uint64((1 << 61) - 1)
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hashes of all k-grams of the byte string."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(b) < k:
+        k = len(b)  # short text: one gram covering the whole string
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        acc = np.uint64(0)
+        for i in range(k):
+            acc = acc * _ROLL_BASE + b[i]
+        h[0] = acc
+        pow_k = _ROLL_BASE ** np.uint64(k - 1)
+        for i in range(1, len(h)):
+            acc = (acc - b[i - 1] * pow_k) * _ROLL_BASE + b[i + k - 1]
+            h[i] = acc
+    return h
+
+
+def winnow_fingerprint(text: str, k: int = 8, w: int = 16) -> int:
+    """Winnowing (Schleimer et al. 2003): min k-gram hash per window,
+    xor-folded to one int64 document fingerprint. Deterministic."""
+    h = _kgram_hashes(text, k)
+    if len(h) == 0:
+        return 0
+    if len(h) <= w:
+        sel = np.array([h.min()])
+    else:
+        idx = np.arange(len(h) - w + 1)[:, None] + np.arange(w)[None, :]
+        sel = np.unique(h[idx].min(axis=1))
+    out = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for v in sel:
+            out ^= np.uint64(v) * _ROLL_BASE & _MASK
+    return int(out & np.uint64((1 << 63) - 1))
+
+
+def winnow_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [winnow_fingerprint(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("winnow_fp", pa.array(np.asarray(fps, dtype=np.int64)))

@@ -1,0 +1,87 @@
+import itertools
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from distributed_pagerank_ray.functions.dedup import (
+    char_shingles,
+    exact_dedup_groups,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen small birds "
+    "watch from a fence near the old farm house in the valley"
+)
+DOCS = [
+    {"doc_id": 0, "text": BASE},
+    {"doc_id": 1, "text": BASE},  # exact dup of 0
+    {"doc_id": 2, "text": BASE.replace("seventeen", "nineteen")},  # near dup
+    {"doc_id": 3, "text": "completely different content about distributed systems and ray data pipelines"},
+    {"doc_id": 4, "text": BASE + " with a small suffix added"},  # near dup
+    {"doc_id": 5, "text": ""},
+]
+
+
+def _ds():
+    return ray.data.from_items(DOCS)
+
+
+def _brute_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = set(char_shingles(a, k).tolist()), set(char_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup():
+    out = exact_dedup_groups(_ds()).take_all()
+    reps = sorted((r["doc_id"], r["n_dups"]) for r in out)
+    assert (0, 2) in reps  # docs 0 and 1 collapse, min id 0
+    assert len(reps) == 5  # 6 docs, one dup pair
+
+
+def test_ngram_jaccard_exact_pairs():
+    got = ngram_jaccard_pairs(_ds(), threshold=0.6, num_partitions=2).take_all()
+    got_pairs = sorted((r["a"], r["b"]) for r in got)
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(range(6), 2)
+        if _brute_jaccard(DOCS[a]["text"], DOCS[b]["text"]) >= 0.6
+    )
+    assert got_pairs == want
+    assert (0, 1) in got_pairs
+    # verify reported intersection sizes are the true ones
+    for r in got:
+        sa = set(char_shingles(DOCS[r["a"]]["text"]).tolist())
+        sb = set(char_shingles(DOCS[r["b"]]["text"]).tolist())
+        assert r["inter"] == len(sa & sb)
+        assert r["size_a"] == len(sa) and r["size_b"] == len(sb)
+
+
+def test_minhash_lsh_dedup():
+    got = minhash_lsh_dedup_pairs(_ds(), threshold=0.6, num_partitions=2).take_all()
+    got_pairs = sorted((r["a"], r["b"]) for r in got)
+    # verified candidates must be a subset of the exact result ...
+    exact = sorted(
+        (a, b)
+        for a, b in itertools.combinations(range(6), 2)
+        if _brute_jaccard(DOCS[a]["text"], DOCS[b]["text"]) >= 0.6
+    )
+    assert set(got_pairs) <= set(exact)
+    # ... and LSH at 16 bands x 4 rows must catch the exact dup + strong near-dups
+    assert (0, 1) in got_pairs
+
+
+def test_simhash_pairs():
+    got = simhash_pairs(_ds(), max_hamming=8).take_all()
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in got}
+    assert pairs.get((0, 1)) == 0  # identical docs, zero hamming
+    # near-dup 2 differs by one word -> small hamming, should appear
+    assert (0, 2) in pairs
+    # unrelated doc 3 (hamming 28) should not pair with 0
+    assert (0, 3) not in pairs

@@ -1,0 +1,71 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from distributed_pagerank_ray.functions.multimodal import (
+    ByteFeatures,
+    FrameSampleStub,
+    ImageDecodeStub,
+    attach_binary_from_text,
+    byte_features,
+)
+
+DOCS = [
+    {"doc_id": 0, "text": "aaaa"},
+    {"doc_id": 1, "text": "hello world, some bytes here"},
+    {"doc_id": 2, "text": ""},
+]
+
+
+def test_attach_binary():
+    t = pa.table({"doc_id": [0], "text": ["héllo"]})
+    out = attach_binary_from_text(t)
+    assert out.column("payload").to_pylist() == ["héllo".encode("utf-8")]
+
+
+def test_byte_features_pipeline():
+    ds = ray.data.from_items(DOCS)
+    out = {r["doc_id"]: r for r in byte_features(ds, concurrency=2).take_all()}
+    assert out[0]["n_bytes"] == 4
+    assert out[0]["entropy"] == 0.0  # single repeated byte
+    assert out[1]["n_bytes"] == len(DOCS[1]["text"].encode())
+    assert out[1]["entropy"] > 0
+    assert out[2]["n_bytes"] == 0
+    # histogram sums to n_bytes
+    assert sum(out[1][f"h{j:02d}"] for j in range(16)) == out[1]["n_bytes"]
+
+
+def test_image_decode_stub_gates():
+    t = attach_binary_from_text(pa.table({"doc_id": [0], "text": ["xyz"]}))
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub()(t)
+    out = ImageDecodeStub(fake_decode=True)(t)
+    row = out.to_pylist()[0]
+    assert row["channels"] == 3 and 16 <= row["width"] < 256
+    # deterministic
+    out2 = ImageDecodeStub(fake_decode=True)(t)
+    assert out.equals(out2)
+
+
+def test_frame_sample_stub():
+    t = attach_binary_from_text(pa.table({"doc_id": [7], "text": ["abcdefgh"]}))
+    out = FrameSampleStub(n_frames=4)(t)
+    rows = out.to_pylist()
+    assert [r["frame"] for r in rows] == [0, 1, 2, 3]
+    assert b"".join(r["frame_bytes"] for r in rows) == b"abcdefgh"
+
+
+def test_actor_pool_decode_on_dataset():
+    ds = ray.data.from_items(DOCS).map_batches(
+        lambda t: attach_binary_from_text(t), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        ImageDecodeStub,
+        fn_constructor_kwargs={"fake_decode": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=2,
+    ).take_all()
+    assert len(out) == 3 and all(r["channels"] == 3 for r in out)

@@ -1,0 +1,83 @@
+import numpy as np
+
+import ray.data
+
+from distributed_pagerank_ray.functions.similarity import (
+    embedding_dup_pairs,
+    knn_brute_force,
+    knn_lsh,
+)
+
+
+def _emb_ds(n=200, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": m[i].tolist()} for i in range(n)]
+    return ray.data.from_items(items), m
+
+
+def _brute(m, q, k):
+    mq = m.astype(np.float64)
+    mn = mq / np.linalg.norm(mq, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    out = {}
+    for j in range(q.shape[0]):
+        order = sorted(range(len(m)), key=lambda i: (-sims[i, j], i))[:k]
+        out[j] = order
+    return out
+
+
+def test_knn_brute_force_exact():
+    ds, m = _emb_ds()
+    q = m[:3].astype(np.float64)
+    res = knn_brute_force(ds, q, k=5).take_all()
+    want = _brute(m, q, 5)
+    for j in range(3):
+        got = [r["neighbor_id"] for r in sorted((x for x in res if x["query_id"] == j), key=lambda r: r["rnk"])]
+        assert got == want[j]
+        # self is its own nearest neighbor
+        assert got[0] == j
+
+
+def test_knn_lsh_recall():
+    ds, m = _emb_ds(n=500)
+    q = m[:5].astype(np.float64)
+    res = knn_lsh(ds, q, k=5, n_bits=4).take_all()
+    want = _brute(m, q, 5)
+    # approximate: self must be found (same bucket by construction),
+    # and >=40% overlap with exact top-5 on average
+    overlap = 0
+    for j in range(5):
+        got = [r["neighbor_id"] for r in res if r["query_id"] == j]
+        assert j in got
+        overlap += len(set(got) & set(want[j]))
+    assert overlap / (5 * 5) >= 0.4
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((50, 8))
+    m[10] = m[3] + rng.standard_normal(8) * 1e-3  # planted near-dup
+    items = [{"vec_id": i, "embedding": m[i].astype(np.float32).tolist()} for i in range(50)]
+    ds = ray.data.from_items(items)
+    got = embedding_dup_pairs(ds, threshold=0.99).take_all()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (3, 10) in pairs
+    for r in got:
+        assert r["sim"] >= 0.99
+
+
+def test_on_driver_embeddings_table():
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = ds.take(2)
+    q = np.array([r["embedding"] for r in first], dtype=np.float64)
+    res = knn_brute_force(ds, q, k=3, id_col="vec_id", emb_col="embedding").take_all()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for j, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert rows[0]["neighbor_id"] == first[j]["vec_id"]
+        assert abs(rows[0]["sim"] - 1.0) < 1e-9
