@@ -1,44 +1,529 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship link-graph pipeline on /root/testdata/sf0.001.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operators); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query, with IDENTICAL output column names and float rounding.
+  Iterative/sketch/model ops (pagerank, minhash, simhash, winnowing,
+  lang-id, LSH) are rows-only by design; their exactness is covered by
+  pytest oracles (numpy reference implementations) instead.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: lineitem-derived link graph → PageRank → top-20 vertices.
+
+    read_parquet → distinct-edge build → dense id mint → checkpointed
+    power iteration → join ranks back to raw keys → top-k sort.
+    """
+    import ray.data
+
+    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.pipelines.relational import lineitem_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    run_dir = tempfile.mkdtemp(prefix="dpr_entry_")
+    edges = lineitem_edges(sf_dir)
+    g = build_graph(
+        edges, run_dir, src_col="src", dst_col="dst", mint=True, run_cfg=RunConfig(num_partitions=4)
+    )
+    res = pagerank(g, PageRankConfig(threshold=1e-8))
+    ranks = res.ranks()
+    vmap = g.vertex_map()
+    from distributed_pagerank_ray.util import compact_for_join
+
+    joined = compact_for_join(ranks, 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("id",), right_on=("id",)
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        return pa.table({"vertex": t.column("key"), "rank": t.column("rank")})
+
+    return joined.map_batches(fin, batch_format="pyarrow").sort("rank", descending=True).limit(20)
+
+
+# --------------------------------------------------------------------------
+# query helpers
+# --------------------------------------------------------------------------
+
+def _docs(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    vals = np.round(t.column(col).to_numpy(zero_copy_only=False), nd)
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pa.array(vals))
+
+
+def _g_edges(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import lineitem_edges
+
+    return lineitem_edges(sf_dir)
+
+
+def _g_out_degree(sf_dir):
+    from ray.data.aggregate import Count
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    return (
+        _g_edges(sf_dir)
+        .groupby("src")
+        .aggregate(Count(alias_name="out_degree"))
+        .map_batches(
+            ensure_schema({"src": pa.int64(), "out_degree": pa.int64()}), batch_format="pyarrow"
+        )
+    )
+
+
+def _g_in_degree_top20(sf_dir):
+    from ray.data.aggregate import Count
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    return (
+        _g_edges(sf_dir)
+        .groupby("dst")
+        .aggregate(Count(alias_name="in_degree"))
+        .map_batches(
+            ensure_schema({"dst": pa.int64(), "in_degree": pa.int64()}), batch_format="pyarrow"
+        )
+        .sort(["in_degree", "dst"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def _g_vertex_count(sf_dir):
+    from ray.data.aggregate import Count
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    edges = _g_edges(sf_dir)
+
+    def side(col):
+        return edges.map_batches(
+            lambda t, c=col: pa.table({"v": t.column(c)}), batch_format="pyarrow"
+        )
+
+    distinct = (
+        side("src")
+        .union(side("dst"))
+        .groupby("v")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(ensure_schema({"v": pa.int64()}), batch_format="pyarrow")
+    )
+    n = distinct.count()
+    import ray.data
+
+    return ray.data.from_items([{"n_vertices": int(n)}])
+
+
+def _g_cc_org(sf_dir):
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.components import connected_components
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+    from distributed_pagerank_ray.util import compact_for_join
+
+    run_dir = tempfile.mkdtemp(prefix="dpr_ccorg_")
+    g = build_graph(
+        org_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    res = connected_components(g)
+    labels = res.labels()  # (id, label) in minted dense ids
+    vmap = g.vertex_map()  # (key=raw id, id=minted); minting preserves numeric order
+
+    j1 = compact_for_join(labels, 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("id",), right_on=("id",)
+    )
+
+    def p1(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        return pa.table({"vid": t.column("key"), "label": t.column("label")})
+
+    j2 = compact_for_join(j1.map_batches(p1, batch_format="pyarrow"), 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("label",), right_on=("id",)
+    )
+
+    def p2(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        return pa.table({"id": t.column("vid"), "component": t.column("key")})
+
+    return j2.map_batches(p2, batch_format="pyarrow")
+
+
+def _g_triangles_parts(sf_dir):
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+    from distributed_pagerank_ray.pipelines.triangles import triangle_count
+
+    und = part_cooccurrence_edges(sf_dir).map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}), batch_format="pyarrow"
+    )
+    n = triangle_count(und, RunConfig(num_partitions=8))
+    return ray.data.from_items([{"n_triangles": int(n)}])
+
+
+def _g_pagerank_lineitem(sf_dir):
+    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.util import compact_for_join
+
+    run_dir = tempfile.mkdtemp(prefix="dpr_prli_")
+    g = build_graph(
+        _g_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    res = pagerank(g, PageRankConfig(threshold=1e-8))
+    joined = compact_for_join(res.ranks(), 4).join(
+        compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        return pa.table(
+            {"vertex": t.column("key"), "rank": pa.array(np.round(t.column("rank").to_numpy(zero_copy_only=False), 8))}
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _t_token_counts(sf_dir):
+    from distributed_pagerank_ray.functions.textstats import token_count_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(lambda t: token_count_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def _t_quality(sf_dir):
+    from distributed_pagerank_ray.functions.textstats import quality_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(lambda t: quality_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars_utf8", "n_punct", "n_digit", "n_upper"])
+    )
+
+
+def _t_fingerprint(sf_dir):
+    from distributed_pagerank_ray.functions.textstats import md5_fingerprint_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(lambda t: md5_fingerprint_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def _t_exact_dedup(sf_dir):
+    from distributed_pagerank_ray.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def _t_ngram_dup_pairs(sf_dir):
+    from distributed_pagerank_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir), k=3, threshold=0.6, num_partitions=8, mode="word"
+    )
+
+
+def _t_minhash_pairs(sf_dir):
+    from distributed_pagerank_ray.functions.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(
+        _docs(sf_dir), threshold=0.6, num_partitions=8, k=3, mode="word"
+    )
+
+
+def _t_simhash_pairs(sf_dir):
+    from distributed_pagerank_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=8)
+
+
+def _t_winnow(sf_dir):
+    from distributed_pagerank_ray.functions.textstats import winnow_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(lambda t: winnow_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "winnow_fp"])
+    )
+
+
+def _t_lang_id(sf_dir):
+    from distributed_pagerank_ray.functions.textstats import LangId
+
+    return (
+        _docs(sf_dir)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def _m_byte_meta(sf_dir):
+    from distributed_pagerank_ray.functions.multimodal import byte_features
+
+    return byte_features(_docs(sf_dir), concurrency=2).select_columns(["doc_id", "n_bytes"])
+
+
+def _e_queries(sf_dir, n_q: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(vec_ids)[:n_q]
+    embs = t.column("embedding").to_pylist()
+    q = np.array([embs[i] for i in order], dtype=np.float64)
+    return q, vec_ids[order].astype(np.int64)
+
+
+def _e_knn(sf_dir):
+    import ray.data
+
+    from distributed_pagerank_ray.functions.similarity import knn_brute_force
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _e_queries(sf_dir)
+    res = knn_brute_force(ds, q, k=10)
+
+    def remap(t: pa.Table) -> pa.Table:
+        # query_id is the row index into the query matrix; the oracle keys
+        # by the actual vec_id of the query vector
+        j = t.column("query_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[j]),
+                "neighbor_id": t.column("neighbor_id"),
+                "rnk": t.column("rnk"),
+            }
+        )
+
+    return res.map_batches(remap, batch_format="pyarrow")
+
+
+def _r_q1(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import q1_pricing
+
+    return q1_pricing(sf_dir)
+
+
+def _r_q3(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import q3_top_orders
+
+    return q3_top_orders(sf_dir)
+
+
+def _r_events_hourly(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _r_distinct_users(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import events_distinct_users
+
+    return events_distinct_users(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # graph engine (SURVEY §2.2-2.3 + north-rule algorithms)
+        "g_edges": _g_edges,
+        "g_out_degree": _g_out_degree,
+        "g_in_degree_top20": _g_in_degree_top20,
+        "g_vertex_count": _g_vertex_count,
+        "g_cc_org": _g_cc_org,
+        "g_triangles_parts": _g_triangles_parts,
+        "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only (iterative)
+        # relational surface (SURVEY §2.5)
+        "r_q1_pricing": _r_q1,
+        "r_q3_top_orders": _r_q3,
+        "r_events_hourly": _r_events_hourly,
+        "r_distinct_users": _r_distinct_users,
+        # text analysis / dedup / similarity / multimodal
+        "t_token_counts": _t_token_counts,
+        "t_quality": _t_quality,
+        "t_fingerprint_md5": _t_fingerprint,
+        "t_exact_dedup": _t_exact_dedup,
+        "t_ngram_dup_pairs": _t_ngram_dup_pairs,
+        "t_minhash_pairs": _t_minhash_pairs,  # rows-only (sketch)
+        "t_simhash_pairs": _t_simhash_pairs,  # rows-only (sketch)
+        "t_winnow_fp": _t_winnow,  # rows-only (custom hash)
+        "t_lang_id": _t_lang_id,  # rows-only (heuristic model)
+        "m_byte_meta": _m_byte_meta,
+        "e_knn": _e_knn,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_EDGES_CTE = (
+    "SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst FROM lineitem"
+)
+
+_WORD_GRAMS_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(arr) < 3 THEN array_to_string(arr, ' ')
+              ELSE arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] END AS g
+  FROM toks, UNNEST(range(1, greatest(len(arr) - 2, 1) + 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "g_edges": f"SELECT src, dst FROM ({_EDGES_CTE})",
+        "g_out_degree": f"SELECT src, count(*) AS out_degree FROM ({_EDGES_CTE}) GROUP BY src",
+        "g_in_degree_top20": (
+            f"SELECT dst, count(*) AS in_degree FROM ({_EDGES_CTE}) "
+            "GROUP BY dst ORDER BY in_degree DESC, dst LIMIT 20"
+        ),
+        "g_vertex_count": (
+            f"SELECT count(*) AS n_vertices FROM "
+            f"(SELECT src AS v FROM ({_EDGES_CTE}) UNION SELECT dst FROM ({_EDGES_CTE}))"
+        ),
+        "g_cc_org": """
+WITH RECURSIVE e AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), verts AS (
+  SELECT DISTINCT src AS id FROM sym
+), r AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT s.dst AS id, r.label FROM r JOIN sym s ON s.src = r.id
+)
+SELECT id, min(label) AS component FROM r GROUP BY id
+""",
+        "g_triangles_parts": """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT count(*) AS n_triangles
+FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+        "r_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "r_q3_top_orders": """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       min(o.o_orderdate) AS o_orderdate
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+""",
+        "r_events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "r_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+        ),
+        "t_token_counts": """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+""",
+        "t_quality": """
+SELECT doc_id,
+       length(text) AS n_chars_utf8,
+       length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+FROM documents
+""",
+        "t_fingerprint_md5": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "t_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "t_ngram_dup_pairs": f"""
+WITH {_WORD_GRAMS_CTE},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.6
+""",
+        "m_byte_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
+        "e_knn": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 10
+""",
+    }

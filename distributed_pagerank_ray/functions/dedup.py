@@ -51,6 +51,27 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(arr)
 
 
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram hashes. Words = whitespace-split of the
+    trimmed text; a doc with fewer than n words yields one shingle of
+    all its words (and an empty doc yields none) — mirrored exactly by
+    the SQL oracle. Word shingles keep bucket sizes small on vocab-
+    limited corpora where char shingles collide ubiquitously."""
+    words = (text or "").split()
+    if not words:
+        return np.zeros(0, dtype=np.uint64)
+    if len(words) < n:
+        grams: Iterable[str] = [" ".join(words)]
+    else:
+        grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    arr = np.fromiter((_stable_hash64(g) for g in grams), dtype=np.uint64)
+    return np.unique(arr)
+
+
+def shingles(text: str, k: int, mode: str) -> np.ndarray:
+    return char_shingles(text, k) if mode == "char" else word_shingles(text, k)
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup_groups(
@@ -82,12 +103,12 @@ def exact_dedup_groups(
 
 # ---------------------------------------------------------------- n-gram jaccard (exact)
 
-def _shingle_rows(ds, id_col, text_col, k):
+def _shingle_rows(ds, id_col, text_col, k, mode="char"):
     def explode(batch: pa.Table) -> pa.Table:
         ids: list[int] = []
         sh: list[int] = []
         for did, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            s = char_shingles(t, k)
+            s = shingles(t, k, mode)
             ids.extend([did] * len(s))
             sh.extend(s.astype(np.int64).tolist())
         return pa.table({"sh": pa.array(sh, _I64), "doc": pa.array(ids, _I64)})
@@ -103,14 +124,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_partitions: int = 8,
     max_df: int | None = None,
+    mode: str = "char",
 ) -> "ray.data.Dataset":
-    """Exact pairs (a, b) with a<b and char-k-gram Jaccard >= threshold.
+    """Exact pairs (a, b) with a<b and k-gram Jaccard >= threshold.
 
     Columns: (a, b, inter, size_a, size_b) — jaccard = inter /
     (size_a + size_b - inter); integers only so oracle comparison is
     exact. ``max_df=None`` keeps every shingle (exact result).
+    ``mode``: 'char' (k chars) or 'word' (k-word n-grams).
     """
-    rows = _shingle_rows(ds, id_col, text_col, k).materialize()
+    rows = _shingle_rows(ds, id_col, text_col, k, mode).materialize()
 
     # per-doc distinct shingle counts
     sizes = (
@@ -188,16 +211,17 @@ class MinHasher:
     """Stateful minhash stage (actor pool): permutation coefficients are
     generated once per actor from a fixed seed (so every actor agrees)."""
 
-    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 42, id_col: str = "doc_id", text_col: str = "text"):
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 42, id_col: str = "doc_id", text_col: str = "text", mode: str = "char"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.k = k
         self.id_col = id_col
         self.text_col = text_col
+        self.mode = mode
 
     def signature(self, text: str) -> np.ndarray:
-        sh = char_shingles(text, self.k)
+        sh = shingles(text, self.k, self.mode)
         if len(sh) == 0:
             return np.zeros(len(self.a), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -224,6 +248,7 @@ def minhash_lsh_candidates(
     k: int = 5,
     seed: int = 42,
     concurrency: int = 4,
+    mode: str = "char",
 ) -> "ray.data.Dataset":
     """Candidate near-dup pairs (a, b), a<b, distinct — docs sharing at
     least one LSH band bucket. bands=16 over 64 perms (r=4) targets
@@ -231,7 +256,7 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = ds.map_batches(
-        MinHasher(num_perm, k, seed, id_col, text_col),
+        MinHasher(num_perm, k, seed, id_col, text_col, mode),
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=1024,
@@ -291,6 +316,7 @@ def minhash_lsh_dedup_pairs(
     computed only for candidate docs, not all pairs.
     """
     k = lsh_kw.get("k", 5)
+    mode = lsh_kw.get("mode", "char")
     cand = compact_for_join(
         minhash_lsh_candidates(ds, id_col, text_col, **lsh_kw), num_partitions
     )
@@ -299,7 +325,7 @@ def minhash_lsh_dedup_pairs(
 
     # restrict shingle rows to candidate docs via semi-join (broadcastable
     # doc set would be the scale path; here an inner join keeps it exact)
-    rows = _shingle_rows(ds, id_col, text_col, k).materialize()
+    rows = _shingle_rows(ds, id_col, text_col, k, mode).materialize()
     sizes = (
         rows.groupby("doc")
         .aggregate(Count(alias_name="size"))

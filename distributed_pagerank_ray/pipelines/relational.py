@@ -1,0 +1,327 @@
+"""Relational demo pipelines over the driver's TPC-H-ish tables.
+
+These exercise the generic engine surface the reference lacks
+(SURVEY §2.5): grouped aggregation, hash joins, sort/top-k, distinct,
+set ops, scalar functions, and tumbling windows — each with an exact
+DuckDB SQL oracle (see __ray_entry__.oracle_sql). Column names match
+the SQL aliases so the driver's value-hash compare lines up.
+
+Float outputs are rounded (4dp) on BOTH sides: cross-engine float
+summation differs in the last ulp, never at 1e-4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import RunConfig
+from ..util import compact_for_join, ensure_schema
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round4(arr: np.ndarray) -> np.ndarray:
+    return np.round(arr, 4)
+
+
+# ---------------------------------------------------------------- q1 pricing
+
+def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style pricing summary (filter → partial agg per batch is
+    implicit: Ray's groupby aggregates per-block then combines)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+        keep = pc.less_equal(t.column("l_shipdate"), cutoff)
+        t = t.filter(keep)
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": t.column("l_quantity"),
+                "base": t.column("l_extendedprice"),
+                "disc": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base", alias_name="sum_base_price"),
+            Sum("disc", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], _F64),
+                    "sum_base_price": pa.array([], _F64),
+                    "sum_disc_price": pa.array([], _F64),
+                    "count_order": pa.array([], _I64),
+                }
+            )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pa.array(_round4(t.column("sum_qty").to_numpy(zero_copy_only=False))),
+                "sum_base_price": pa.array(
+                    _round4(t.column("sum_base_price").to_numpy(zero_copy_only=False))
+                ),
+                "sum_disc_price": pa.array(
+                    _round4(t.column("sum_disc_price").to_numpy(zero_copy_only=False))
+                ),
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- q3 join+topk
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> "ray.data.Dataset":
+    """customer ⋈ orders ⋈ lineitem: top-k orders by revenue for one
+    market segment. Two hash joins + one groupby + deterministic
+    sort/limit (revenue desc, orderkey asc)."""
+    P = 8
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = compact_for_join(cust, P)
+    orders = compact_for_join(orders, P)
+    co = orders.join(cust, join_type="inner", num_partitions=P, on=("o_custkey",), right_on=("c_custkey",))
+
+    def _co(t: pa.Table) -> pa.Table:
+        # o_orderdate carried as int64 epoch-us (Min aggregator + joins are
+        # int-safe); restored to timestamp in the final projection
+        if "o_orderkey" not in t.column_names:
+            return pa.table({"o_orderkey": pa.array([], _I64), "o_orderdate": pa.array([], _I64)})
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "o_orderdate": t.column("o_orderdate").cast(_I64)}
+        )
+
+    co = compact_for_join(co.map_batches(_co, batch_format="pyarrow"), P)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev": pc.multiply(
+                    t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = compact_for_join(li, P)
+    j = li.join(co, join_type="inner", num_partitions=P, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _j(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names:
+            return pa.table(
+                {"o_orderkey": pa.array([], _I64), "o_orderdate": pa.array([], _I64), "rev": pa.array([], _F64)}
+            )
+        return pa.table(
+            {"o_orderkey": t.column("l_orderkey"), "o_orderdate": t.column("o_orderdate"), "rev": t.column("rev")}
+        )
+
+    agg = (
+        j.map_batches(_j, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"), Min("o_orderdate", alias_name="o_orderdate"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "o_orderkey" not in t.column_names:
+            return pa.table(
+                {"o_orderkey": pa.array([], _I64), "revenue": pa.array([], _F64), "o_orderdate": pa.array([], pa.timestamp("us"))}
+            )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "revenue": pa.array(_round4(t.column("revenue").to_numpy(zero_copy_only=False))),
+                "o_orderdate": t.column("o_orderdate").cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        agg.map_batches(fin, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+
+    Batch engine treatment of the stream table: window key computed
+    per batch (floor to hour), then one grouped aggregate — the SQL
+    ``date_trunc('hour', ts)`` equivalent (guide: batch windows via
+    groupby on the bucketed key)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+                "value": t.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], _I64),
+                    "sum_value": pa.array([], _F64),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("window_start"),
+                "n_events": t.column("n_events"),
+                "sum_value": pa.array(_round4(t.column("sum_value").to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct users per event_type: two-level groupby (exact distinct
+    via (type,user) dedup then count — the scalable exact pattern)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            ensure_schema({"event_type": pa.string(), "user_id": _I64}), batch_format="pyarrow"
+        )
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(
+            ensure_schema({"event_type": pa.string(), "n_users": _I64}), batch_format="pyarrow"
+        )
+    )
+
+
+# ---------------------------------------------------------------- graph builders over testdata
+
+# order-vertex namespace offset: l_orderkey and l_partkey share small-int
+# key spaces; offsetting orders keeps the bipartite graph bipartite
+ORDER_BASE = 10_000_000
+
+
+def lineitem_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct (src=l_orderkey+ORDER_BASE, dst=l_partkey) edges."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.add(t.column("l_orderkey").cast(_I64), ORDER_BASE),
+                    "dst": t.column("l_partkey").cast(_I64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(ensure_schema({"src": _I64, "dst": _I64}), batch_format="pyarrow")
+    )
+
+
+def part_cooccurrence_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Undirected part co-occurrence graph: distinct (a < b) pairs of
+    parts appearing in the same order — built with a per-order
+    map_groups pair expansion + distinct (orders have a handful of
+    lines each, so groups are tiny; a hub-free projection)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy(dtype=np.int64))
+        if len(parts) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"a": parts[ia], "b": parts[ib]})
+
+    return (
+        ds.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
+    )
+
+
+# region -> nation -> supplier tri-level graph with namespaced ids:
+# region r: id = r_regionkey; nation n: id = 100 + n_nationkey;
+# supplier s: id = 1000 + s_suppkey. Small enough for a recursive-CTE
+# SQL oracle; components = regions.
+REGION_BASE, NATION_BASE, SUPP_BASE = 0, 100, 1000
+
+
+def org_edges(sf_dir: str) -> "ray.data.Dataset":
+    nations = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.add(t.column("n_regionkey").cast(_I64), REGION_BASE),
+                "dst": pc.add(t.column("n_nationkey").cast(_I64), NATION_BASE),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supps = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.add(t.column("s_nationkey").cast(_I64), NATION_BASE),
+                "dst": pc.add(t.column("s_suppkey").cast(_I64), SUPP_BASE),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return nations.union(supps)

@@ -1,0 +1,55 @@
+import json
+
+import numpy as np
+
+from distributed_pagerank_ray.config import RunConfig
+from distributed_pagerank_ray.pipelines.registry import ALGORITHMS, JobConfig, run
+from oracle.pagerank_oracle import pagerank_oracle
+
+FIXTURE = """# golden chain
+0 1
+1 2
+2 3
+3 4
+"""
+
+
+def test_run_pagerank_from_edgelist(tmp_path):
+    p = tmp_path / "chain.txt"
+    p.write_text(FIXTURE)
+    cfg = JobConfig(
+        algo="pagerank",
+        edgelist_txt=str(p),
+        run_dir=str(tmp_path / "run"),
+        run_cfg=RunConfig(num_partitions=2, shard_rows=3),
+    )
+    out = run(cfg)
+    assert out["converged"] and out["status"].startswith("Converged after")
+    _, it, _, _ = pagerank_oracle(np.array([0, 1, 2, 3]), np.array([1, 2, 3, 4]))
+    assert out["iterations"] == it
+    assert out["n_vertices"] == 5 and out["n_edges"] == 4
+    assert json.dumps(out)  # summary is JSON-able
+
+
+def test_run_cc_and_triangles(tmp_path):
+    p = tmp_path / "two.txt"
+    p.write_text("0 1\n1 0\n2 3\n3 2\n")
+    base = JobConfig(
+        algo="cc",
+        edgelist_txt=str(p),
+        run_dir=str(tmp_path / "run_cc"),
+        run_cfg=RunConfig(num_partitions=2, shard_rows=3),
+    )
+    out = run(base)
+    assert out["n_components"] == 2
+    tri = JobConfig(
+        algo="triangles",
+        edgelist_txt=str(p),
+        run_dir=str(tmp_path / "run_tri"),
+        run_cfg=RunConfig(num_partitions=2, shard_rows=3),
+    )
+    assert run(tri)["n_triangles"] == 0
+
+
+def test_algorithms_list():
+    assert set(ALGORITHMS) == {"pagerank", "cc", "lpa", "triangles"}
