@@ -79,3 +79,12 @@ class RunConfig:
     batch_size: int = 65536
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1  # iterations between durable checkpoints
+    # PageRank per-iteration combine implementation:
+    # - 'tasks' (default): gather tasks over Dataset-prepared Arrow
+    #   blocks emit per-shard partial vectors routed DIRECTLY to one
+    #   reduce task per shard (num_returns=S) — no per-iteration
+    #   AllToAll operator, ~0.2s fixed cost per iteration.
+    # - 'groupby': pure Dataset pipeline (map_batches → union →
+    #   groupby('shard') → map_groups) — same math, ~2-3s fixed
+    #   AllToAll startup per iteration in local mode.
+    combine_mode: str = "tasks"

@@ -1,33 +1,42 @@
 """Iterative PageRank as a Ray Data pipeline with checkpointed state.
 
 Per iteration (the reference's Map → Collect → Reduce → Convergence
-FSM, reference: pkg/node/master.go:21-55, collapsed into one lazy
-Dataset plan consumed by a checkpoint write):
+FSM, reference: pkg/node/master.go:21-55, collapsed into ONE lazy
+Dataset plan consumed by a tiny driver-side barrier):
 
 1. **Gather/Map** (reference workerMap, pkg/node/worker.go:95-103):
    stream the src-sorted edge table; each batch pulls only the 1-2
    rank/weight shards overlapping its src range from the object store,
    computes ``rank[src] * 1/out[src]`` vectorized, and pre-aggregates
-   per dst within the batch (the combiner the reference lacks).
+   per destination *shard* into a partial vector — dense when the
+   batch touches most of a shard, sparse (idx, val) otherwise.
 2. **Combine** (reference masterCollect, pkg/node/master.go:106-140):
-   one ``groupby('id').sum()`` shuffle over the pre-aggregated
-   contribution rows unioned with a vertices branch (id, e) and a
-   previous-ranks branch (id, old) — a join expressed as
-   union + aggregate, so the update step is shuffle-local with no
-   lookups.
+   ``groupby('shard')`` over the partial-vector rows. Because the
+   gather stage already combined per (batch, shard), this shuffle
+   moves O(batches x shards-touched) coarse blobs, NOT O(E) key rows —
+   the two-stage aggregate the guide prescribes, taken to its limit.
+   Hub destinations are just hot cells of a dense slice, so skew
+   cannot concentrate rows on one reducer.
 3. **Reduce/update** (reference workerReduce, pkg/node/worker.go:105-111):
-   ``new = c*contrib [+ c*dangling_mass/n] + (1-c)*e``; ``delta =
-   |new - old|`` computed in the same batch.
+   per shard: sum partials, ``new = c*(contrib + dangling_share) +
+   (1-c)*e``, ``delta = |new - old|`` (old rank shard read from the
+   object store), and the shard's checkpoint Parquet written in place
+   (idempotent: fixed path per shard, tmp+rename) — per-partition
+   lineage, exactly what resume needs.
 4. **Checkpoint + convergence** (reference masterConvergence,
-   pkg/node/master.go:142-189): write ranks (shard-partitioned
-   Parquet) + metrics atomically, then L1 residual = ``sum(delta)``;
-   stop when residual <= threshold (master.go:158) or the
-   100-iteration cap (pkg/graph/pagerank.go:12).
+   pkg/node/master.go:142-189): the pipeline returns one row per
+   shard (delta_sum, rank_sum); the driver's only barrier is summing
+   S scalars. Stop when L1 residual <= threshold (master.go:158) or
+   the 100-iteration cap (pkg/graph/pagerank.go:12).
 
 Final normalization once at the end (pkg/node/master.go:160-167).
 Dangling vertices contribute nothing unless
 ``semantics.dangling='redistribute'`` (reference leaks that mass,
 pkg/graph/pagerank.go:14-19).
+
+At 10^12 vertices the rank vector is sharded (8 TB total, a few MB per
+shard); each gather task emits partials only for shards its batch
+actually targets, and each reduce task touches exactly one shard.
 """
 
 from __future__ import annotations
@@ -38,38 +47,43 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import PageRankConfig, RunConfig
 from ..state import checkpoint as ckpt
-from ..state.shards import SHARD_COL, ShardedVector, add_shard_column
+from ..state.shards import SHARD_COL, ShardedVector, add_shard_column, n_shards
 from .graphbuild import GraphTables
 
+_BLOB_SCHEMA = pa.schema(
+    [("shard", pa.int64()), ("kind", pa.int8()), ("payload", pa.binary())]
+)
+KIND_DENSE, KIND_SPARSE, KIND_SEED = 0, 1, 2
 
-def _empty_update_table() -> pa.Table:
+
+def _empty_blob_table() -> pa.Table:
     return pa.table(
         {
-            "id": pa.array([], pa.int64()),
-            "contrib": pa.array([], pa.float64()),
-            "ec": pa.array([], pa.float64()),
-            "old": pa.array([], pa.float64()),
+            "shard": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int8()),
+            "payload": pa.array([], pa.binary()),
         }
     )
 
 
-def make_gather_fn(rank_vec: ShardedVector, weight_vec: ShardedVector):
-    """Contribution stage: (src,dst) batch → pre-aggregated (id, contrib).
+def make_gather_fn(rank_vec: ShardedVector, weight_vec: ShardedVector, n: int, shard_rows: int):
+    """Contribution stage: (src,dst) batch → per-shard partial vectors.
 
     Object refs are captured by closure; each task ray.gets only the
-    shards overlapping its batch's src range (zero-copy from the local
-    object store; cross-node pulls on a real cluster)."""
+    rank/weight shards overlapping its batch's src range (zero-copy
+    from the local object store; cross-node pulls on a real cluster).
+    """
 
     def gather(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return _empty_update_table()
+            return _empty_blob_table()
         src = batch.column("src").to_numpy(zero_copy_only=False)
         dst = batch.column("dst").to_numpy(zero_copy_only=False)
         lo, hi = int(src.min()), int(src.max())
@@ -78,46 +92,190 @@ def make_gather_fn(rank_vec: ShardedVector, weight_vec: ShardedVector):
         vals = ranks[src - off_r] * w[src - off_w]
         uniq, inv = np.unique(dst, return_inverse=True)
         sums = np.bincount(inv, weights=vals, minlength=len(uniq))
-        z = np.zeros(len(uniq))
+        shard_of = uniq // shard_rows
+        touched = np.unique(shard_of)
+        shards: list[int] = []
+        kinds: list[int] = []
+        payloads: list[bytes] = []
+        for s in touched:
+            a, b = np.searchsorted(shard_of, [s, s + 1])
+            local = uniq[a:b] - s * shard_rows
+            v = sums[a:b]
+            size = min(shard_rows, n - s * shard_rows)
+            shards.append(int(s))
+            if len(local) * 2 > size:
+                dense = np.zeros(size)
+                dense[local] = v
+                kinds.append(KIND_DENSE)
+                payloads.append(dense.tobytes())
+            else:
+                kinds.append(KIND_SPARSE)
+                payloads.append(local.astype(np.int64).tobytes() + v.tobytes())
         return pa.table(
-            {"id": pa.array(uniq), "contrib": pa.array(sums), "ec": pa.array(z), "old": pa.array(z)}
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "kind": pa.array(kinds, pa.int8()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
         )
 
     return gather
 
 
-def _vertices_branch(graph: GraphTables, e_vec: ShardedVector | None):
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_numpy(zero_copy_only=False)
-        if e_vec is None:
-            e = batch.column("e").to_numpy(zero_copy_only=False)
-        else:
-            lo, hi = int(ids.min()), int(ids.max())
-            off, ev = e_vec.gather_range(lo, hi)
-            e = ev[ids - off]
-        z = np.zeros(len(ids))
-        return pa.table(
-            {"id": batch.column("id"), "contrib": pa.array(z), "ec": pa.array(e), "old": pa.array(z)}
+def _seed_rows(S: int) -> "ray.data.Dataset":
+    """One empty row per shard so every shard reaches the reduce stage
+    (a shard no edge targets still needs its (1-c)*e update)."""
+    return ray.data.range(S).map_batches(
+        lambda t: pa.table(
+            {
+                "shard": t.column("id"),
+                "kind": pa.array(np.full(len(t), KIND_SEED, dtype=np.int8)),
+                "payload": pa.array([b""] * len(t), pa.binary()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def make_shard_update_fn(
+    rank_vec: ShardedVector,
+    e_vec: ShardedVector | None,
+    e_scalar: float,
+    c: float,
+    dm_share: float,
+    n: int,
+    shard_rows: int,
+    out_dir: str,
+):
+    """Reduce stage (map_groups over shard): combine partials, apply the
+    rank update, write this shard's checkpoint file, return scalars."""
+
+    def update(group: pa.Table) -> pa.Table:
+        s = int(group.column("shard")[0].as_py())
+        lo = s * shard_rows
+        size = min(shard_rows, n - lo)
+        acc = np.zeros(size)
+        kinds = group.column("kind").to_numpy(zero_copy_only=False)
+        payloads = group.column("payload").to_pylist()
+        for kind, payload in zip(kinds, payloads):
+            if kind == KIND_DENSE:
+                acc += np.frombuffer(payload, dtype=np.float64)
+            elif kind == KIND_SPARSE:
+                k = len(payload) // 16
+                local = np.frombuffer(payload[: k * 8], dtype=np.int64)
+                acc[local] += np.frombuffer(payload[k * 8 :], dtype=np.float64)
+        old = ray.get(rank_vec.refs[s])
+        e = ray.get(e_vec.refs[s]) if e_vec is not None else e_scalar
+        new = c * (acc + dm_share) + (1.0 - c) * e
+        delta = np.abs(new - old)
+        shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
+                "rank": pa.array(new),
+                "delta": pa.array(delta),
+            }
         )
-
-    return graph.vertices(columns=["id", "e"]).map_batches(fn, batch_format="pyarrow")
-
-
-def _prev_branch(ranks_path: str):
-    def fn(batch: pa.Table) -> pa.Table:
-        z = np.zeros(len(batch))
+        tmp = os.path.join(shard_dir, "part.parquet.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
         return pa.table(
             {
-                "id": batch.column("id"),
-                "contrib": pa.array(z),
-                "ec": pa.array(z),
-                "old": batch.column("rank"),
+                "shard": pa.array([s]),
+                "delta_sum": pa.array([float(delta.sum())]),
+                "rank_sum": pa.array([float(new.sum())]),
             }
         )
 
-    return ray.data.read_parquet(ranks_path, columns=["id", "rank"]).map_batches(
-        fn, batch_format="pyarrow"
+    return update
+
+
+@ray.remote
+def _gather_block(
+    block: pa.Table, rank_refs: list, weight_refs: list, n: int, shard_rows: int, S: int
+):
+    """Raw-task gather over one Arrow edge block → S per-shard partials.
+
+    With ``num_returns=S`` Ray routes each shard's partial straight to
+    that shard's reduce task — the shuffle is the object store's ref
+    routing, with no AllToAll operator startup. Payloads are
+    (kind, bytes) like the Dataset path; None for untouched shards
+    (at 10^12 scale a src-range block targets a sparse set of shards).
+    """
+    src = block.column("src").to_numpy(zero_copy_only=False)
+    dst = block.column("dst").to_numpy(zero_copy_only=False)
+    out: list = [None] * S
+    if len(src) == 0:
+        return tuple(out) if S > 1 else None
+    lo, hi = int(src.min()), int(src.max())
+    s0, s1 = lo // shard_rows, hi // shard_rows
+    ranks = np.concatenate([ray.get(r) for r in rank_refs[s0 : s1 + 1]]) if s1 > s0 else ray.get(rank_refs[s0])
+    w = np.concatenate([ray.get(r) for r in weight_refs[s0 : s1 + 1]]) if s1 > s0 else ray.get(weight_refs[s0])
+    off = s0 * shard_rows
+    vals = ranks[src - off] * w[src - off]
+    uniq, inv = np.unique(dst, return_inverse=True)
+    sums = np.bincount(inv, weights=vals, minlength=len(uniq))
+    shard_of = uniq // shard_rows
+    for s in np.unique(shard_of):
+        a, b = np.searchsorted(shard_of, [s, s + 1])
+        local = uniq[a:b] - s * shard_rows
+        v = sums[a:b]
+        size = min(shard_rows, n - s * shard_rows)
+        if len(local) * 2 > size:
+            dense = np.zeros(size)
+            dense[local] = v
+            out[int(s)] = (KIND_DENSE, dense.tobytes())
+        else:
+            out[int(s)] = (KIND_SPARSE, local.astype(np.int64).tobytes() + v.tobytes())
+    return tuple(out) if S > 1 else out[0]
+
+
+@ray.remote(num_returns=3)
+def _reduce_shard(
+    s: int,
+    old: np.ndarray,
+    e,  # np.ndarray shard or float scalar
+    c: float,
+    dm_share: float,
+    n: int,
+    shard_rows: int,
+    out_dir: str,
+    *payloads,
+):
+    """Per-shard reduce: combine partials → update → write checkpoint.
+
+    Returns (delta_sum, rank_sum, new_rank_array); the array return
+    stays in the object store as next iteration's rank shard — no
+    reload pass."""
+    lo = s * shard_rows
+    size = min(shard_rows, n - lo)
+    acc = np.zeros(size)
+    for payload in payloads:
+        if payload is None:
+            continue
+        kind, data = payload
+        if kind == KIND_DENSE:
+            acc += np.frombuffer(data, dtype=np.float64)
+        else:
+            k = len(data) // 16
+            local = np.frombuffer(data[: k * 8], dtype=np.int64)
+            acc[local] += np.frombuffer(data[k * 8 :], dtype=np.float64)
+    new = c * (acc + dm_share) + (1.0 - c) * e
+    delta = np.abs(new - old)
+    shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
+    os.makedirs(shard_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
+            "rank": pa.array(new),
+            "delta": pa.array(delta),
+        }
     )
+    tmpf = os.path.join(shard_dir, "part.parquet.tmp")
+    pq.write_table(t, tmpf)
+    os.replace(tmpf, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
+    return float(delta.sum()), float(new.sum()), new
 
 
 def _dangling_mass(rank_vec: ShardedVector, dang_vec: ShardedVector) -> float:
@@ -164,12 +322,14 @@ def pagerank(
     n, shard_rows = graph.n, graph.shard_rows
     if n == 0:
         raise ValueError("empty graph")
+    S = n_shards(n, shard_rows)
 
     e_vec = (
         ShardedVector.from_numpy(np.asarray(cfg.e_vector, dtype=np.float64), shard_rows)
         if cfg.e_vector is not None
         else None
     )
+    e_scalar = 1.0 / n
     e_sig = "" if cfg.e_vector is None else str(float(np.asarray(cfg.e_vector).sum()))
     # NB: max_iters deliberately NOT in the fingerprint — resuming a
     # partial run with a higher cap is the normal resume path.
@@ -216,64 +376,91 @@ def pagerank(
         converged = True
 
     # ---- iterate -------------------------------------------------------------
-    prev_ranks_path = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")
-    rank_vec = ShardedVector.from_parquet(prev_ranks_path, n, shard_rows, "id", "rank")
+    rank_vec = ShardedVector.from_parquet(
+        os.path.join(ckpt.iter_dir(run_dir, k), "ranks"), n, shard_rows, "id", "rank"
+    )
+    # Materialize loop-invariant inputs ONCE: the edge table lives in the
+    # object store across iterations (spilling to disk if oversized)
+    # instead of being re-read and re-planned every iteration — the
+    # Jacobi loop re-uses blocks the way the reference re-uses its
+    # in-memory graph (master.go:153-157), but distributed.
+    edges_mat = ray.data.read_parquet(graph.edges_path, columns=["src", "dst"]).materialize()
+    use_tasks = run_cfg.combine_mode == "tasks"
+    if use_tasks:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        target_blocks = max(S, min(4 * ncpu, max(1, graph.m // 65536)))
+        blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
+        seeds_mat = None
+    else:
+        blocks = None
+        seeds_mat = _seed_rows(S).materialize()
+
     while not converged and k < cfg.max_iters:
         t0 = time.time()
         dm = _dangling_mass(rank_vec, dang_vec) if dang_vec is not None else 0.0
-
-        contribs = graph.edges().map_batches(
-            make_gather_fn(rank_vec, weight_vec),
-            batch_format="pyarrow",
-            batch_size=run_cfg.batch_size,
-        )
-        combined = (
-            contribs.union(_vertices_branch(graph, e_vec), _prev_branch(prev_ranks_path))
-            .groupby("id")
-            .aggregate(
-                Sum("contrib", alias_name="contrib"),
-                Sum("ec", alias_name="ec"),
-                Sum("old", alias_name="old"),
-            )
-        )
-
-        c = cfg.c
-        dm_share = dm / n
-
-        def _update(batch: pa.Table) -> pa.Table:
-            contrib = batch.column("contrib").to_numpy(zero_copy_only=False)
-            e = batch.column("ec").to_numpy(zero_copy_only=False)
-            old = batch.column("old").to_numpy(zero_copy_only=False)
-            new = c * (contrib + dm_share) + (1.0 - c) * e
-            t = pa.table(
-                {
-                    "id": batch.column("id"),
-                    "rank": pa.array(new),
-                    "delta": pa.array(np.abs(new - old)),
-                }
-            )
-            return add_shard_column(t, "id", shard_rows)
-
         k += 1
         tmp = ckpt.begin_iter(run_dir, k)
-        combined.map_batches(_update, batch_format="pyarrow").write_parquet(
-            os.path.join(tmp, "ranks"), partition_cols=[SHARD_COL]
-        )
-        # one checkpoint read refreshes next iteration's rank shards AND
-        # piggy-backs the L1 residual (the per-iteration driver barrier is
-        # this single scalar)
-        rank_vec, residual = ShardedVector.from_parquet_with_sum(
-            os.path.join(tmp, "ranks"), n, shard_rows, "id", "rank", 0.0, "delta"
-        )
-        prev_ranks_path = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")
+        ranks_out = os.path.join(tmp, "ranks")
+        os.makedirs(ranks_out, exist_ok=True)
+
+        if use_tasks:
+            gathers = [
+                _gather_block.options(num_returns=S).remote(
+                    b, rank_vec.refs, weight_vec.refs, n, shard_rows, S
+                )
+                for b in blocks
+            ]
+            cols = [gathers] if S == 1 else [list(col) for col in zip(*gathers)]
+            outs = [
+                _reduce_shard.remote(
+                    s,
+                    rank_vec.refs[s],
+                    e_vec.refs[s] if e_vec is not None else e_scalar,
+                    cfg.c,
+                    dm / n,
+                    n,
+                    shard_rows,
+                    ranks_out,
+                    *cols[s],
+                )
+                for s in range(S)
+            ]
+            deltas = ray.get([o[0] for o in outs])  # the per-iteration barrier
+            residual = float(sum(deltas))
+            new_refs = [o[2] for o in outs]
+        else:
+            gather = make_gather_fn(rank_vec, weight_vec, n, shard_rows)
+            update = make_shard_update_fn(
+                rank_vec, e_vec, e_scalar, cfg.c, dm / n, n, shard_rows, ranks_out
+            )
+            partials = edges_mat.map_batches(
+                gather, batch_format="pyarrow", batch_size=run_cfg.batch_size
+            )
+            result_rows = (
+                partials.union(seeds_mat)
+                .groupby("shard")
+                .map_groups(update, batch_format="pyarrow")
+                .take_all()
+            )  # S tiny rows — the per-iteration driver barrier
+            residual = float(sum(r["delta_sum"] for r in result_rows))
+            new_refs = None
         metrics = {
             "iteration": k,
             "residual": residual,
             "dangling_mass": dm,
             "wall_sec": time.time() - t0,
             "edges": graph.m,
+            "shards": S,
+            "combine_mode": run_cfg.combine_mode,
         }
         ckpt.commit_iter(run_dir, k, metrics, manifest)
+        if new_refs is not None:
+            # reduce tasks' array returns ARE the next rank shards
+            rank_vec = ShardedVector(refs=new_refs, n=n, shard_rows=shard_rows)
+        else:
+            rank_vec = ShardedVector.from_parquet(
+                os.path.join(ckpt.iter_dir(run_dir, k), "ranks"), n, shard_rows, "id", "rank"
+            )
         history.append(residual)
         if residual <= cfg.threshold:  # `<=` matches master.go:158
             converged = True
@@ -283,15 +470,16 @@ def pagerank(
     final_dir = os.path.join(graph.run_dir, "final")
     os.makedirs(final_dir, exist_ok=True)
     ds = ray.data.read_parquet(last_ranks, columns=["id", "rank"])
-    if cfg.normalize:
-        total = float(ds.sum("rank"))
+    total = float(ds.sum("rank")) if cfg.normalize else 1.0
 
-        def _norm(batch: pa.Table) -> pa.Table:
-            r = batch.column("rank").to_numpy(zero_copy_only=False) / total
-            t = pa.table({"id": batch.column("id"), "rank": pa.array(r)})
-            return add_shard_column(t, "id", shard_rows)
+    def _norm(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False) / total
+        t = pa.table({"id": batch.column("id"), "rank": pa.array(r)})
+        return add_shard_column(t, "id", shard_rows)
 
-        ds = ds.map_batches(_norm, batch_format="pyarrow")
+    ds = ray.data.read_parquet(last_ranks, columns=["id", "rank"]).map_batches(
+        _norm, batch_format="pyarrow"
+    )
     out = os.path.join(final_dir, "ranks")
     if os.path.exists(out):
         import shutil
