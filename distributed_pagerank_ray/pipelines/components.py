@@ -41,6 +41,70 @@ from .graphbuild import GraphTables
 _OWN_SENTINEL = float(1 << 62)
 
 
+@ray.remote
+def _cc_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int):
+    """Per-block min-label partials per dst shard (num_returns=S routes
+    each straight to its reduce task — same shape as PageRank gather)."""
+    import numpy as np
+
+    src = block.column("src").to_numpy(zero_copy_only=False)
+    dst = block.column("dst").to_numpy(zero_copy_only=False)
+    out: list = [None] * S
+    if len(src) == 0:
+        return tuple(out) if S > 1 else None
+    lo, hi = int(src.min()), int(src.max())
+    s0, s1 = lo // shard_rows, hi // shard_rows
+    labels = (
+        np.concatenate([ray.get(r) for r in label_refs[s0 : s1 + 1]])
+        if s1 > s0
+        else ray.get(label_refs[s0])
+    )
+    vals = labels[src - s0 * shard_rows]
+    uniq, inv = np.unique(dst, return_inverse=True)
+    mins = np.full(len(uniq), np.inf)
+    np.minimum.at(mins, inv, vals)
+    shard_of = uniq // shard_rows
+    for s in np.unique(shard_of):
+        a, b = np.searchsorted(shard_of, [s, s + 1])
+        out[int(s)] = (
+            (uniq[a:b] - s * shard_rows).astype(np.int64).tobytes()
+            + mins[a:b].tobytes()
+        )
+    return tuple(out) if S > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _cc_reduce_shard(s: int, old: "np.ndarray", n: int, shard_rows: int, out_dir: str, *payloads):
+    """Min-combine partials with the shard's own labels, write checkpoint,
+    return (changed_count, new_label_array)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    lo = s * shard_rows
+    size = min(shard_rows, n - lo)
+    acc = old.copy()  # own label always a candidate
+    for payload in payloads:
+        if payload is None:
+            continue
+        k = len(payload) // 16
+        local = np.frombuffer(payload[: k * 8], dtype=np.int64)
+        np.minimum.at(acc, local, np.frombuffer(payload[k * 8 :], dtype=np.float64))
+    changed = acc != old
+    shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
+    os.makedirs(shard_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
+            "label": pa.array(acc),
+            "changed": pa.array(changed.astype(np.float64)),
+        }
+    )
+    tmp = os.path.join(shard_dir, "part.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(shard_dir, "part.parquet"))
+    return int(changed.sum()), acc
+
+
 def symmetrize_edges(graph: GraphTables) -> str:
     """Write (cached) the undirected edge table sorted by src; return path.
 
@@ -138,73 +202,35 @@ def connected_components(
     changed = int(m.get("last_changed", n))
     converged = changed == 0
 
+    # Loop-invariant inputs materialized once; iterations run as raw-task
+    # BSP over the Dataset-prepared blocks (same shape as the PageRank
+    # combine — per-shard min partials routed straight to reducers).
+    from ..state.shards import n_shards
+
+    S = n_shards(n, shard_rows)
+    if not converged:
+        sym_mat = ray.data.read_parquet(sym_path, columns=["src", "dst"]).materialize()
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        target_blocks = max(S, min(4 * ncpu, max(1, sym_mat.count() // 65536)))
+        blocks = sym_mat.repartition(target_blocks).materialize().to_arrow_refs()
+
     while not converged and k < max_iters:
         t0 = time.time()
-        lv = label_vec
-
-        def gather(batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return pa.table(
-                    {
-                        "id": pa.array([], pa.int64()),
-                        "lbl": pa.array([], pa.float64()),
-                        "own": pa.array([], pa.float64()),
-                    }
-                )
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            off, labels = lv.gather_range(int(src.min()), int(src.max()))
-            vals = labels[src - off]
-            uniq, inv = np.unique(dst, return_inverse=True)
-            mins = np.full(len(uniq), np.inf)
-            np.minimum.at(mins, inv, vals)
-            return pa.table(
-                {
-                    "id": pa.array(uniq),
-                    "lbl": pa.array(mins),
-                    "own": pa.array(np.full(len(uniq), _OWN_SENTINEL)),
-                }
-            )
-
-        def self_branch(batch: pa.Table) -> pa.Table:
-            ids = batch.column("id").to_numpy(zero_copy_only=False)
-            off, labels = lv.gather_range(int(ids.min()), int(ids.max()))
-            own = labels[ids - off]
-            return pa.table(
-                {"id": batch.column("id"), "lbl": pa.array(own), "own": pa.array(own)}
-            )
-
-        neighbor_mins = ray.data.read_parquet(sym_path, columns=["src", "dst"]).map_batches(
-            gather, batch_format="pyarrow", batch_size=run_cfg.batch_size
-        )
-        own_labels = graph.vertices(columns=["id"]).map_batches(
-            self_branch, batch_format="pyarrow"
-        )
-        combined = neighbor_mins.union(own_labels).groupby("id").aggregate(
-            Min("lbl", alias_name="lbl"), Min("own", alias_name="own")
-        )
-
-        def _update(batch: pa.Table) -> pa.Table:
-            new = batch.column("lbl").to_numpy(zero_copy_only=False)
-            old = batch.column("own").to_numpy(zero_copy_only=False)
-            t = pa.table(
-                {
-                    "id": batch.column("id"),
-                    "label": pa.array(new),
-                    "changed": pa.array((new != old).astype(np.float64)),
-                }
-            )
-            return add_shard_column(t, "id", shard_rows)
-
         k += 1
         tmp = ckpt.begin_iter(cc_dir, k)
-        combined.map_batches(_update, batch_format="pyarrow").write_parquet(
-            os.path.join(tmp, "labels"), partition_cols=[SHARD_COL]
-        )
-        label_vec, changed_f = ShardedVector.from_parquet_with_sum(
-            os.path.join(tmp, "labels"), n, shard_rows, "id", "label", 0.0, "changed"
-        )
-        changed = int(changed_f)
+        labels_out = os.path.join(tmp, "labels")
+        os.makedirs(labels_out, exist_ok=True)
+        gathers = [
+            _cc_gather_block.options(num_returns=S).remote(b, label_vec.refs, n, shard_rows, S)
+            for b in blocks
+        ]
+        cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+        outs = [
+            _cc_reduce_shard.remote(s, label_vec.refs[s], n, shard_rows, labels_out, *cols[s])
+            for s in range(S)
+        ]
+        changed = int(sum(ray.get([o[0] for o in outs])))
+        label_vec = ShardedVector(refs=[o[1] for o in outs], n=n, shard_rows=shard_rows)
         ckpt.commit_iter(
             cc_dir, k, {"iteration": k, "changed": changed, "wall_sec": time.time() - t0}, manifest
         )

@@ -16,9 +16,9 @@ def compact_for_join(ds, num_partitions: int):
     plain repartition any join would want anyway.
     """
     m = ds.materialize()
-    rows = m.count()
+    rows = m.count()  # free: metadata of the materialized dataset
     nb = max(1, min(num_partitions, rows))
-    return m.repartition(nb).materialize()
+    return m.repartition(nb)  # lazy; the consuming join executes it
 
 
 def ensure_schema(schema: dict[str, pa.DataType]):
