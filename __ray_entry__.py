@@ -222,6 +222,45 @@ def _g_pagerank_lineitem(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _g_pagerank3(sf_dir):
+    """PageRank, exactly 3 fixed iterations, uniform E, normalized —
+    SQL-oracle-checkable because the oracle unrolls the 3 iterations as
+    plain CTEs (no recursion needed). Both sides round to 6dp."""
+    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.util import compact_for_join
+
+    run_dir = tempfile.mkdtemp(prefix="dpr_pr3_")
+    g = build_graph(
+        _g_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    res = pagerank(g, PageRankConfig(threshold=0.0, max_iters=3))
+    joined = compact_for_join(res.ranks(), 4).join(
+        compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "vertex": t.column("key"),
+                "rank": pa.array(np.round(t.column("rank").to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def _r_events_sessions(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import events_sessions
+
+    return events_sessions(sf_dir)
+
+
 def _t_token_counts(sf_dir):
     from distributed_pagerank_ray.functions.textstats import token_count_batch
 
@@ -375,10 +414,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_cc_org": _g_cc_org,
         "g_triangles_parts": _g_triangles_parts,
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only (iterative)
+        "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,
         "r_events_hourly": _r_events_hourly,
+        "r_events_sessions": _r_events_sessions,
         "r_distinct_users": _r_distinct_users,
         # text analysis / dedup / similarity / multimodal
         "t_token_counts": _t_token_counts,
@@ -454,6 +495,51 @@ WITH pairs AS (
 )
 SELECT count(*) AS n_triangles
 FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+        "g_pagerank3_lineitem": """
+WITH edges AS (SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst FROM lineitem),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+r1 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r0.r / outdeg.d) AS contrib
+    FROM edges e JOIN r0 ON r0.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+r2 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r1.r / outdeg.d) AS contrib
+    FROM edges e JOIN r1 ON r1.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+r3 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r2.r / outdeg.d) AS contrib
+    FROM edges e JOIN r2 ON r2.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+)
+SELECT v AS vertex, round(r / (SELECT sum(r) FROM r3), 6) AS "rank" FROM r3
+""",
+        "r_events_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
 """,
         "r_q1_pricing": """
 SELECT l_returnflag, l_linestatus,

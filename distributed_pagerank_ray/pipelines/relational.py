@@ -228,6 +228,44 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows per user: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``. Stream-shaped operator
+    done batch-style (guide: partition by key, sort by ts within the
+    group, window with pandas inside map_groups). Output:
+    (user_id, session_start, n_events)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session)
+        out = (
+            pd.DataFrame({"sid": sid, "ts": ts})
+            .groupby("sid")
+            .agg(session_start=("ts", "min"), n_events=("ts", "size"))
+            .reset_index(drop=True)
+        )
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {"user_id": _I64, "session_start": pa.timestamp("us"), "n_events": _I64}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     """Distinct users per event_type: two-level groupby (exact distinct
     via (type,user) dedup then count — the scalable exact pattern)."""
