@@ -312,24 +312,40 @@ def lineitem_edges(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def part_cooccurrence_edges(sf_dir: str) -> "ray.data.Dataset":
+def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
     """Undirected part co-occurrence graph: distinct (a < b) pairs of
-    parts appearing in the same order — built with a per-order
-    map_groups pair expansion + distinct (orders have a handful of
-    lines each, so groups are tiny; a hub-free projection)."""
+    parts appearing in the same order — a vectorized hash self-join on
+    the order key (per-group python expansion is 150k calls at sf0.1;
+    the join is two scans + one shuffle)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    left = compact_for_join(
+        ds.map_batches(
+            lambda t: pa.table({"k": t.column("l_orderkey"), "a": t.column("l_partkey")}),
+            batch_format="pyarrow",
+        ),
+        num_partitions,
+    )
+    right = compact_for_join(
+        ds.map_batches(
+            lambda t: pa.table({"k2": t.column("l_orderkey"), "b": t.column("l_partkey")}),
+            batch_format="pyarrow",
+        ),
+        num_partitions,
+    )
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions, on=("k",), right_on=("k2",)
+    )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["l_partkey"].to_numpy(dtype=np.int64))
-        if len(parts) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"a": parts[ia], "b": parts[ib]})
+    def keep(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names:
+            return pa.table({"a": pa.array([], _I64), "b": pa.array([], _I64)})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
 
     return (
-        ds.groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pandas")
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
+        joined.map_batches(keep, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")

@@ -57,6 +57,23 @@ def test_manifest_metrics(tmp_path, golden_graphs):
     assert "wall_sec" in metrics and "edges" in metrics
 
 
+def test_cc_resume(tmp_path, golden_graphs):
+    from distributed_pagerank_ray.pipelines.components import connected_components
+
+    g = _graph(tmp_path, golden_graphs, "tri_bridge", "cc_resume")
+    partial = connected_components(g, max_iters=1)
+    assert not partial.converged
+    resumed = connected_components(g, max_iters=100)
+    assert resumed.converged
+    from oracle.graph_oracle import cc_oracle
+
+    src, dst = golden_graphs["tri_bridge"]
+    assert np.array_equal(resumed.labels_numpy(), cc_oracle(src, dst, n=g.n))
+    # fully-converged re-entry is a no-op returning the same labels
+    again = connected_components(g, max_iters=100)
+    assert again.converged and again.iterations == resumed.iterations
+
+
 def test_config_change_invalidates_resume(tmp_path, golden_graphs):
     g = _graph(tmp_path, golden_graphs, "cycle4", "inval")
     r1 = pagerank(g, PageRankConfig(c=0.85))

@@ -1,0 +1,34 @@
+import numpy as np
+
+import ray.data
+
+from distributed_pagerank_ray.functions.sketches import HLL, _hash64, approx_distinct
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    vals_a = [f"u{i}" for i in range(5000)]
+    vals_b = [f"u{i}" for i in range(2500, 7500)]  # 50% overlap
+    a = HLL().add_hashes(_hash64(vals_a))
+    b = HLL().add_hashes(_hash64(vals_b))
+    est_a = a.estimate()
+    assert abs(est_a - 5000) / 5000 < 0.05
+    merged = a.merge(b)
+    assert abs(merged.estimate() - 7500) / 7500 < 0.05
+
+
+def test_approx_distinct_dataset():
+    ds = ray.data.range(20000).map_batches(
+        lambda t: {"user": (t["id"] % 3000).astype(np.int64)}, batch_format="numpy"
+    )
+    est = approx_distinct(ds, "user")
+    assert abs(est - 3000) / 3000 < 0.05
+
+
+def test_deterministic():
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id"])
+    e1 = approx_distinct(ds, "user_id")
+    e2 = approx_distinct(ds, "user_id")
+    assert e1 == e2
+    exact = len(set(r["user_id"] for r in ds.take_all()))
+    assert abs(e1 - exact) / exact < 0.06

@@ -31,3 +31,17 @@ def test_random_graph_matches_bruteforce():
     want = triangle_oracle(src, dst)
     got = triangle_count(_edges_ds(src, dst), RunConfig(num_partitions=4))
     assert got == want and want > 0
+
+
+def test_join_path_matches_broadcast_path():
+    """broadcast_threshold=0 forces the hash-join scale path; both
+    implementations must agree exactly."""
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    want = triangle_oracle(src, dst)
+    got_join = triangle_count(
+        _edges_ds(src, dst), RunConfig(num_partitions=4), broadcast_threshold=0
+    )
+    got_bcast = triangle_count(_edges_ds(src, dst), RunConfig(num_partitions=4))
+    assert got_join == got_bcast == want
