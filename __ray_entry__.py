@@ -404,6 +404,44 @@ def _r_distinct_users(sf_dir):
     return events_distinct_users(sf_dir)
 
 
+def _r_events_props_sum(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import events_props_sum
+
+    return events_props_sum(sf_dir)
+
+
+def _r_semi_join(sf_dir):
+    """Semi-join: lineitem rows whose order is URGENT — broadcast key-set
+    filter (no shuffle), then aggregate. Demonstrates semi/anti joins."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from distributed_pagerank_ray.util import ensure_schema, semi_join_filter
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    keys = [
+        k.as_py()
+        for k, p in zip(orders.column("o_orderkey"), orders.column("o_orderpriority"))
+        if p.as_py() == "1-URGENT"
+    ]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    filtered = semi_join_filter(li, "l_orderkey", keys, keep=True)
+    return (
+        filtered.groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_lines"))
+        .map_batches(
+            ensure_schema(
+                {"l_orderkey": pa.int64(), "sum_qty": pa.float64(), "n_lines": pa.int64()}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph engine (SURVEY §2.2-2.3 + north-rule algorithms)
@@ -421,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_hourly": _r_events_hourly,
         "r_events_sessions": _r_events_sessions,
         "r_distinct_users": _r_distinct_users,
+        "r_events_props_sum": _r_events_props_sum,
+        "r_urgent_semi_join": _r_semi_join,
         # text analysis / dedup / similarity / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
@@ -568,6 +608,17 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
         "r_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
         ),
+        "r_events_props_sum": """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "r_urgent_semi_join": """
+SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_lines
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_orderkey
+""",
         "t_token_counts": """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0

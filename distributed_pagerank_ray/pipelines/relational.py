@@ -266,6 +266,33 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
+def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
+    """JSON scalar extraction: parse ``props`` ('{"k": int}'), sum k per
+    event_type. Per-batch json.loads (stdlib) — a stand-in for any
+    row-wise scalar UDF; the SQL oracle uses DuckDB's JSON functions."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (_json.loads(p or "{}").get("k", 0) for p in t.column("props").to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return pa.table({"event_type": t.column("event_type"), "k": pa.array(ks)})
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+        .map_batches(
+            ensure_schema({"event_type": pa.string(), "sum_k": _I64, "n": _I64}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
     """Distinct users per event_type: two-level groupby (exact distinct
     via (type,user) dedup then count — the scalable exact pattern)."""

@@ -21,6 +21,31 @@ def compact_for_join(ds, num_partitions: int):
     return m.repartition(nb)  # lazy; the consuming join executes it
 
 
+def semi_join_filter(ds, col: str, keys, keep: bool = True):
+    """Semi (keep=True) / anti (keep=False) join against a small key set:
+    broadcast the keys once via ray.put, filter inside map_batches —
+    no shuffle (guide's semi/anti-join pattern; a Bloom filter swaps in
+    for the exact set at larger key counts)."""
+    import numpy as np
+
+    import ray
+
+    arr = np.sort(np.asarray(list(keys)))
+    ref = ray.put(arr)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return t
+        ks = ray.get(ref)
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, vals)
+        idx[idx >= len(ks)] = len(ks) - 1 if len(ks) else 0
+        present = (ks[idx] == vals) if len(ks) else np.zeros(len(vals), dtype=bool)
+        return t.filter(pa.array(present if keep else ~present))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def ensure_schema(schema: dict[str, pa.DataType]):
     """map_batches fn that re-asserts a fixed schema on every block.
 
