@@ -30,18 +30,101 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..config import RunConfig
 from ..state import checkpoint as ckpt
 from ..state.shards import SHARD_COL, ShardedVector, add_shard_column
 from .components import symmetrize_edges
 from .graphbuild import GraphTables
+
+
+@ray.remote
+def _lpa_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int):
+    """Per-block (dst, neighbor-label) counts, pre-aggregated and split
+    per dst shard; payload = concat of (local_dst, label, count) int64
+    arrays. Packed (dst,label) keys require n < 2**31 (module note)."""
+    src = block.column("src").to_numpy(zero_copy_only=False)
+    dst = block.column("dst").to_numpy(zero_copy_only=False)
+    out: list = [None] * S
+    if len(src) == 0:
+        return tuple(out) if S > 1 else None
+    lo, hi = int(src.min()), int(src.max())
+    s0, s1 = lo // shard_rows, hi // shard_rows
+    labels = (
+        np.concatenate([ray.get(r) for r in label_refs[s0 : s1 + 1]])
+        if s1 > s0
+        else ray.get(label_refs[s0])
+    )
+    lbl = labels[src - s0 * shard_rows].astype(np.int64)
+    pack = np.int64(n) + 1
+    key = dst * pack + lbl
+    uniq, counts = np.unique(key, return_counts=True)
+    u_dst = uniq // pack
+    u_lbl = uniq % pack
+    shard_of = u_dst // shard_rows
+    for s in np.unique(shard_of):
+        a, b = np.searchsorted(shard_of, [s, s + 1])
+        local = (u_dst[a:b] - s * shard_rows).astype(np.int64)
+        out[int(s)] = (
+            local.tobytes() + u_lbl[a:b].astype(np.int64).tobytes() + counts[a:b].astype(np.int64).tobytes()
+        )
+    return tuple(out) if S > 1 else out[0]
+
+
+@ray.remote(num_returns=2)
+def _lpa_reduce_shard(s: int, old: "np.ndarray", n: int, shard_rows: int, out_dir: str, *payloads):
+    """Merge (local, label, count) partials; per vertex adopt the most
+    frequent neighbor label (ties → smallest label); no neighbors →
+    keep own label. Writes the shard checkpoint, returns
+    (changed_count, new_label_array)."""
+    import pyarrow.parquet as pq
+
+    lo = s * shard_rows
+    size = min(shard_rows, n - lo)
+    locals_list, lbls_list, cnts_list = [], [], []
+    for payload in payloads:
+        if payload is None:
+            continue
+        k = len(payload) // 24
+        locals_list.append(np.frombuffer(payload[: k * 8], dtype=np.int64))
+        lbls_list.append(np.frombuffer(payload[k * 8 : 2 * k * 8], dtype=np.int64))
+        cnts_list.append(np.frombuffer(payload[2 * k * 8 :], dtype=np.int64))
+    new = old.copy()
+    if locals_list:
+        loc = np.concatenate(locals_list)
+        lab = np.concatenate(lbls_list)
+        cnt = np.concatenate(cnts_list)
+        pack = np.int64(n) + 1
+        key = loc * pack + lab
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt.astype(np.float64), minlength=len(uniq)).astype(np.int64)
+        u_loc = uniq // pack
+        u_lab = uniq % pack
+        # winner per local: sort by (local asc, count desc, label asc)
+        order = np.lexsort((u_lab, -tot, u_loc))
+        sl = u_loc[order]
+        first = np.unique(sl, return_index=True)[1]
+        win_loc = sl[first]
+        win_lab = u_lab[order][first]
+        new[win_loc] = win_lab.astype(np.float64)
+    changed = new != old
+    shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
+    os.makedirs(shard_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
+            "label": pa.array(new),
+            "changed": pa.array(changed.astype(np.float64)),
+        }
+    )
+    tmp = os.path.join(shard_dir, "part.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(shard_dir, "part.parquet"))
+    return int(changed.sum()), new
 
 
 @dataclass
@@ -108,84 +191,34 @@ def label_propagation(
     changed = int(m.get("last_changed", n))
     converged = changed == 0
 
+    # Same raw-task BSP shape as PageRank/CC (per-shard label-count
+    # partials routed via num_returns); loop-invariants materialized once.
+    from ..state.shards import n_shards
+
+    S = n_shards(n, shard_rows)
+    if not converged:
+        sym_mat = ray.data.read_parquet(sym_path, columns=["src", "dst"]).materialize()
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        target_blocks = max(S, min(4 * ncpu, max(1, sym_mat.count() // 65536)))
+        blocks = sym_mat.repartition(target_blocks).materialize().to_arrow_refs()
+
     while not converged and k < max_iters:
         t0 = time.time()
-        lv = label_vec
-        pack = np.int64(n) + 1
-
-        def gather(batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return pa.table(
-                    {
-                        "id": pa.array([], pa.int64()),
-                        "lbl": pa.array([], pa.int64()),
-                        "cnt": pa.array([], pa.float64()),
-                        "own": pa.array([], pa.float64()),
-                    }
-                )
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            off, labels = lv.gather_range(int(src.min()), int(src.max()))
-            lbl = labels[src - off].astype(np.int64)
-            key = dst * pack + lbl  # safe: n < 2**31
-            uniq, inv = np.unique(key, return_inverse=True)
-            cnt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
-            return pa.table(
-                {
-                    "id": pa.array(uniq // pack),
-                    "lbl": pa.array(uniq % pack),
-                    "cnt": pa.array(cnt),
-                    "own": pa.array(np.zeros(len(uniq))),
-                }
-            )
-
-        def self_branch(batch: pa.Table) -> pa.Table:
-            ids = batch.column("id").to_numpy(zero_copy_only=False)
-            off, labels = lv.gather_range(int(ids.min()), int(ids.max()))
-            own = labels[ids - off].astype(np.int64)
-            z = np.zeros(len(ids))
-            return pa.table(
-                {
-                    "id": batch.column("id"),
-                    "lbl": pa.array(own),
-                    "cnt": pa.array(z),
-                    "own": pa.array(np.ones(len(ids))),
-                }
-            )
-
-        counts = (
-            ray.data.read_parquet(sym_path, columns=["src", "dst"])
-            .map_batches(gather, batch_format="pyarrow", batch_size=run_cfg.batch_size)
-            .union(graph.vertices(columns=["id"]).map_batches(self_branch, batch_format="pyarrow"))
-            .groupby(["id", "lbl"])
-            .aggregate(Sum("cnt", alias_name="cnt"), Sum("own", alias_name="own"))
-        )
-
-        def pick(group: pd.DataFrame) -> pd.DataFrame:
-            # argmax count, tie -> smallest label (deterministic)
-            g = group.sort_values(["cnt", "lbl"], ascending=[False, True])
-            new = int(g.iloc[0]["lbl"])
-            own_rows = group[group["own"] > 0]
-            old = int(own_rows.iloc[0]["lbl"]) if len(own_rows) else new
-            vid = int(group.iloc[0]["id"])
-            return pd.DataFrame(
-                {
-                    "id": [vid],
-                    "label": [float(new)],
-                    "changed": [float(new != old)],
-                    SHARD_COL: [vid // shard_rows],
-                }
-            )
-
         k += 1
         tmp = ckpt.begin_iter(lpa_dir, k)
-        counts.groupby("id").map_groups(pick, batch_format="pandas").write_parquet(
-            os.path.join(tmp, "labels"), partition_cols=[SHARD_COL]
-        )
-        label_vec, changed_f = ShardedVector.from_parquet_with_sum(
-            os.path.join(tmp, "labels"), n, shard_rows, "id", "label", 0.0, "changed"
-        )
-        changed = int(changed_f)
+        labels_out = os.path.join(tmp, "labels")
+        os.makedirs(labels_out, exist_ok=True)
+        gathers = [
+            _lpa_gather_block.options(num_returns=S).remote(b, label_vec.refs, n, shard_rows, S)
+            for b in blocks
+        ]
+        cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+        outs = [
+            _lpa_reduce_shard.remote(s, label_vec.refs[s], n, shard_rows, labels_out, *cols[s])
+            for s in range(S)
+        ]
+        changed = int(sum(ray.get([o[0] for o in outs])))
+        label_vec = ShardedVector(refs=[o[1] for o in outs], n=n, shard_rows=shard_rows)
         ckpt.commit_iter(
             lpa_dir, k, {"iteration": k, "changed": changed, "wall_sec": time.time() - t0}, manifest
         )
