@@ -7,15 +7,17 @@ smallest label; a vertex with no neighbors keeps its own label.
 Synchronous LPA can oscillate, so the loop caps at ``max_iters``
 (default 20) in addition to the no-change fixpoint.
 
-Execution per iteration:
-1. gather stage over the symmetrized src-sorted edges: pull label
-   shards for the batch's src range, pre-aggregate counts per
-   (dst, label) within the batch (combiner),
-2. ``groupby(['id','lbl']).sum('cnt')`` shuffle — global counts,
-3. ``groupby('id').map_groups`` — argmax with deterministic
-   tie-break; the vertex's own label rides along as a zero-count row
-   flagged ``own=1`` (so "keep own label when isolated" and changed
-   detection need no extra join).
+Execution per iteration (same per-shard BSP as PageRank/CC):
+1. gather tasks over the symmetrized src-sorted edge blocks pull the
+   label shards for their src range and pre-aggregate (dst, label)
+   counts per destination shard (the combiner),
+2. ``num_returns=S`` routes each shard's partials straight to that
+   shard's reduce task — no AllToAll operator,
+3. the reducer merges counts (packed-key np.unique) and picks each
+   vertex's winner by (count desc, label asc) with one lexsort;
+   vertices with no neighbors keep their own label; the shard's
+   checkpoint is written in place and changed-counts return as
+   scalars.
 
 NOTE on the combined-count key: per-batch pre-aggregation uses
 ``np.unique`` over a packed (dst, label) int64 key — valid while

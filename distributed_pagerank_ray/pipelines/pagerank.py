@@ -231,6 +231,21 @@ def _gather_block(
     return tuple(out) if S > 1 else out[0]
 
 
+def _write_rank_shard(s: int, lo: int, new: np.ndarray, delta: np.ndarray, out_dir: str) -> None:
+    shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
+    os.makedirs(shard_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(lo, lo + len(new), dtype=np.int64)),
+            "rank": pa.array(new),
+            "delta": pa.array(delta),
+        }
+    )
+    tmpf = os.path.join(shard_dir, "part.parquet.tmp")
+    pq.write_table(t, tmpf)
+    os.replace(tmpf, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
+
+
 @ray.remote(num_returns=3)
 def _reduce_shard(
     s: int,
@@ -240,14 +255,18 @@ def _reduce_shard(
     dm_share: float,
     n: int,
     shard_rows: int,
-    out_dir: str,
+    out_dir,  # str -> durable checkpoint written; None -> in-memory only
     *payloads,
 ):
-    """Per-shard reduce: combine partials → update → write checkpoint.
+    """Per-shard reduce: combine partials → update → (optionally) write
+    the durable checkpoint shard.
 
     Returns (delta_sum, rank_sum, new_rank_array); the array return
     stays in the object store as next iteration's rank shard — no
-    reload pass."""
+    reload pass. ``out_dir=None`` skips the Parquet write (intermediate
+    iterations under checkpoint_every > 1: at 10^12 vertices a full
+    vector write per iteration is tens of TB — durability cadence is a
+    knob)."""
     lo = s * shard_rows
     size = min(shard_rows, n - lo)
     acc = np.zeros(size)
@@ -263,19 +282,17 @@ def _reduce_shard(
             acc[local] += np.frombuffer(data[k * 8 :], dtype=np.float64)
     new = c * (acc + dm_share) + (1.0 - c) * e
     delta = np.abs(new - old)
-    shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
-    os.makedirs(shard_dir, exist_ok=True)
-    t = pa.table(
-        {
-            "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
-            "rank": pa.array(new),
-            "delta": pa.array(delta),
-        }
-    )
-    tmpf = os.path.join(shard_dir, "part.parquet.tmp")
-    pq.write_table(t, tmpf)
-    os.replace(tmpf, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
+    if out_dir is not None:
+        _write_rank_shard(s, lo, new, delta, out_dir)
     return float(delta.sum()), float(new.sum()), new
+
+
+@ray.remote
+def _flush_shard(s: int, shard_rows: int, arr: np.ndarray, out_dir: str) -> int:
+    """Persist an in-memory rank shard (used when the loop ends on a
+    non-durable iteration)."""
+    _write_rank_shard(s, s * shard_rows, arr, np.zeros(len(arr)), out_dir)
+    return len(arr)
 
 
 def _dangling_mass(rank_vec: ShardedVector, dang_vec: ShardedVector) -> float:
@@ -395,13 +412,21 @@ def pagerank(
         blocks = None
         seeds_mat = _seed_rows(S).materialize()
 
+    pending_residuals: list[float] = []
     while not converged and k < cfg.max_iters:
         t0 = time.time()
         dm = _dangling_mass(rank_vec, dang_vec) if dang_vec is not None else 0.0
         k += 1
-        tmp = ckpt.begin_iter(run_dir, k)
-        ranks_out = os.path.join(tmp, "ranks")
-        os.makedirs(ranks_out, exist_ok=True)
+        # durability cadence: intermediate iterations keep state only in
+        # the object store; every checkpoint_every-th (and the groupby
+        # path always) writes the durable Parquet + manifest
+        durable = (not use_tasks) or (k % max(1, run_cfg.checkpoint_every) == 0)
+        if durable:
+            tmp = ckpt.begin_iter(run_dir, k)
+            ranks_out = os.path.join(tmp, "ranks")
+            os.makedirs(ranks_out, exist_ok=True)
+        else:
+            ranks_out = None
 
         if use_tasks:
             gathers = [
@@ -444,16 +469,20 @@ def pagerank(
             )  # S tiny rows — the per-iteration driver barrier
             residual = float(sum(r["delta_sum"] for r in result_rows))
             new_refs = None
-        metrics = {
-            "iteration": k,
-            "residual": residual,
-            "dangling_mass": dm,
-            "wall_sec": time.time() - t0,
-            "edges": graph.m,
-            "shards": S,
-            "combine_mode": run_cfg.combine_mode,
-        }
-        ckpt.commit_iter(run_dir, k, metrics, manifest)
+        pending_residuals.append(residual)
+        if durable:
+            metrics = {
+                "iteration": k,
+                "residual": residual,
+                "dangling_mass": dm,
+                "wall_sec": time.time() - t0,
+                "edges": graph.m,
+                "shards": S,
+                "combine_mode": run_cfg.combine_mode,
+                "residuals_since_prev_ckpt": pending_residuals,
+            }
+            ckpt.commit_iter(run_dir, k, metrics, manifest)
+            pending_residuals = []
         if new_refs is not None:
             # reduce tasks' array returns ARE the next rank shards
             rank_vec = ShardedVector(refs=new_refs, n=n, shard_rows=shard_rows)
@@ -464,6 +493,30 @@ def pagerank(
         history.append(residual)
         if residual <= cfg.threshold:  # `<=` matches master.go:158
             converged = True
+
+    # flush: if the loop ended on a non-durable iteration, persist the
+    # in-memory shards so the final stage (and any resume) has iter k
+    if not os.path.isdir(os.path.join(ckpt.iter_dir(run_dir, k), "ranks")):
+        tmp = ckpt.begin_iter(run_dir, k)
+        ranks_out = os.path.join(tmp, "ranks")
+        os.makedirs(ranks_out, exist_ok=True)
+        ray.get(
+            [
+                _flush_shard.remote(s, shard_rows, rank_vec.refs[s], ranks_out)
+                for s in range(S)
+            ]
+        )
+        ckpt.commit_iter(
+            run_dir,
+            k,
+            {
+                "iteration": k,
+                "residual": residual,
+                "flushed": True,
+                "residuals_since_prev_ckpt": pending_residuals,
+            },
+            manifest,
+        )
 
     # ---- final normalization (master.go:160-167) -----------------------------
     last_ranks = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")

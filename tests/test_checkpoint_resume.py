@@ -57,6 +57,38 @@ def test_manifest_metrics(tmp_path, golden_graphs):
     assert "wall_sec" in metrics and "edges" in metrics
 
 
+def test_checkpoint_every_cadence(tmp_path, golden_graphs):
+    """checkpoint_every=3: intermediate iterations live only in the
+    object store; durable dirs land every 3rd iteration plus a final
+    flush; results identical to per-iteration checkpointing."""
+    import os
+
+    src, dst = golden_graphs["tri_bridge"]
+    g1 = _graph(tmp_path, golden_graphs, "tri_bridge", "every1")
+    r1 = pagerank(g1, PageRankConfig())
+
+    ds = ray.data.from_items([{"src": int(a), "dst": int(b)} for a, b in zip(src, dst)])
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    g3 = build_graph(
+        ds,
+        str(tmp_path / "every3"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=2, shard_rows=3, checkpoint_every=3),
+    )
+    r3 = pagerank(g3, PageRankConfig(), RunConfig(shard_rows=3, checkpoint_every=3))
+    assert np.array_equal(r1.ranks_numpy(), r3.ranks_numpy())
+    assert r1.iterations == r3.iterations
+    iter_dirs = sorted(d for d in os.listdir(g3.run_dir) if d.startswith("iter_"))
+    # far fewer durable checkpoints than iterations (init + every 3rd + flush)
+    assert len(iter_dirs) < r3.iterations
+    # resume from the sparse checkpoints still completes and agrees
+    again = pagerank(g3, PageRankConfig(), RunConfig(shard_rows=3, checkpoint_every=3))
+    assert np.array_equal(again.ranks_numpy(), r1.ranks_numpy())
+
+
 def test_cc_resume(tmp_path, golden_graphs):
     from distributed_pagerank_ray.pipelines.components import connected_components
 
