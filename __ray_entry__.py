@@ -380,6 +380,71 @@ def _e_knn(sf_dir):
     return res.map_batches(remap, batch_format="pyarrow")
 
 
+def _e_dup_pairs(sf_dir):
+    import ray.data
+
+    from distributed_pagerank_ray.functions.similarity import embedding_dup_pairs_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs_exact(ds, threshold=0.45).select_columns(["a", "b"])
+
+
+def _e_approx_users(sf_dir):
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sketches import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return ray.data.from_items([{"approx_users": float(round(est, 1))}])
+
+
+def _r_events_stats(sf_dir):
+    import pyarrow.compute  # noqa: F401
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Mean("value", alias_name="avg_value"),
+        Max("value", alias_name="max_value"),
+        Min("value", alias_name="min_value"),
+        Count(alias_name="n"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "avg_value": pa.array([], pa.float64()),
+                    "max_value": pa.array([], pa.float64()),
+                    "min_value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "avg_value": pa.array(
+                    np.round(t.column("avg_value").to_numpy(zero_copy_only=False), 4)
+                ),
+                "max_value": pa.array(
+                    np.round(t.column("max_value").to_numpy(zero_copy_only=False), 4)
+                ),
+                "min_value": pa.array(
+                    np.round(t.column("min_value").to_numpy(zero_copy_only=False), 4)
+                ),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def _r_q1(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import q1_pricing
 
@@ -473,6 +538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_id": _t_lang_id,  # rows-only (heuristic model)
         "m_byte_meta": _m_byte_meta,
         "e_knn": _e_knn,
+        "e_dup_pairs": _e_dup_pairs,
+        "e_approx_users": _e_approx_users,  # rows-only (sketch estimate)
+        "r_events_stats": _r_events_stats,
     }
 
 
@@ -649,6 +717,17 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.6
 """,
         "m_byte_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
+        "e_dup_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""",
+        "r_events_stats": """
+SELECT event_type, round(avg(value), 4) AS avg_value,
+       round(max(value), 4) AS max_value, round(min(value), 4) AS min_value,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
         "e_knn": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5

@@ -199,6 +199,55 @@ def knn_lsh(
     )
 
 
+def embedding_dup_pairs_exact(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """EXACT embedding near-dup pairs (a < b, cosine >= threshold):
+    broadcast the full normalized matrix once, each batch computes its
+    rows' similarities against everything at or after it. Right for
+    small/medium collections (the broadcast side must fit memory);
+    ``embedding_dup_pairs`` (LSH-bucketed) is the scale path."""
+    rows = []
+    ids_all: list[int] = []
+    for b in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        rows.append(_batch_matrix(b, emb_col))
+        ids_all.extend(b.column(id_col).to_pylist())
+    m = _normalize(np.concatenate(rows))
+    order = np.argsort(np.asarray(ids_all))
+    ids_sorted = np.asarray(ids_all)[order]
+    m = m[order]
+    ref = ray.put((ids_sorted, m))
+    thr = threshold
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, mat = ray.get(ref)
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(all_ids, bids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_s: list[float] = []
+        for p in pos:
+            if p + 1 >= len(all_ids):
+                continue
+            sims = mat[p + 1 :] @ mat[p]
+            hit = np.nonzero(sims >= thr)[0]
+            out_a.extend([int(all_ids[p])] * len(hit))
+            out_b.extend(all_ids[p + 1 + hit].tolist())
+            out_s.extend(sims[hit].tolist())
+        return pa.table(
+            {
+                "a": pa.array(out_a, _I64),
+                "b": pa.array(out_b, _I64),
+                "sim": pa.array(out_s, _F64),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
