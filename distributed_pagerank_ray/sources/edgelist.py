@@ -73,5 +73,18 @@ def _parse_batch(batch: pa.Table) -> pa.Table:
 
 
 def read_edgelist(path: str) -> "ray.data.Dataset":
-    """Edge-list file(s) → Dataset(src: int64, dst: int64), duplicates kept."""
+    """Edge-list source → Dataset(src: int64, dst: int64), duplicates kept.
+
+    Accepts a local path/dir (streamed via ray.data.read_text) or an
+    http(s) URL — the reference GETs the whole body into memory
+    (pkg/graph/graph.go:16-33); we mirror that for URLs (edge lists
+    small enough to serve over HTTP fit in one fetch) and stream
+    everything else.
+    """
+    if path.startswith("http://") or path.startswith("https://"):
+        import urllib.request
+
+        with urllib.request.urlopen(path) as resp:  # noqa: S310 - explicit user URL
+            body = resp.read().decode("utf-8")
+        return ray.data.from_arrow(parse_lines(body.splitlines()))
     return ray.data.read_text(path).map_batches(_parse_batch, batch_format="pyarrow")

@@ -37,6 +37,27 @@ def test_parse_lines_duplicates_kept():
     assert t.column("dst").to_pylist() == [1, 2, 0, 3, 1]
 
 
+def test_read_edgelist_http(monkeypatch):
+    """URL branch (reference LoadGraphResource GET path) — fetched body
+    parsed with the same strict rules; network stubbed."""
+    import io
+    import urllib.request
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda url: FakeResp(FIXTURE.encode("utf-8"))
+    )
+    ds = read_edgelist("https://example.test/graph.txt")
+    rows = sorted((r["src"], r["dst"]) for r in ds.take_all())
+    assert rows == [(0, 1), (0, 1), (1, 2), (2, 0), (3, 3)]
+
+
 def test_read_edgelist(tmp_path):
     p = tmp_path / "g.txt"
     p.write_text(FIXTURE)

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) over the PURE kernels — parser,
+shingles, fingerprints, sketches, and the numpy oracle's invariants.
+No Ray in the loop, so hundreds of examples stay cheap."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from distributed_pagerank_ray.functions.dedup import char_shingles, word_shingles
+from distributed_pagerank_ray.functions.sketches import HLL, _hash64
+from distributed_pagerank_ray.functions.textstats import winnow_fingerprint
+from distributed_pagerank_ray.sources.edgelist import parse_line
+from oracle.pagerank_oracle import pagerank_oracle
+
+TEXT = st.text(alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=200)
+
+
+@given(st.integers(-(10**9), 10**9), st.integers(-(10**9), 10**9))
+def test_parse_line_roundtrip(a, b):
+    assert parse_line(f"{a} {b}") == (a, b)
+    assert parse_line(f"{a},{b}") == (a, b)
+
+
+@given(TEXT)
+@settings(max_examples=200)
+def test_parse_line_never_wrong_accepts(line):
+    """Any accepted line must be exactly two strict integers."""
+    try:
+        out = parse_line(line)
+    except ValueError:
+        return
+    if out is None:
+        assert line == "" or line.startswith("#") or line.startswith("//")
+    else:
+        s = line.replace(" ", ",", 1).split(",")
+        assert len(s) == 2
+        assert [int(x) for x in s] == list(out)
+        for part in s:
+            assert part.strip() == part  # no whitespace tolerance (Atoi)
+
+
+@given(TEXT)
+@settings(max_examples=100)
+def test_shingles_deterministic_and_sorted(text):
+    a = char_shingles(text)
+    b = char_shingles(text)
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, np.sort(a)) and len(np.unique(a)) == len(a)
+    w = word_shingles(text)
+    assert np.array_equal(w, word_shingles(text))
+    if not (text or "").split():
+        assert len(w) == 0
+
+
+@given(TEXT)
+@settings(max_examples=100)
+def test_winnow_deterministic(text):
+    assert winnow_fingerprint(text) == winnow_fingerprint(text)
+    assert winnow_fingerprint(text) >= 0
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=500))
+@settings(max_examples=30)
+def test_hll_monotone_superset(vals):
+    """Adding more values never decreases the estimate materially, and
+    merge(a,b) == add(a ∪ b) exactly (register-wise)."""
+    h1 = HLL().add_hashes(_hash64([str(v) for v in vals]))
+    h2 = HLL().add_hashes(_hash64([str(v) for v in vals] + ["extra"]))
+    both = HLL().add_hashes(_hash64([str(v) for v in vals]))
+    both.merge(HLL().add_hashes(_hash64(["extra"])))
+    assert np.array_equal(both.registers, h2.registers)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=60
+    ),
+    st.floats(0.5, 0.95),
+)
+@settings(max_examples=25, deadline=None)
+def test_oracle_invariants(edges, c):
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    ranks, it, conv, residual = pagerank_oracle(src, dst, c=c, threshold=1e-8)
+    n = max(src.max(), dst.max()) + 1
+    assert len(ranks) == n
+    assert np.all(ranks >= 0)
+    assert abs(ranks.sum() - 1.0) < 1e-9  # post-normalization
+    assert 1 <= it <= 100
+    # relabel invariance
+    perm = np.random.default_rng(0).permutation(n)
+    r2, it2, _, _ = pagerank_oracle(perm[src], perm[dst], c=c, threshold=1e-8, n_vertices=n)
+    assert it == it2
+    assert np.allclose(ranks, r2[perm], atol=1e-9)
