@@ -22,3 +22,31 @@ docstrings identify the behavior being matched.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import distributed_pagerank_ray` free of
+    Ray imports until a pipeline is actually used)."""
+    api = {
+        "build_graph": ("distributed_pagerank_ray.pipelines.graphbuild", "build_graph"),
+        "build_graph_dense": ("distributed_pagerank_ray.pipelines.graphbuild", "build_graph_dense"),
+        "GraphTables": ("distributed_pagerank_ray.pipelines.graphbuild", "GraphTables"),
+        "pagerank": ("distributed_pagerank_ray.pipelines.pagerank", "pagerank"),
+        "connected_components": ("distributed_pagerank_ray.pipelines.components", "connected_components"),
+        "label_propagation": ("distributed_pagerank_ray.pipelines.lpa", "label_propagation"),
+        "triangle_count": ("distributed_pagerank_ray.pipelines.triangles", "triangle_count"),
+        "extract_links": ("distributed_pagerank_ray.stages.extract", "extract_links"),
+        "extract_text": ("distributed_pagerank_ray.stages.extract", "extract_text"),
+        "read_edgelist": ("distributed_pagerank_ray.sources.edgelist", "read_edgelist"),
+        "PageRankConfig": ("distributed_pagerank_ray.config", "PageRankConfig"),
+        "GraphSemantics": ("distributed_pagerank_ray.config", "GraphSemantics"),
+        "RunConfig": ("distributed_pagerank_ray.config", "RunConfig"),
+        "JobConfig": ("distributed_pagerank_ray.pipelines.registry", "JobConfig"),
+        "run": ("distributed_pagerank_ray.pipelines.registry", "run"),
+    }
+    if name in api:
+        import importlib
+
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
