@@ -71,6 +71,87 @@ def _zipf_capped(rng: np.random.Generator, n: int, a: float, cap: int) -> np.nda
     return np.minimum(rng.zipf(a, size=n), cap)
 
 
+PAGE_CHUNK = 25_000  # fixed: per-chunk rng streams define the dataset
+
+
+def _gen_pages_chunk(
+    lo: int,
+    n: int,
+    n_hosts: int,
+    seed: int,
+    max_deg: int,
+    dangling_frac: float,
+    zipf_a: float,
+) -> tuple[pa.Table, pa.Table]:
+    """Pages [lo, min(lo+PAGE_CHUNK, n)) — rng seeded per (seed, lo) so
+    the corpus is a pure function of its parameters regardless of
+    generation order/parallelism."""
+    hi = min(n, lo + PAGE_CHUNK)
+    rng = np.random.default_rng((seed, lo))
+    count = hi - lo
+    langs = np.where(rng.random(count) < 0.9, "en", "it")
+    dangling = rng.random(count) < dangling_frac
+    out_deg = 1 + _zipf_capped(rng, count, zipf_a, max_deg - 1)
+    n_paras = rng.integers(1, 4, size=count)
+
+    html_list: list[bytes] = []
+    text_list: list[str] = []
+    src_idx: list[int] = []
+    dst_idx: list[int] = []
+    for j in range(count):
+        i = lo + j
+        pool = _EN_WORDS if langs[j] == "en" else _IT_WORDS
+        title = f"Page {i} on site{i % n_hosts}"
+        paras = []
+        for _ in range(int(n_paras[j])):
+            k = int(rng.integers(8, 25))
+            paras.append(" ".join(rng.choice(pool, size=k)))
+
+        # destinations: zipf-many uniform non-self draws + chain i -> i+1
+        dsts: list[int] = []
+        if not dangling[j]:
+            for _ in range(int(out_deg[j])):
+                d = int(rng.integers(0, n - 1))
+                if d >= i:
+                    d += 1  # uniform over [0, n) \ {i}
+                dsts.append(d)
+            if i + 1 < n:
+                dsts.append(i + 1)  # connectivity chain page(i) -> page(i+1)
+
+        anchors = [f"link to page {d} number {jj}" for jj, d in enumerate(dsts)]
+        body_parts = [f"<p>{p}</p>" for p in paras] + [
+            f'<a href="{page_url(d, n_hosts)}">{a}</a>' for d, a in zip(dsts, anchors)
+        ]
+        html = (
+            f"<html><head><title>{title}</title></head><body>"
+            + "".join(body_parts)
+            + "</body></html>"
+        )
+        html_list.append(html.encode("utf-8"))
+        text_list.append("\n".join([title] + paras + anchors))
+        src_idx.extend([i] * len(dsts))
+        dst_idx.extend(dsts)
+
+    ts = _EPOCH_2024 + np.arange(lo, hi).astype("timedelta64[s]").astype("timedelta64[us]")
+    pages = pa.table(
+        {
+            "url": pa.array([page_url(i, n_hosts) for i in range(lo, hi)], pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(html_list, pa.binary()),
+            "text": pa.array(text_list, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    links = pa.table(
+        {
+            "src_url": pa.array([page_url(i, n_hosts) for i in src_idx], pa.string()),
+            "dst_url": pa.array([page_url(i, n_hosts) for i in dst_idx], pa.string()),
+        }
+    )
+    return pages, links
+
+
 def generate_pages(
     n_pages: int,
     n_hosts: int = 50,
@@ -85,79 +166,13 @@ def generate_pages(
     (duplicates preserved) — the golden truth for the extractor and for
     line-count out-degrees.
     """
-    rng = np.random.default_rng(seed)
-    n = n_pages
-    urls = [page_url(i, n_hosts) for i in range(n)]
-
-    lang_draw = rng.random(n)
-    langs = np.where(lang_draw < 0.9, "en", "it")
-    dangling = rng.random(n) < dangling_frac
-    out_deg = 1 + _zipf_capped(rng, n, zipf_a, max_deg - 1)
-    n_paras = rng.integers(1, 4, size=n)
-
-    html_list: list[bytes] = []
-    text_list: list[str] = []
-    src_idx: list[int] = []
-    dst_idx: list[int] = []
-
-    for i in range(n):
-        pool = _EN_WORDS if langs[i] == "en" else _IT_WORDS
-        title = f"Page {i} on site{i % n_hosts}"
-        paras = []
-        for _ in range(int(n_paras[i])):
-            k = int(rng.integers(8, 25))
-            paras.append(" ".join(rng.choice(pool, size=k)))
-
-        # destinations: zipf-many uniform non-self draws + chain i -> i+1
-        dsts: list[int] = []
-        if not dangling[i]:
-            for _ in range(int(out_deg[i])):
-                d = int(rng.integers(0, n - 1))
-                if d >= i:
-                    d += 1  # uniform over [0, n) \ {i}
-                dsts.append(d)
-            if i + 1 < n:
-                dsts.append(i + 1)  # connectivity chain page(i) -> page(i+1)
-        else:
-            # dangling pages still consume rng draws deterministically? No:
-            # keep the stream simple — dangling pages draw nothing extra.
-            pass
-
-        anchors = [
-            f"link to page {d} number {j}" for j, d in enumerate(dsts)
-        ]
-        body_parts = [f"<p>{p}</p>" for p in paras] + [
-            f'<a href="{urls[d]}">{a}</a>' for d, a in zip(dsts, anchors)
-        ]
-        html = (
-            f"<html><head><title>{title}</title></head><body>"
-            + "".join(body_parts)
-            + "</body></html>"
-        )
-        text = "\n".join([title] + paras + anchors)
-        html_list.append(html.encode("utf-8"))
-        text_list.append(text)
-        src_idx.extend([i] * len(dsts))
-        dst_idx.extend(dsts)
-
-    ts = _EPOCH_2024 + np.arange(n).astype("timedelta64[s]").astype("timedelta64[us]")
-    pages = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
-            "html": pa.array(html_list, pa.binary()),
-            "text": pa.array(text_list, pa.string()),
-            "lang": pa.array(langs.tolist(), pa.string()),
-        },
-        schema=PAGES_SCHEMA,
-    )
-    links = pa.table(
-        {
-            "src_url": pa.array([urls[i] for i in src_idx], pa.string()),
-            "dst_url": pa.array([urls[i] for i in dst_idx], pa.string()),
-        }
-    )
-    return pages, links
+    pages_chunks = []
+    links_chunks = []
+    for lo in range(0, n_pages, PAGE_CHUNK):
+        p, l = _gen_pages_chunk(lo, n_pages, n_hosts, seed, max_deg, dangling_frac, zipf_a)
+        pages_chunks.append(p)
+        links_chunks.append(l)
+    return pa.concat_tables(pages_chunks), pa.concat_tables(links_chunks)
 
 
 _SIZES = {  # FIXTURES.md §1
@@ -180,14 +195,32 @@ def corpus_dir(scale: str, root: str = "/tmp/dpr_corpus", seed: int = 42) -> str
     if os.path.exists(done):
         return out
     tmp = out + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    pages, links = generate_pages(n_pages, n_hosts, seed=seed)
-    row_group = max(1024, n_pages // 64)
-    pq.write_table(pages, os.path.join(tmp, "pages.parquet"), row_group_size=row_group)
-    pq.write_table(links, os.path.join(tmp, "links.parquet"), row_group_size=row_group * 8)
+    pdir = os.path.join(tmp, "pages.parquet")  # directory of part files
+    ldir = os.path.join(tmp, "links.parquet")
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(ldir, exist_ok=True)
+    row_group = max(1024, min(n_pages, PAGE_CHUNK) // 8)
+
+    def write_chunk(idx: int, lo: int) -> None:
+        pages, links = _gen_pages_chunk(lo, n_pages, n_hosts, seed, 64, 0.02, 2.1)
+        pq.write_table(pages, os.path.join(pdir, f"part-{idx:05d}.parquet"), row_group_size=row_group)
+        pq.write_table(links, os.path.join(ldir, f"part-{idx:05d}.parquet"), row_group_size=row_group * 8)
+
+    los = list(range(0, n_pages, PAGE_CHUNK))
+    try:  # parallel when a Ray session is up (chunks are independent)
+        import ray
+
+        if ray.is_initialized() and len(los) > 1:
+            f = ray.remote(write_chunk)
+            ray.get([f.remote(i, lo) for i, lo in enumerate(los)])
+        else:
+            raise RuntimeError("no ray")
+    except Exception:
+        for i, lo in enumerate(los):
+            write_chunk(i, lo)
     os.makedirs(out, exist_ok=True)
-    for f in os.listdir(tmp):
-        os.replace(os.path.join(tmp, f), os.path.join(out, f))
+    for f2 in os.listdir(tmp):
+        os.replace(os.path.join(tmp, f2), os.path.join(out, f2))
     os.rmdir(tmp)
     with open(done, "w") as fh:
         fh.write("ok")
