@@ -257,6 +257,7 @@ def connected_components(
         _to_int, batch_format="pyarrow"
     ).write_parquet(final, partition_cols=[SHARD_COL])
     n_components = ray.data.read_parquet(final, columns=["label"]).unique("label")
+    ckpt.write_metrics_parquet(cc_dir)
     return CCResult(
         run_dir=graph.run_dir,
         n=n,

@@ -242,6 +242,7 @@ def label_propagation(
     ray.data.read_parquet(last, columns=["id", "label"]).map_batches(
         _to_int, batch_format="pyarrow"
     ).write_parquet(final, partition_cols=[SHARD_COL])
+    ckpt.write_metrics_parquet(lpa_dir)
     return LPAResult(
         run_dir=graph.run_dir, n=n, iterations=k, converged=converged, shard_rows=shard_rows
     )

@@ -539,6 +539,7 @@ def pagerank(
 
         shutil.rmtree(out)
     ds.write_parquet(out, partition_cols=[SHARD_COL])
+    ckpt.write_metrics_parquet(run_dir)
     return PageRankResult(
         run_dir=run_dir,
         n=n,

@@ -78,6 +78,37 @@ def commit_iter(run_dir: str, k: int, metrics: dict[str, Any], manifest: dict) -
     return final
 
 
+def write_metrics_parquet(run_dir: str) -> Optional[str]:
+    """Consolidate every iteration's metrics.json into
+    ``run_dir/metrics.parquet`` (one row per durable iteration — the
+    queryable lineage/metrics table the north rule names). Unknown
+    keys become nulls; list-valued keys are JSON-encoded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in sorted(os.listdir(run_dir)):
+        p = os.path.join(run_dir, d, "metrics.json")
+        if d.startswith("iter_") and os.path.isfile(p):
+            with open(p) as fh:
+                m = json.load(fh)
+            rows.append(
+                {
+                    k: (json.dumps(v) if isinstance(v, (list, dict)) else v)
+                    for k, v in m.items()
+                }
+            )
+    if not rows:
+        return None
+    cols = sorted({k for r in rows for k in r})
+    table = pa.table({c: [r.get(c) for r in rows] for c in cols})
+    out = os.path.join(run_dir, "metrics.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
+
+
 def latest_complete_iter(run_dir: str, fingerprint: str) -> Optional[int]:
     """Resume point: manifest's completed_iter, iff fingerprints match and
     the iteration dir actually exists (belt and braces)."""

@@ -55,6 +55,12 @@ def test_manifest_metrics(tmp_path, golden_graphs):
         metrics = json.load(fh)
     assert metrics["residual"] == res.residual
     assert "wall_sec" in metrics and "edges" in metrics
+    # consolidated queryable metrics table (one row per durable iteration)
+    import pyarrow.parquet as pq
+
+    mt = pq.read_table(os.path.join(g.run_dir, "metrics.parquet"))
+    assert len(mt) == res.iterations + 1  # incl. iter 0 init
+    assert "residual" in mt.column_names and "iteration" in mt.column_names
 
 
 def test_checkpoint_every_cadence(tmp_path, golden_graphs):
