@@ -400,17 +400,19 @@ def pagerank(
     # object store across iterations (spilling to disk if oversized)
     # instead of being re-read and re-planned every iteration — the
     # Jacobi loop re-uses blocks the way the reference re-uses its
-    # in-memory graph (master.go:153-157), but distributed.
-    edges_mat = ray.data.read_parquet(graph.edges_path, columns=["src", "dst"]).materialize()
+    # in-memory graph (master.go:153-157), but distributed. Skipped
+    # entirely when resuming an already-converged run.
     use_tasks = run_cfg.combine_mode == "tasks"
-    if use_tasks:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        target_blocks = max(S, min(4 * ncpu, max(1, graph.m // 65536)))
-        blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
-        seeds_mat = None
-    else:
-        blocks = None
-        seeds_mat = _seed_rows(S).materialize()
+    blocks = None
+    seeds_mat = None
+    if not converged and k < cfg.max_iters:
+        edges_mat = ray.data.read_parquet(graph.edges_path, columns=["src", "dst"]).materialize()
+        if use_tasks:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            target_blocks = max(S, min(4 * ncpu, max(1, graph.m // 65536)))
+            blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
+        else:
+            seeds_mat = _seed_rows(S).materialize()
 
     pending_residuals: list[float] = []
     while not converged and k < cfg.max_iters:
