@@ -477,22 +477,34 @@ def _r_events_props_sum(sf_dir):
 
 def _r_semi_join(sf_dir):
     """Semi-join: lineitem rows whose order is URGENT — broadcast key-set
-    filter (no shuffle), then aggregate. Demonstrates semi/anti joins."""
-    import pyarrow.parquet as pq
+    filter (no shuffle), then aggregate. Demonstrates semi/anti joins.
+
+    The key set is computed as a distributed vectorized filter
+    (pc.equal inside map_batches); only the small filtered key column
+    is gathered for the broadcast — never full order rows on the
+    driver."""
+    import pyarrow.compute as pc
 
     import ray.data
     from ray.data.aggregate import Count, Sum
 
     from distributed_pagerank_ray.util import ensure_schema, semi_join_filter
 
-    orders = pq.read_table(
+    keys_ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"k": t.column("o_orderkey").filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))}
+        ),
+        batch_format="pyarrow",
     )
-    keys = [
-        k.as_py()
-        for k, p in zip(orders.column("o_orderkey"), orders.column("o_orderpriority"))
-        if p.as_py() == "1-URGENT"
-    ]
+    keys = np.concatenate(
+        [
+            b.column("k").to_numpy(zero_copy_only=False)
+            for b in keys_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        or [np.zeros(0, dtype=np.int64)]
+    )
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
     filtered = semi_join_filter(li, "l_orderkey", keys, keep=True)
     return (

@@ -39,6 +39,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_det(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc), DETERMINISTIC at the
+    cutoff: take every row tied with the k-th score, then lexsort — an
+    equal-score neighbor with a smaller id is never dropped before the
+    global merge (argpartition alone breaks boundary ties arbitrarily)."""
+    top = min(k, len(s))
+    if top == 0:
+        return np.zeros(0, dtype=np.int64)
+    kth = np.partition(s, len(s) - top)[len(s) - top]  # k-th largest score
+    cand = np.nonzero(s >= kth)[0]
+    order = np.lexsort((ids[cand], -s[cand]))[:top]
+    return cand[order]
+
+
 def knn_brute_force(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -63,11 +77,10 @@ def knn_brute_force(
         out_q: list[int] = []
         out_id: list[int] = []
         out_s: list[float] = []
-        top = min(kk, sims.shape[0])
         for j in range(nq):
             s = sims[:, j]
-            idx = np.argpartition(-s, top - 1)[:top]
-            out_q.extend([j] * top)
+            idx = _topk_det(s, ids, kk)
+            out_q.extend([j] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_s.extend(s[idx].tolist())
         return pa.table(
@@ -166,9 +179,8 @@ def knn_lsh(
                 continue
             s = m[mask] @ qn_[j]
             sub_ids = ids[mask]
-            top = min(kk, len(s))
-            idx = np.argpartition(-s, top - 1)[:top]
-            out_q.extend([j] * top)
+            idx = _topk_det(s, sub_ids, kk)
+            out_q.extend([j] * len(idx))
             out_id.extend(sub_ids[idx].tolist())
             out_s.extend(s[idx].tolist())
         return pa.table(
@@ -208,18 +220,27 @@ def embedding_dup_pairs_exact(
     """EXACT embedding near-dup pairs (a < b, cosine >= threshold):
     broadcast the full normalized matrix once, each batch computes its
     rows' similarities against everything at or after it. Right for
-    small/medium collections (the broadcast side must fit memory);
-    ``embedding_dup_pairs`` (LSH-bucketed) is the scale path."""
-    rows = []
-    ids_all: list[int] = []
-    for b in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        rows.append(_batch_matrix(b, emb_col))
-        ids_all.extend(b.column(id_col).to_pylist())
-    m = _normalize(np.concatenate(rows))
-    order = np.argsort(np.asarray(ids_all))
-    ids_sorted = np.asarray(ids_all)[order]
-    m = m[order]
-    ref = ray.put((ids_sorted, m))
+    small/medium collections (the broadcast side must fit one worker's
+    memory); ``embedding_dup_pairs`` (LSH-bucketed) is the scale path.
+
+    The broadcast matrix is assembled by a REMOTE task from the
+    dataset's Arrow block refs — the driver only ever holds an
+    ObjectRef, never O(dataset) rows."""
+
+    @ray.remote
+    def _pack(*blocks: pa.Table):
+        blocks = [b for b in blocks if len(b) > 0]
+        if not blocks:
+            return np.zeros(0, dtype=np.int64), np.zeros((0, 1))
+        ids = np.concatenate(
+            [b.column(id_col).to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.int64)
+        m = _normalize(np.concatenate([_batch_matrix(b, emb_col) for b in blocks]))
+        order = np.argsort(ids)
+        return ids[order], m[order]
+
+    ds = ds.materialize()
+    ref = _pack.remote(*ds.to_arrow_refs())
     thr = threshold
 
     def pairs(batch: pa.Table) -> pa.Table:

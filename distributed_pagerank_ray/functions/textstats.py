@@ -52,22 +52,29 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality facets (SQL-checkable) + a float score.
 
     n_chars_utf8: UTF-8 character count; n_punct: ASCII punctuation
-    chars; n_upper: uppercase chars; n_digit: digits.
+    chars; n_upper: ASCII uppercase [A-Z]; n_digit: ASCII digits [0-9]
+    (ASCII classes match the DuckDB oracle's [[:punct:]]/[A-Z]/[0-9]
+    exactly on non-ASCII input too — Unicode str.isupper() would not).
     quality_score in [0,1]: penalizes very short docs, high punct
     ratio, and all-caps shouting (heuristic, documented here as THE
     definition — deterministic pure function of the text).
+
+    Fully vectorized: pyarrow utf8_length + count_substring_regex (RE2
+    char classes), no per-character Python loops.
     """
-    texts = batch.column(text_col).to_pylist()
-    n_chars = np.zeros(len(texts), dtype=np.int64)
-    n_punct = np.zeros(len(texts), dtype=np.int64)
-    n_upper = np.zeros(len(texts), dtype=np.int64)
-    n_digit = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        n_punct[i] = sum(c in _PUNCT for c in t)
-        n_upper[i] = sum(c.isupper() for c in t)
-        n_digit[i] = sum(c.isdigit() for c in t)
+    col = pc.fill_null(batch.column(text_col), "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _count(pattern: str) -> np.ndarray:
+        return (
+            pc.count_substring_regex(col, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    n_punct = _count(r"[!-/:-@\[-`{-~]")  # the 32 ASCII punctuation chars
+    n_upper = _count(r"[A-Z]")
+    n_digit = _count(r"[0-9]")
     denom = np.maximum(n_chars, 1).astype(np.float64)
     punct_ratio = n_punct / denom
     upper_ratio = n_upper / denom
@@ -123,24 +130,27 @@ _ROLL_BASE = np.uint64(1000003)
 _MASK = np.uint64((1 << 61) - 1)
 
 
-def _kgram_hashes(text: str, k: int) -> np.ndarray:
-    """Rolling polynomial hashes of all k-grams of the byte string."""
-    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-    if len(b) == 0:
+def poly_kgram_hashes(vals: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hashes of all k-grams of a uint64 value array:
+    h[i] = Σ_j vals[i+j]·B^(k-1-j) mod 2^64 — Horner over k shifted
+    slices (k vector ops, no per-position Python loop). Shared kernel
+    for winnowing (byte grams) and char-shingle hashing."""
+    if len(vals) == 0:
         return np.zeros(0, dtype=np.uint64)
-    if len(b) < k:
-        k = len(b)  # short text: one gram covering the whole string
+    if len(vals) < k:
+        k = len(vals)  # short input: one gram covering everything
+    L = len(vals) - k + 1
     with np.errstate(over="ignore"):
-        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
-        acc = np.uint64(0)
-        for i in range(k):
-            acc = acc * _ROLL_BASE + b[i]
-        h[0] = acc
-        pow_k = _ROLL_BASE ** np.uint64(k - 1)
-        for i in range(1, len(h)):
-            acc = (acc - b[i - 1] * pow_k) * _ROLL_BASE + b[i + k - 1]
-            h[i] = acc
+        h = np.zeros(L, dtype=np.uint64)
+        for j in range(k):
+            h = h * _ROLL_BASE + vals[j : j + L]
     return h
+
+
+def _kgram_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hashes of all byte k-grams of the text."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    return poly_kgram_hashes(b, k)
 
 
 def winnow_fingerprint(text: str, k: int = 8, w: int = 16) -> int:

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from ..config import RunConfig
 from ..state import checkpoint as ckpt
@@ -256,13 +256,20 @@ def connected_components(
     ray.data.read_parquet(last, columns=["id", "label"]).map_batches(
         _to_int, batch_format="pyarrow"
     ).write_parquet(final, partition_cols=[SHARD_COL])
-    n_components = ray.data.read_parquet(final, columns=["label"]).unique("label")
+    # distinct-count as an aggregate: groupby shrinks to one row per
+    # label, .count() reads row-count metadata — no driver-side list
+    n_components = (
+        ray.data.read_parquet(final, columns=["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="_n"))
+        .count()
+    )
     ckpt.write_metrics_parquet(cc_dir)
     return CCResult(
         run_dir=graph.run_dir,
         n=n,
         iterations=k,
         converged=converged,
-        n_components=len(n_components),
+        n_components=int(n_components),
         shard_rows=shard_rows,
     )

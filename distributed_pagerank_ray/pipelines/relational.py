@@ -269,7 +269,10 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
 def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
     """JSON scalar extraction: parse ``props`` ('{"k": int}'), sum k per
     event_type. Per-batch json.loads (stdlib) — a stand-in for any
-    row-wise scalar UDF; the SQL oracle uses DuckDB's JSON functions."""
+    row-wise scalar UDF; the SQL oracle uses DuckDB's JSON functions.
+
+    ``sum_k`` is emitted float64: DuckDB's sum(BIGINT) comes back as a
+    float in pandas, and the driver's value hash is typed."""
     import json as _json
 
     ds = _read(sf_dir, "events", ["event_type", "props"])
@@ -287,7 +290,7 @@ def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
         .groupby("event_type")
         .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
         .map_batches(
-            ensure_schema({"event_type": pa.string(), "sum_k": _I64, "n": _I64}),
+            ensure_schema({"event_type": pa.string(), "sum_k": _F64, "n": _I64}),
             batch_format="pyarrow",
         )
     )

@@ -30,7 +30,7 @@ def semi_join_filter(ds, col: str, keys, keep: bool = True):
 
     import ray
 
-    arr = np.sort(np.asarray(list(keys)))
+    arr = np.sort(np.asarray(keys if isinstance(keys, np.ndarray) else list(keys)))
     ref = ray.put(arr)
 
     def fn(t: pa.Table) -> pa.Table:
