@@ -14,15 +14,14 @@ Scale shapes (per the guide's sketch patterns):
 - SimHash: 64-bit weighted-token hash, banded into 4×16-bit chunks for
   candidate generation, Hamming-verified.
 
-All hashing is seeded/deterministic (blake2b, fixed rng seed) so runs
-reproduce bit-for-bit.
+All hashing is seeded/deterministic (pandas siphash with its fixed
+default key + polynomial n-gram combines, fixed rng seed for minhash
+permutations) so runs reproduce bit-for-bit across processes.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -36,40 +35,85 @@ _I64 = pa.int64()
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _stable_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+def hash_str_array(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hashes of a string object array in one
+    C-level pass (pandas siphash with its fixed default key — stable
+    across processes/sessions, unlike Python's hash())."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def word_shingle_hashes_batch(texts: "list[str]", n: int = 3) -> "list[np.ndarray]":
+    """Per-doc distinct word-n-gram hashes for a whole batch.
+
+    Words = whitespace split of the trimmed text; a doc with fewer than
+    n words yields one shingle of all its words; an empty doc yields
+    none — mirrored exactly by the SQL oracle (which compares gram
+    STRINGS, so the hash function is free to change).
+
+    Vectorized: ALL tokens of the batch are hashed in one pandas
+    siphash call, then each doc's n-gram hashes are a Horner combine of
+    n consecutive token hashes (``poly_kgram_hashes``) — no per-shingle
+    Python hashing (the round-1 hot-spot: blake2b per shingle)."""
+    from .textstats import poly_kgram_hashes
+
+    toks = [(t or "").split() for t in texts]
+    lens = [len(w) for w in toks]
+    total = sum(lens)
+    if total == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in texts]
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in toks:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    h = hash_str_array(flat)
+    out: list[np.ndarray] = []
+    pos = 0
+    for L in lens:
+        if L == 0:
+            out.append(np.zeros(0, dtype=np.uint64))
+            continue
+        out.append(np.unique(poly_kgram_hashes(h[pos : pos + L], n)))
+        pos += L
+    return out
+
+
+def char_shingle_hashes_batch(texts: "list[str]", k: int = 5) -> "list[np.ndarray]":
+    """Per-doc distinct k-char shingle hashes: rolling polynomial hash
+    over the code-point array (utf-32 decode → vectorized Horner)."""
+    from .textstats import poly_kgram_hashes
+
+    out: list[np.ndarray] = []
+    for t in texts:
+        t = t or ""
+        if not t:
+            out.append(np.zeros(0, dtype=np.uint64))
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        out.append(np.unique(poly_kgram_hashes(cps, k)))
+    return out
+
+
+def shingle_hashes_batch(texts: "list[str]", k: int, mode: str) -> "list[np.ndarray]":
+    return (
+        char_shingle_hashes_batch(texts, k) if mode == "char" else word_shingle_hashes_batch(texts, k)
+    )
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char shingle hashes (uint64) of a document."""
-    t = text or ""
-    if len(t) < k:
-        grams: Iterable[str] = [t] if t else []
-    else:
-        grams = (t[i : i + k] for i in range(len(t) - k + 1))
-    arr = np.fromiter((_stable_hash64(g) for g in grams), dtype=np.uint64)
-    return np.unique(arr)
+    """Distinct k-char shingle hashes (uint64) of one document."""
+    return char_shingle_hashes_batch([text], k)[0]
 
 
 def word_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Distinct word n-gram hashes. Words = whitespace-split of the
-    trimmed text; a doc with fewer than n words yields one shingle of
-    all its words (and an empty doc yields none) — mirrored exactly by
-    the SQL oracle. Word shingles keep bucket sizes small on vocab-
-    limited corpora where char shingles collide ubiquitously."""
-    words = (text or "").split()
-    if not words:
-        return np.zeros(0, dtype=np.uint64)
-    if len(words) < n:
-        grams: Iterable[str] = [" ".join(words)]
-    else:
-        grams = (" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
-    arr = np.fromiter((_stable_hash64(g) for g in grams), dtype=np.uint64)
-    return np.unique(arr)
+    """Distinct word n-gram hashes (uint64) of one document."""
+    return word_shingle_hashes_batch([text], n)[0]
 
 
 def shingles(text: str, k: int, mode: str) -> np.ndarray:
-    return char_shingles(text, k) if mode == "char" else word_shingles(text, k)
+    return shingle_hashes_batch([text], k, mode)[0]
 
 
 # ---------------------------------------------------------------- exact
@@ -105,13 +149,17 @@ def exact_dedup_groups(
 
 def _shingle_rows(ds, id_col, text_col, k, mode="char"):
     def explode(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        sh: list[int] = []
-        for did, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            s = shingles(t, k, mode)
-            ids.extend([did] * len(s))
-            sh.extend(s.astype(np.int64).tolist())
-        return pa.table({"sh": pa.array(sh, _I64), "doc": pa.array(ids, _I64)})
+        per_doc = shingle_hashes_batch(batch.column(text_col).to_pylist(), k, mode)
+        dids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        counts = np.fromiter((len(s) for s in per_doc), dtype=np.int64, count=len(per_doc))
+        sh = (
+            np.concatenate(per_doc).astype(np.int64)
+            if counts.sum()
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {"sh": pa.array(sh), "doc": pa.array(np.repeat(dids, counts))}
+        )
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -220,21 +268,27 @@ class MinHasher:
         self.text_col = text_col
         self.mode = mode
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingles(text, self.k, self.mode)
+    def _sig_of(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.zeros(len(self.a), dtype=np.uint64)
         with np.errstate(over="ignore"):
             m = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._sig_of(shingles(text, self.k, self.mode))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
-        sigs = [self.signature(t) for t in batch.column(self.text_col).to_pylist()]
+        per_doc = shingle_hashes_batch(
+            batch.column(self.text_col).to_pylist(), self.k, self.mode
+        )
         return pa.table(
             {
                 "doc": pa.array(ids, _I64),
-                "sig": pa.array([s.astype(np.int64).tobytes() for s in sigs], pa.binary()),
+                "sig": pa.array(
+                    [self._sig_of(s).astype(np.int64).tobytes() for s in per_doc], pa.binary()
+                ),
             }
         )
 
@@ -263,21 +317,26 @@ def minhash_lsh_candidates(
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        docs: list[int] = []
-        band_ids: list[int] = []
-        band_hash: list[int] = []
-        for did, sig in zip(batch.column("doc").to_pylist(), batch.column("sig").to_pylist()):
-            s = np.frombuffer(sig, dtype=np.int64)
-            for bi in range(bands):
-                h = hashlib.blake2b(s[bi * r : (bi + 1) * r].tobytes(), digest_size=8).digest()
-                docs.append(did)
-                band_ids.append(bi)
-                band_hash.append(int.from_bytes(h, "little") >> 1)
+        """One (doc, band, band_hash) row per band, vectorized: the band
+        hash is a polynomial combine of the band's r signature values
+        (grouping is on (band, bh), so cross-band collisions are moot)."""
+        if len(batch) == 0:
+            return pa.table(
+                {"doc": pa.array([], _I64), "band": pa.array([], _I64), "bh": pa.array([], _I64)}
+            )
+        docs = batch.column("doc").to_numpy(zero_copy_only=False)
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.int64) for s in batch.column("sig").to_pylist()]
+        ).view(np.uint64).reshape(len(docs), bands, r)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((len(docs), bands), dtype=np.uint64)
+            for j in range(r):
+                bh = bh * np.uint64(1000003) + sigs[:, :, j]
         return pa.table(
             {
-                "doc": pa.array(docs, _I64),
-                "band": pa.array(band_ids, _I64),
-                "bh": pa.array(band_hash, _I64),
+                "doc": pa.array(np.repeat(docs, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), len(docs))),
+                "bh": pa.array((bh >> np.uint64(1)).astype(np.int64).reshape(-1)),
             }
         )
 
@@ -425,7 +484,13 @@ def minhash_lsh_dedup_pairs(
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
-    """64-bit SimHash over word tokens (weight = term frequency)."""
+    """64-bit SimHash over word tokens (weight = term frequency).
+
+    Vectorized per batch: one siphash pass over every token occurrence,
+    bit matrix via ``np.unpackbits`` (64 bytes/token), ±1 accumulation
+    with one segmented ``np.add.reduceat`` — summing ±1 per OCCURRENCE
+    equals the classic tf-weighted unique-term formulation, with no
+    per-word Python loop."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         import re
@@ -434,28 +499,40 @@ class SimHasher:
         self.id_col = id_col
         self.text_col = text_col
 
+    def _acc_batch(self, texts: "list[str]") -> np.ndarray:
+        """(n_docs, 64) signed bit accumulators."""
+        toks = [self.word.findall((t or "").lower()) for t in texts]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=len(toks))
+        total = int(lens.sum())
+        acc = np.zeros((len(texts), 64), dtype=np.int64)
+        if total == 0:
+            return acc
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in toks:
+            flat[pos : pos + len(w)] = w
+            pos += len(w)
+        h = hash_str_array(flat)
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        signed = bits.astype(np.int32) * 2 - 1
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nz = lens > 0
+        acc[nz] = np.add.reduceat(signed, starts[nz], axis=0)
+        return acc
+
     def simhash(self, text: str) -> int:
-        words = self.word.findall((text or "").lower())
-        if not words:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        uniq, counts = np.unique(np.asarray(words), return_counts=True)
-        for w, c in zip(uniq, counts):
-            h = _stable_hash64(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), c, -c)
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= 1 << i
-        return val
+        acc = self._acc_batch([text])[0]
+        return int(
+            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        hs = [self.simhash(t) for t in batch.column(self.text_col).to_pylist()]
+        acc = self._acc_batch(batch.column(self.text_col).to_pylist())
+        vals = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
         # keep in int64 range by dropping the top bit (still 63 bits of signal)
-        hs = [h & ((1 << 63) - 1) for h in hs]
-        return pa.table({"doc": ids, "simhash": pa.array(hs, _I64)})
+        vals = (vals & np.uint64((1 << 63) - 1)).astype(np.int64)
+        return pa.table({"doc": ids, "simhash": pa.array(vals, _I64)})
 
 
 def simhash_pairs(
