@@ -21,7 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import RunConfig
-from ..util import compact_for_join, ensure_schema
+from ..util import compact_for_join, distinct_i64_pairs, ensure_schema
 
 _I64 = pa.int64()
 _F64 = pa.float64()
@@ -324,22 +324,21 @@ ORDER_BASE = 10_000_000
 
 
 def lineitem_edges(sf_dir: str) -> "ray.data.Dataset":
-    """Distinct (src=l_orderkey+ORDER_BASE, dst=l_partkey) edges."""
+    """Distinct (src=l_orderkey+ORDER_BASE, dst=l_partkey) edges.
+
+    Distinct via the per-shard BSP combine (``distinct_i64_pairs``) —
+    both key spaces fit [0, 2^31) by construction."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    return (
-        ds.map_batches(
-            lambda t: pa.table(
-                {
-                    "src": pc.add(t.column("l_orderkey").cast(_I64), ORDER_BASE),
-                    "dst": t.column("l_partkey").cast(_I64),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(ensure_schema({"src": _I64, "dst": _I64}), batch_format="pyarrow")
+    mapped = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.add(t.column("l_orderkey").cast(_I64), ORDER_BASE),
+                "dst": t.column("l_partkey").cast(_I64),
+            }
+        ),
+        batch_format="pyarrow",
     )
+    return distinct_i64_pairs(mapped, "src", "dst")
 
 
 def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
@@ -374,12 +373,7 @@ def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 8) -> "ray.data.D
         m = a < b
         return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
 
-    return (
-        joined.map_batches(keep, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
-    )
+    return distinct_i64_pairs(joined.map_batches(keep, batch_format="pyarrow"), "a", "b")
 
 
 # region -> nation -> supplier tri-level graph with namespaced ids:

@@ -32,13 +32,56 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..config import RunConfig
-from ..util import compact_for_join, ensure_schema
+from ..util import compact_for_join, distinct_i64_pairs, ensure_schema
 
 _I64 = pa.int64()
 
 
+def _expand_segments(starts: np.ndarray, lens: np.ndarray, flat: np.ndarray):
+    """Gather per-edge variable-length segments of ``flat`` into one
+    concatenated array + the edge id of every element (all vectorized:
+    np.repeat + cumsum offset trick, no per-edge loop)."""
+    total = int(lens.sum())
+    eid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    ofs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    return eid, flat[starts[eid] + ofs]
+
+
+def _segmented_intersect_counts(
+    eid_a: np.ndarray, A: np.ndarray, eid_b: np.ndarray, B: np.ndarray, n_edges: int
+) -> np.ndarray:
+    """counts[i] = |A-segment(i) ∩ B-segment(i)| where both segments are
+    sorted and elements are tagged with their edge id. One composite-key
+    searchsorted over the whole batch — the vectorized replacement for a
+    per-edge np.intersect1d loop. Chunks the A side if edge_id·M could
+    overflow int64 (M = value range bound)."""
+    out = np.zeros(n_edges, dtype=np.int64)
+    if len(A) == 0 or len(B) == 0:
+        return out
+    M = np.int64(max(int(A.max()), int(B.max())) + 1)
+    chunk_edges = max(1, int((1 << 62) // M))  # normally one chunk
+    for lo in range(0, n_edges, chunk_edges):
+        hi = min(n_edges, lo + chunk_edges)
+        a0, a1 = np.searchsorted(eid_a, [lo, hi])  # eid arrays are sorted
+        b0, b1 = np.searchsorted(eid_b, [lo, hi])
+        if a0 == a1 or b0 == b1:
+            continue
+        Ak = (eid_a[a0:a1] - lo) * M + A[a0:a1]
+        Bk = (eid_b[b0:b1] - lo) * M + B[b0:b1]
+        idx = np.searchsorted(Bk, Ak)
+        idx_c = np.minimum(idx, len(Bk) - 1)
+        match = (Bk[idx_c] == Ak) & (idx < len(Bk))
+        out[lo:hi] = np.bincount(eid_a[a0:a1][match] - lo, minlength=hi - lo)
+    return out
+
+
 def canonical_undirected(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(src,dst) → distinct (a,b) with a<b, self-loops removed."""
+    """(src,dst) → distinct (a,b) with a<b, self-loops removed.
+
+    Distinct runs as the per-shard BSP combine (``distinct_i64_pairs``
+    — raw gather tasks + per-shard unique-merge reducers) when ids fit
+    [0, 2^31); falls back to the 2-column hash groupby otherwise (Ray's
+    AllToAll aggregate is ~20 s/1M rows here, so the BSP path matters)."""
 
     def norm(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False)
@@ -49,12 +92,17 @@ def canonical_undirected(edges: "ray.data.Dataset") -> "ray.data.Dataset":
             {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
         )
 
-    return (
-        edges.map_batches(norm, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
-    )
+    normed = edges.map_batches(norm, batch_format="pyarrow")
+    try:
+        from ray.exceptions import RayTaskError
+
+        return distinct_i64_pairs(normed, "a", "b").materialize()
+    except (RayTaskError, ValueError):
+        return (
+            normed.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
+        )
 
 
 def _degrees(und: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -149,43 +197,67 @@ def triangle_count(
     e2 = e1.join(adj, join_type="inner", num_partitions=P, on=("v",), right_on=("w",))
 
     def intersect(t: pa.Table) -> pa.Table:
-        if "nbrs_u" not in t.column_names:
+        if "nbrs_u" not in t.column_names or len(t) == 0:
             return pa.table({"tri": pa.array([], _I64)})
-        nu = t.column("nbrs_u").to_pylist()
-        nv = t.column("nbrs").to_pylist()
-        counts = [
-            len(
-                np.intersect1d(
-                    np.frombuffer(x, dtype=np.int64),
-                    np.frombuffer(y, dtype=np.int64),
-                    assume_unique=True,
-                )
-            )
-            for x, y in zip(nu, nv)
-        ]
-        return pa.table({"tri": pa.array(np.asarray(counts, dtype=np.int64))})
+        # decode the binary neighbor blobs into two flat arrays + segment
+        # lengths, then one vectorized segmented intersection
+        nu = [np.frombuffer(x, dtype=np.int64) for x in t.column("nbrs_u").to_pylist()]
+        nv = [np.frombuffer(y, dtype=np.int64) for y in t.column("nbrs").to_pylist()]
+        lens_u = np.fromiter((len(a) for a in nu), dtype=np.int64, count=len(nu))
+        lens_v = np.fromiter((len(a) for a in nv), dtype=np.int64, count=len(nv))
+        A = np.concatenate(nu) if lens_u.sum() else np.zeros(0, dtype=np.int64)
+        B = np.concatenate(nv) if lens_v.sum() else np.zeros(0, dtype=np.int64)
+        eid_a = np.repeat(np.arange(len(t), dtype=np.int64), lens_u)
+        eid_b = np.repeat(np.arange(len(t), dtype=np.int64), lens_v)
+        counts = _segmented_intersect_counts(eid_a, A, eid_b, B, len(t))
+        return pa.table({"tri": pa.array(counts)})
 
     counted = e2.map_batches(intersect, batch_format="pyarrow")
     total = counted.sum("tri")
     return int(total) if total is not None else 0
 
 
-def _triangle_count_broadcast(und: "ray.data.Dataset", deg: "ray.data.Dataset") -> int:
-    """Small-vertex-set path: broadcast (sorted ids, degrees), orient
-    per batch, build adjacency with ONE distributed sort + per-block
-    vectorized run-length grouping, broadcast the packed adjacency, and
-    count intersections per batch. Two data passes, zero hash joins."""
-    # broadcast degree lookup (sorted ids + parallel degree array)
-    ids_list: list[np.ndarray] = []
-    degs_list: list[np.ndarray] = []
-    for b in deg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        ids_list.append(b.column("v").to_numpy(zero_copy_only=False))
-        degs_list.append(b.column("deg").to_numpy(zero_copy_only=False))
-    ids = np.concatenate(ids_list)
-    dg = np.concatenate(degs_list)
+@ray.remote
+def _pack_degree_lookup(*blocks: pa.Table):
+    """(sorted vertex ids, parallel degree array) — built in a REMOTE
+    task from the degree dataset's block refs; the driver only ever
+    holds the ObjectRef (small-side-broadcast without driver rows)."""
+    blocks = [b for b in blocks if len(b) > 0]
+    ids = np.concatenate([b.column("v").to_numpy(zero_copy_only=False) for b in blocks])
+    dg = np.concatenate([b.column("deg").to_numpy(zero_copy_only=False) for b in blocks])
     order = np.argsort(ids)
-    ids, dg = ids[order], dg[order]
-    deg_ref = ray.put((ids, dg))
+    return ids[order], dg[order]
+
+
+@ray.remote
+def _build_csr(deg_pack, *blocks: pa.Table):
+    """Oriented CSR indexed by DENSE VERTEX RANK (position in the sorted
+    id array): bounds[r]..bounds[r+1] slices the sorted neighbor-rank
+    list of vertex rank r (empty for sinks). Built remotely from the
+    oriented dataset's block refs — O(m) memory lives in one worker +
+    the object store, never the driver."""
+    ids, _ = deg_pack
+    n = len(ids)
+    blocks = [b for b in blocks if len(b) > 0]
+    if not blocks:
+        return np.zeros(n + 1, dtype=np.int64), np.zeros(0, dtype=np.int64), n
+    u = np.concatenate([b.column("u").to_numpy(zero_copy_only=False) for b in blocks])
+    v = np.concatenate([b.column("v").to_numpy(zero_copy_only=False) for b in blocks])
+    ur = np.searchsorted(ids, u)
+    vr = np.searchsorted(ids, v)
+    order = np.lexsort((vr, ur))
+    ur, vr = ur[order], vr[order]
+    bounds = np.concatenate([[0], np.cumsum(np.bincount(ur, minlength=n))]).astype(np.int64)
+    return bounds, vr.astype(np.int64), n
+
+
+def _triangle_count_broadcast(und: "ray.data.Dataset", deg: "ray.data.Dataset") -> int:
+    """Small-vertex-set path: degree lookup and oriented CSR adjacency
+    are packed by REMOTE tasks (the driver handles only ObjectRefs),
+    broadcast once, and every batch counts its edges' triangles with
+    one vectorized segmented intersection. Two data passes, zero hash
+    joins, no per-row Python loops."""
+    deg_ref = _pack_degree_lookup.remote(*deg.materialize().to_arrow_refs())
 
     def orient(t: pa.Table) -> pa.Table:
         if "a" not in t.column_names:
@@ -204,43 +276,21 @@ def _triangle_count_broadcast(und: "ray.data.Dataset", deg: "ray.data.Dataset") 
         )
 
     oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
-
-    # adjacency: collect oriented edges (u-sorted per batch on the driver
-    # is avoided — we gather the full arrays once; total size = m * 16B)
-    us_list, vs_list = [], []
-    for bt in oriented.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        us_list.append(bt.column("u").to_numpy(zero_copy_only=False))
-        vs_list.append(bt.column("v").to_numpy(zero_copy_only=False))
-    u_all = np.concatenate(us_list)
-    v_all = np.concatenate(vs_list)
-    order = np.lexsort((v_all, u_all))
-    u_all, v_all = u_all[order], v_all[order]
-    # CSR over oriented out-neighbors (degree-ordered ⇒ lists are O(sqrt m))
-    uniq_u, starts = np.unique(u_all, return_index=True)
-    bounds = np.append(starts, len(u_all))
-    adj_ref = ray.put((uniq_u, bounds, v_all))
+    csr_ref = _build_csr.remote(deg_ref, *oriented.to_arrow_refs())
 
     def intersect(t: pa.Table) -> pa.Table:
         if "u" not in t.column_names or len(t) == 0:
             return pa.table({"tri": pa.array([], _I64)})
-        cu, cb, cv = ray.get(adj_ref)
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        iu = np.searchsorted(cu, u)
-        iv = np.searchsorted(cu, v)
-        total = 0
-        n_u = len(cu)
-        for j in range(len(u)):
-            a = iu[j]
-            b = iv[j]
-            if a >= n_u or cu[a] != u[j] or b >= n_u or cu[b] != v[j]:
-                continue
-            total += len(
-                np.intersect1d(
-                    cv[cb[a] : cb[a + 1]], cv[cb[b] : cb[b + 1]], assume_unique=True
-                )
-            )
-        return pa.table({"tri": pa.array([total], _I64)})
+        sids, _ = ray.get(deg_ref)
+        bounds, nbrs, n = ray.get(csr_ref)
+        u = np.searchsorted(sids, t.column("u").to_numpy(zero_copy_only=False))
+        v = np.searchsorted(sids, t.column("v").to_numpy(zero_copy_only=False))
+        lens_u = bounds[u + 1] - bounds[u]
+        lens_v = bounds[v + 1] - bounds[v]
+        eid_a, A = _expand_segments(bounds[u], lens_u, nbrs)
+        eid_b, B = _expand_segments(bounds[v], lens_v, nbrs)
+        counts = _segmented_intersect_counts(eid_a, A, eid_b, B, len(t))
+        return pa.table({"tri": pa.array([int(counts.sum())], _I64)})
 
-    total = oriented.map_batches(intersect, batch_format="pyarrow").sum("tri")
+    total = oriented.map_batches(intersect, batch_format="pyarrow", batch_size=4096).sum("tri")
     return int(total) if total is not None else 0

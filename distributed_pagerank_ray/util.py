@@ -2,7 +2,78 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+_HASH_K = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci multiplier
+
+
+def _pack_pairs_block(t: pa.Table, col_a: str, col_b: str, S: int):
+    """One gather task body: distinct packed (a<<32)|b keys of a block,
+    split per shard (shard = multiplicative hash of the key — uniform
+    even when the raw key space is clustered)."""
+    if col_a not in t.column_names or len(t) == 0:
+        return [None] * S
+    a = t.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(a) and (
+        a.min() < 0 or b.min() < 0 or a.max() >= (1 << 31) or b.max() >= (1 << 31)
+    ):
+        raise ValueError("distinct_i64_pairs needs ids in [0, 2^31)")
+    with np.errstate(over="ignore"):
+        u = np.unique((a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64))
+        shard = ((u * _HASH_K) >> np.uint64(33)).astype(np.int64) % S
+    order = np.argsort(shard, kind="stable")
+    u, shard = u[order], shard[order]
+    out: list = [None] * S
+    for s in np.unique(shard):
+        lo, hi = np.searchsorted(shard, [s, s + 1])
+        out[int(s)] = u[lo:hi]
+    return out
+
+
+def distinct_i64_pairs(
+    ds, col_a: str, col_b: str, num_shards: int = 16, out_a: str | None = None, out_b: str | None = None
+):
+    """Distinct (a, b) int64 rows via the per-shard BSP combine: gather
+    tasks emit per-shard sorted unique packed keys (``num_returns=S``
+    routes each straight to its reducer), reducers unique-merge and
+    unpack. Replaces a two-column hash groupby whose AllToAll operator
+    costs ~20 s per 1M rows on this Ray version.
+
+    Requires both columns in [0, 2^31) (packed u64 key) — raises
+    ValueError otherwise; callers with wider ids must fall back to
+    ``groupby([a, b])``. Scale shape: reducer s holds only its distinct
+    keys (≈ total/S); size ``num_shards`` to the cluster. Duplicates of
+    one pair always land in one shard (hash of the full key).
+    """
+    import ray
+    import ray.data
+
+    S = num_shards
+    gather = ray.remote(_pack_pairs_block)
+    blocks = ds.materialize().to_arrow_refs()
+    oa, ob = out_a or col_a, out_b or col_b
+
+    @ray.remote
+    def reduce(*parts):
+        parts = [p for p in parts if p is not None]
+        u = (
+            np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                oa: pa.array((u >> np.uint64(32)).astype(np.int64)),
+                ob: pa.array((u & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            }
+        )
+
+    gathers = [gather.options(num_returns=S).remote(b, col_a, col_b, S) for b in blocks]
+    cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+    refs = [reduce.remote(*cols[s]) for s in range(S)]
+    # errors (id-range ValueError) surface when the dataset is consumed;
+    # callers wanting a groupby fallback catch RayTaskError at materialize
+    return ray.data.from_arrow_refs(refs)
 
 
 def compact_for_join(ds, num_partitions: int):
