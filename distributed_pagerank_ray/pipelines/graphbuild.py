@@ -155,6 +155,9 @@ class GraphTables:
         )
 
     def fingerprint(self) -> str:
+        # shard_rows is part of the identity: checkpoints are laid out
+        # per shard, so the same graph at a different shard_rows must
+        # not resume from the old run's iteration dirs
         payload = json.dumps(
             {
                 "n": self.n,
@@ -162,10 +165,44 @@ class GraphTables:
                 "m_lines": self.m_lines,
                 "outdegree_mode": self.semantics.outdegree_mode,
                 "dedup": self.semantics.dedup_in_links,
+                "shard_rows": self.shard_rows,
             },
             sort_keys=True,
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _done_payload(n: int, m: int, m_lines: int, shard_rows: int, semantics: GraphSemantics) -> dict:
+    return {
+        "n": n,
+        "m": m,
+        "m_lines": m_lines,
+        "shard_rows": shard_rows,
+        "outdegree_mode": semantics.outdegree_mode,
+        "dedup_in_links": semantics.dedup_in_links,
+    }
+
+
+def _tables_from_done(run_dir: str, meta: dict, fallback_shard_rows: int, fallback_sem: GraphSemantics) -> GraphTables:
+    """Cached-build return path: the on-disk artifacts were laid out with
+    the ORIGINAL shard_rows/semantics, so those come from _DONE.json —
+    NOT from the current call's RunConfig (a rerun with different
+    shard_rows would otherwise read wrong id ranges out of the shard
+    partitions). Falls back to the caller's values only for _DONE files
+    written before these fields existed."""
+    sem = GraphSemantics(
+        outdegree_mode=meta.get("outdegree_mode", fallback_sem.outdegree_mode),
+        dangling=fallback_sem.dangling,
+        dedup_in_links=meta.get("dedup_in_links", fallback_sem.dedup_in_links),
+    )
+    return GraphTables(
+        run_dir,
+        meta["n"],
+        meta["m"],
+        meta["m_lines"],
+        int(meta.get("shard_rows", fallback_shard_rows)),
+        sem,
+    )
 
 
 @ray.remote
@@ -243,9 +280,7 @@ def build_graph_dense(
     if os.path.exists(done):
         with open(done) as fh:
             meta = json.load(fh)
-        return GraphTables(
-            run_dir, meta["n"], meta["m"], meta["m_lines"], run_cfg.shard_rows, semantics
-        )
+        return _tables_from_done(run_dir, meta, run_cfg.shard_rows, semantics)
     os.makedirs(graph_dir, exist_ok=True)
     edges_mat = edges_raw.materialize() if presorted else edges_raw.sort("src").materialize()
     m = m_lines = edges_mat.count()
@@ -270,7 +305,7 @@ def build_graph_dense(
         batch_format="pyarrow",
     ).write_parquet(os.path.join(graph_dir, "vertex_map"))
     with open(done, "w") as fh:
-        json.dump({"n": n, "m": m, "m_lines": m_lines}, fh)
+        json.dump(_done_payload(n, m, m_lines, shard_rows, semantics), fh)
     return GraphTables(run_dir, n, m, m_lines, shard_rows, semantics)
 
 
@@ -300,9 +335,7 @@ def build_graph(
     if os.path.exists(done):
         with open(done) as fh:
             meta = json.load(fh)
-        return GraphTables(
-            run_dir, meta["n"], meta["m"], meta["m_lines"], run_cfg.shard_rows, semantics
-        )
+        return _tables_from_done(run_dir, meta, run_cfg.shard_rows, semantics)
     os.makedirs(graph_dir, exist_ok=True)
     P = run_cfg.num_partitions
 
@@ -397,5 +430,5 @@ def build_graph(
     )
 
     with open(done, "w") as fh:
-        json.dump({"n": n, "m": m, "m_lines": m_lines}, fh)
+        json.dump(_done_payload(n, m, m_lines, shard_rows, semantics), fh)
     return GraphTables(run_dir, n, m, m_lines, shard_rows, semantics)

@@ -207,21 +207,28 @@ def corpus_dir(scale: str, root: str = "/tmp/dpr_corpus", seed: int = 42) -> str
         pq.write_table(links, os.path.join(ldir, f"part-{idx:05d}.parquet"), row_group_size=row_group * 8)
 
     los = list(range(0, n_pages, PAGE_CHUNK))
+    use_ray = False
     try:  # parallel when a Ray session is up (chunks are independent)
         import ray
 
-        if ray.is_initialized() and len(los) > 1:
-            f = ray.remote(write_chunk)
-            ray.get([f.remote(i, lo) for i, lo in enumerate(los)])
-        else:
-            raise RuntimeError("no ray")
-    except Exception:
+        use_ray = ray.is_initialized() and len(los) > 1
+    except ImportError:
+        pass
+    if use_ray:  # generation errors propagate — only Ray ABSENCE falls back
+        f = ray.remote(write_chunk)
+        ray.get([f.remote(i, lo) for i, lo in enumerate(los)])
+    else:
         for i, lo in enumerate(los):
             write_chunk(i, lo)
-    os.makedirs(out, exist_ok=True)
-    for f2 in os.listdir(tmp):
-        os.replace(os.path.join(tmp, f2), os.path.join(out, f2))
-    os.rmdir(tmp)
+    # a prior run may have died after moving children out of .tmp but
+    # before _DONE: such a partial out dir would make os.replace fail
+    # with ENOTEMPTY on non-empty dir targets — clear it first (the
+    # regenerated .tmp is complete and deterministic)
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.replace(tmp, out)  # whole-dir atomic publish
     with open(done, "w") as fh:
         fh.write("ok")
     return out

@@ -67,6 +67,14 @@ def _load_shard(
         t = pq.read_table(shard_dir, columns=cols)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         vals = t.column(val_col).to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < lo or ids.max() >= lo + size):
+            # negative `ids - lo` would wrap silently and corrupt the
+            # vector — this fires when a checkpoint written under a
+            # different shard_rows layout is read back
+            raise ValueError(
+                f"shard {shard} at {path}: ids [{ids.min()}, {ids.max()}] outside "
+                f"[{lo}, {lo + size}) — checkpoint layout/shard_rows mismatch"
+            )
         out[ids - lo] = vals
         if sum_col:
             extra = float(t.column(sum_col).to_numpy(zero_copy_only=False).sum())

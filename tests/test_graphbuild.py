@@ -93,3 +93,43 @@ def test_build_graph_from_urls(tmp_path, tiny_corpus):
     verts = {v["id"]: v["out_degree"] for v in pq.read_table(g.vertices_path).to_pylist()}
     for url, cnt in want.items():
         assert verts[url2id[url]] == cnt
+
+
+def test_cached_build_preserves_shard_rows(tmp_path):
+    """A rerun with a DIFFERENT RunConfig.shard_rows must come back with
+    the layout the artifacts were actually written with (_DONE.json),
+    not the caller's value — wrong shard_rows would silently corrupt
+    dense vectors loaded from the shard partitions."""
+    src = [0, 1, 2, 3, 4]
+    dst = [1, 2, 3, 4, 0]
+    run = str(tmp_path / "run")
+    g1 = build_graph(
+        _links_ds(src, dst), run, src_col="src", dst_col="dst", mint=False,
+        run_cfg=RunConfig(num_partitions=2, shard_rows=2),
+    )
+    assert g1.shard_rows == 2
+    g2 = build_graph(
+        _links_ds(src, dst), run, src_col="src", dst_col="dst", mint=False,
+        run_cfg=RunConfig(num_partitions=2, shard_rows=4),  # different!
+    )
+    assert g2.shard_rows == 2  # from _DONE.json, not the new RunConfig
+    assert g2.fingerprint() == g1.fingerprint()
+    # and the weight vector reads back correctly through the cached handle
+    np.testing.assert_allclose(g2.weight_shards().to_numpy(), np.ones(5))
+
+
+def test_load_shard_rejects_wrong_layout(tmp_path):
+    """Reading shard partitions with a mismatched shard_rows raises
+    instead of wrapping ids negative and corrupting the vector."""
+    import ray
+
+    from distributed_pagerank_ray.state.shards import ShardedVector
+
+    src = [0, 1, 2, 3, 4]
+    dst = [1, 2, 3, 4, 0]
+    g = build_graph(
+        _links_ds(src, dst), str(tmp_path / "run"), src_col="src", dst_col="dst",
+        mint=False, run_cfg=RunConfig(num_partitions=2, shard_rows=2),
+    )
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        ShardedVector.from_parquet(g.vertices_path, g.n, 4, "id", "inv_out").to_numpy()
