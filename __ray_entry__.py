@@ -181,6 +181,117 @@ def _g_cc_org(sf_dir):
     return j2.map_batches(p2, batch_format="pyarrow")
 
 
+def _g_lpa_org(sf_dir):
+    """Deterministic synchronous LPA (ties → smallest label) on the
+    region→nation→supplier graph, exactly ``max_iters=5`` sweeps (early
+    stop happens only at a fixpoint, which the unrolled 5-step SQL
+    oracle reproduces identically). Minting preserves numeric key order,
+    so minted-label tie-breaks map 1:1 onto raw-id tie-breaks."""
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.lpa import label_propagation
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+    from distributed_pagerank_ray.util import compact_for_join
+
+    run_dir = tempfile.mkdtemp(prefix="dpr_lpaorg_")
+    g = build_graph(
+        org_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    res = label_propagation(g, max_iters=5)
+    labels = res.labels()
+    vmap = g.vertex_map()
+
+    j1 = compact_for_join(labels, 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("id",), right_on=("id",)
+    )
+
+    def p1(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        return pa.table({"vid": t.column("key"), "label": t.column("label")})
+
+    j2 = compact_for_join(j1.map_batches(p1, batch_format="pyarrow"), 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("label",), right_on=("id",)
+    )
+
+    def p2(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"id": pa.array([], pa.int64()), "community": pa.array([], pa.int64())})
+        return pa.table({"id": t.column("vid"), "community": t.column("key")})
+
+    return j2.map_batches(p2, batch_format="pyarrow")
+
+
+def _x_extract_corpus(sf_dir):
+    """Extraction pipeline in the gate (rows-only: the corpus is the
+    engine's own deterministic generator, not a testdata table): run the
+    REAL actor-pool stages over the small corpus and verify per page
+    that (a) extracted text is byte-identical to the golden ``text``
+    column and (b) the anchor-line count matches the golden links table.
+    Raises on any mismatch; returns per-page (url, n_links, text_ok,
+    links_ok)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from distributed_pagerank_ray.sources.corpus import corpus_dir
+    from distributed_pagerank_ray.stages.extract import extract_text
+    from distributed_pagerank_ray.util import compact_for_join, ensure_schema
+
+    corpus = corpus_dir("small")
+    P = 4
+    pages = ray.data.read_parquet(f"{corpus}/pages.parquet", columns=["url", "html"])
+    txt = extract_text(pages, concurrency=4)  # (url, text, n_links)
+    golden = ray.data.read_parquet(f"{corpus}/pages.parquet", columns=["url", "text"]).map_batches(
+        lambda t: pa.table({"gurl": t.column("url"), "golden": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    gl = (
+        ray.data.read_parquet(f"{corpus}/links.parquet", columns=["src_url"])
+        .groupby("src_url")
+        .aggregate(Count(alias_name="n_golden"))
+        .map_batches(
+            ensure_schema({"src_url": pa.string(), "n_golden": pa.int64()}),
+            batch_format="pyarrow",
+        )
+    )
+    j1 = compact_for_join(txt, P).join(
+        compact_for_join(golden, P), join_type="inner", num_partitions=P,
+        on=("url",), right_on=("gurl",),
+    )
+    # left join would keep dangling pages (no links rows) — Ray join
+    # left_outer fills null; n_golden null => 0
+    j2 = compact_for_join(j1, P).join(
+        compact_for_join(gl, P), join_type="left_outer", num_partitions=P,
+        on=("url",), right_on=("src_url",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "url" not in t.column_names:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "n_links": pa.array([], pa.int64()),
+                    "text_ok": pa.array([], pa.bool_()),
+                    "links_ok": pa.array([], pa.bool_()),
+                }
+            )
+        text_ok = pc.equal(t.column("text"), t.column("golden"))
+        n_links = t.column("n_links").cast(pa.int64())
+        n_golden = pc.fill_null(t.column("n_golden").cast(pa.int64()), 0)
+        links_ok = pc.equal(n_links, n_golden)
+        if not (pc.all(text_ok).as_py() and pc.all(links_ok).as_py()):
+            bad = t.filter(pc.invert(pc.and_(text_ok, links_ok))).column("url").to_pylist()[:3]
+            raise AssertionError(f"extraction mismatch vs golden corpus, e.g. {bad}")
+        return pa.table(
+            {"url": t.column("url"), "n_links": n_links, "text_ok": text_ok, "links_ok": links_ok}
+        )
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
 def _g_triangles_parts(sf_dir):
     import ray.data
 
@@ -390,13 +501,21 @@ def _e_dup_pairs(sf_dir):
 
 
 def _e_approx_users(sf_dir):
+    """HLL sketch WITH a real oracle: the query returns the exact
+    distinct count (computed distributed — groupby row count) plus
+    ``hll_ok`` = sketch estimate within ±5% of it. The SQL twin
+    verifies the exact count AND expects hll_ok=true, so a broken
+    sketch (or a broken exact path) turns the cell red."""
     import ray.data
+    from ray.data.aggregate import Count
 
     from distributed_pagerank_ray.functions.sketches import approx_distinct
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    return ray.data.from_items([{"approx_users": float(round(est, 1))}])
+    exact = ds.groupby("user_id").aggregate(Count(alias_name="_n")).count()
+    ok = abs(est - exact) <= 0.05 * max(exact, 1)
+    return ray.data.from_items([{"exact_users": int(exact), "hll_ok": bool(ok)}])
 
 
 def _r_events_stats(sf_dir):
@@ -527,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_in_degree_top20": _g_in_degree_top20,
         "g_vertex_count": _g_vertex_count,
         "g_cc_org": _g_cc_org,
+        "g_lpa_org": _g_lpa_org,
         "g_triangles_parts": _g_triangles_parts,
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only (iterative)
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
@@ -547,12 +667,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_minhash_pairs": _t_minhash_pairs,  # rows-only (sketch)
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only (sketch)
         "t_winnow_fp": _t_winnow,  # rows-only (custom hash)
-        "t_lang_id": _t_lang_id,  # rows-only (heuristic model)
+        "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
         "e_knn": _e_knn,
         "e_dup_pairs": _e_dup_pairs,
-        "e_approx_users": _e_approx_users,  # rows-only (sketch estimate)
+        "e_approx_users": _e_approx_users,  # exact count SQL-checked + in-query ±5% sketch gate
         "r_events_stats": _r_events_stats,
+        "x_extract_corpus": _x_extract_corpus,  # rows-only (corpus is engine-internal)
     }
 
 
@@ -579,8 +700,68 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id)
 """
 
 
+def _lpa_org_sql(iters: int = 5) -> str:
+    """Unrolled synchronous LPA on the org graph: per sweep every vertex
+    adopts its neighbors' most frequent PREVIOUS-sweep label (ties →
+    smallest label; no neighbors → keep own). Must match
+    pipelines/lpa.py's reduce semantics sweep for sweep."""
+    parts = [
+        """WITH e AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), verts AS (
+  SELECT DISTINCT src AS id FROM sym
+), r0 AS (SELECT id, id AS label FROM verts)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", c{k} AS (
+  SELECT s.src AS id, l.label, count(*) AS c
+  FROM sym s JOIN r{k - 1} l ON l.id = s.dst GROUP BY s.src, l.label
+), r{k} AS (
+  SELECT p.id, coalesce(w.label, p.label) AS label
+  FROM r{k - 1} p LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+      FROM c{k}) WHERE rn = 1
+  ) w ON w.id = p.id
+)"""
+        )
+    parts.append(f"\nSELECT id, label AS community FROM r{iters}")
+    return "".join(parts)
+
+
+def _lang_id_sql() -> str:
+    from distributed_pagerank_ray.functions.textstats import _EN_STOP, _IT_STOP
+
+    en = ", ".join(f"'{w}'" for w in sorted(_EN_STOP))
+    it = ", ".join(f"'{w}'" for w in sorted(_IT_STOP))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ú]+')) AS w FROM documents
+), v AS (
+  SELECT doc_id,
+         sum(CASE WHEN w IN ({en}) THEN 1 ELSE 0 END) AS en,
+         sum(CASE WHEN w IN ({it}) THEN 1 ELSE 0 END) AS it
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN v.doc_id IS NULL OR (v.en = 0 AND v.it = 0) THEN 'und'
+            WHEN v.en >= v.it THEN 'en' ELSE 'it' END AS lang_pred
+FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "g_lpa_org": _lpa_org_sql(5),
+        "t_lang_id": _lang_id_sql(),
+        "e_approx_users": (
+            "SELECT count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok FROM events"
+        ),
         "g_edges": f"SELECT src, dst FROM ({_EDGES_CTE})",
         "g_out_degree": f"SELECT src, count(*) AS out_degree FROM ({_EDGES_CTE}) GROUP BY src",
         "g_in_degree_top20": (
