@@ -119,3 +119,92 @@ def test_config_change_invalidates_resume(tmp_path, golden_graphs):
     assert r2.iterations >= 1
     want_sum = r2.ranks_numpy(shard_rows=3).sum()
     assert abs(want_sum - 1.0) < 1e-9
+
+
+def test_resume_after_real_sigkill(tmp_path):
+    """Literal SIGKILL mid-run (SURVEY §8): a child process running
+    PageRank is killed -9 after ≥2 durable iterations; rerunning the
+    same command resumes from manifest.json (pre-kill iteration dirs
+    are NOT rewritten) and finishes; ranks match an uninterrupted run."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    V, E = 400_000, 4_000_000
+    rng = np.random.default_rng(7)
+    edges = tmp_path / "edges.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(np.sort(rng.integers(0, V, E)).astype(np.int64)),
+                "dst": pa.array(rng.integers(0, V, E).astype(np.int64)),
+            }
+        ),
+        str(edges),
+    )
+    child = os.path.join(os.path.dirname(__file__), "sigkill_child.py")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(child)))
+    env = dict(os.environ, PYTHONPATH=repo, RAY_ADDRESS="")
+    run_a = str(tmp_path / "killed")
+
+    def spawn(run_dir, max_iters):
+        return subprocess.Popen(
+            [_sys.executable, child, str(edges), str(V), run_dir, str(max_iters)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+
+    p = spawn(run_a, 500)  # far more iterations than we let it live
+    manifest = os.path.join(run_a, "manifest.json")
+    deadline = time.time() + 240
+    k0 = None
+    while time.time() < deadline:
+        if os.path.exists(manifest):
+            try:
+                with open(manifest) as fh:
+                    k0 = json.load(fh).get("completed_iter", 0)
+            except (json.JSONDecodeError, OSError):
+                k0 = None  # mid-rewrite
+            if k0 is not None and k0 >= 2:
+                break
+        assert p.poll() is None, "child exited before it could be killed"
+        time.sleep(0.05)
+    assert k0 is not None and k0 >= 2, "child never reached iteration 2"
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    kill_time = time.time()
+    pre_kill_iter = os.path.join(run_a, "iter_0001")
+    pre_kill_mtime = os.path.getmtime(pre_kill_iter)
+
+    total_iters = max(10, k0 + 5)
+    p2 = spawn(run_a, total_iters)  # same command again -> must resume
+    out, _ = p2.communicate(timeout=240)
+    assert p2.returncode == 0, out
+    assert f"iters={total_iters}" in out
+    # resume proof: the pre-kill iteration dir was reused, not rewritten
+    assert os.path.getmtime(pre_kill_iter) == pre_kill_mtime
+    assert os.path.getmtime(pre_kill_iter) < kill_time
+
+    run_b = str(tmp_path / "clean")
+    p3 = spawn(run_b, total_iters)
+    out3, _ = p3.communicate(timeout=240)
+    assert p3.returncode == 0, out3
+
+    import pyarrow.dataset as pads
+
+    def final_ranks(run_dir):
+        t = pads.dataset(os.path.join(run_dir, "final", "ranks")).to_table(
+            columns=["id", "rank"]
+        )
+        order = np.argsort(t.column("id").to_numpy(zero_copy_only=False))
+        return t.column("rank").to_numpy(zero_copy_only=False)[order]
+
+    a, b = final_ranks(run_a), final_ranks(run_b)
+    assert len(a) == V == len(b)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
