@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from ..util import compact_for_join, ensure_schema
 
@@ -148,6 +148,11 @@ def exact_dedup_groups(
 # ---------------------------------------------------------------- n-gram jaccard (exact)
 
 def _shingle_rows(ds, id_col, text_col, k, mode="char"):
+    """(sh, doc, size) rows: one row per distinct shingle per doc, with
+    the doc's distinct-shingle count attached to every row — each doc
+    lives wholly inside one batch, so sizes need NO shuffle or join
+    downstream (they ride along into the pair-count reducers)."""
+
     def explode(batch: pa.Table) -> pa.Table:
         per_doc = shingle_hashes_batch(batch.column(text_col).to_pylist(), k, mode)
         dids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -158,10 +163,130 @@ def _shingle_rows(ds, id_col, text_col, k, mode="char"):
             else np.zeros(0, dtype=np.int64)
         )
         return pa.table(
-            {"sh": pa.array(sh), "doc": pa.array(np.repeat(dids, counts))}
+            {
+                "sh": pa.array(sh),
+                "doc": pa.array(np.repeat(dids, counts)),
+                "size": pa.array(np.repeat(counts, counts)),
+            }
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _pair_count_block(t: pa.Table, S: int):
+    """Gather body for the pair-count BSP: per-block partial counts per
+    packed pair key, sizes carried from the first occurrence."""
+    if "pk" not in t.column_names or len(t) == 0:
+        return [None] * S
+    pk = t.column("pk").to_numpy(zero_copy_only=False)
+    u, idx, c = np.unique(pk, return_index=True, return_counts=True)
+    sa = t.column("sa").to_numpy(zero_copy_only=False)[idx]
+    sb = t.column("sb").to_numpy(zero_copy_only=False)[idx]
+    with np.errstate(over="ignore"):
+        shard = (
+            (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ).astype(np.int64) % S
+    order = np.argsort(shard, kind="stable")
+    u, c, sa, sb, shard = u[order], c[order], sa[order], sb[order], shard[order]
+    out: list = [None] * S
+    for s in np.unique(shard):
+        lo, hi = np.searchsorted(shard, [s, s + 1])
+        out[int(s)] = (u[lo:hi], c[lo:hi], sa[lo:hi], sb[lo:hi])
+    return out
+
+
+def _pair_intersections(
+    rows, num_partitions: int, threshold: float, num_shards: int = 16
+):
+    """rows(sh, doc, size) → (a, b, inter, size_a, size_b) for every
+    pair with Jaccard >= threshold.
+
+    Shape: one Acero self-join on the shingle hash generates the
+    co-occurrence stream (a pair can only have jaccard > 0 by sharing a
+    shingle, so this is lossless), then a per-shard BSP combine sums
+    per-pair counts and applies the threshold INSIDE the reducers — no
+    per-group map_groups (~200k tiny pandas groups on a 5k-doc corpus
+    was the round-1 tail) and no sizes joins (sizes ride on the rows).
+    Doc ids must fit [0, 2^31) for the packed pair key."""
+    import ray
+    import ray.data
+
+    P = num_partitions
+    left = compact_for_join(
+        rows.map_batches(
+            lambda t: pa.table(
+                {"sh": t.column("sh"), "a": t.column("doc"), "sa": t.column("size")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    right = compact_for_join(
+        rows.map_batches(
+            lambda t: pa.table(
+                {"sh2": t.column("sh"), "b": t.column("doc"), "sb": t.column("size")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    j = left.join(right, join_type="inner", num_partitions=P, on=("sh",), right_on=("sh2",))
+
+    def keep(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], _I64) for c in ["pk", "sa", "sb"]}
+            )
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = a < b
+        if len(a) and (a.min() < 0 or b.min() < 0 or max(a.max(), b.max()) >= (1 << 31)):
+            raise ValueError("pair BSP needs doc ids in [0, 2^31)")
+        return pa.table(
+            {
+                "pk": pa.array((a[m] << np.int64(32)) | b[m]),
+                "sa": t.column("sa").filter(pa.array(m)),
+                "sb": t.column("sb").filter(pa.array(m)),
+            }
+        )
+
+    packed = j.map_batches(keep, batch_format="pyarrow")
+    S = num_shards
+    thr = threshold
+    gather = ray.remote(_pair_count_block)
+    blocks = packed.materialize().to_arrow_refs()
+
+    @ray.remote
+    def reduce(*parts):
+        cols = ["a", "b", "inter", "size_a", "size_b"]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return pa.table({c: pa.array([], _I64) for c in cols})
+        keys = np.concatenate([p[0] for p in parts])
+        cnts = np.concatenate([p[1] for p in parts])
+        sas = np.concatenate([p[2] for p in parts])
+        sbs = np.concatenate([p[3] for p in parts])
+        u, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=cnts.astype(np.float64), minlength=len(u)).astype(np.int64)
+        first = np.full(len(u), len(keys), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(keys), dtype=np.int64))
+        sa_u = sas[first]
+        sb_u = sbs[first]
+        jac = tot / (sa_u + sb_u - tot)
+        m = jac >= thr
+        return pa.table(
+            {
+                "a": pa.array(u[m] >> np.int64(32)),
+                "b": pa.array(u[m] & np.int64(0xFFFFFFFF)),
+                "inter": pa.array(tot[m]),
+                "size_a": pa.array(sa_u[m]),
+                "size_b": pa.array(sb_u[m]),
+            }
+        )
+
+    gathers = [gather.options(num_returns=S).remote(b, S) for b in blocks]
+    cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+    return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 
 
 def ngram_jaccard_pairs(
@@ -178,79 +303,35 @@ def ngram_jaccard_pairs(
 
     Columns: (a, b, inter, size_a, size_b) — jaccard = inter /
     (size_a + size_b - inter); integers only so oracle comparison is
-    exact. ``max_df=None`` keeps every shingle (exact result).
+    exact. ``max_df=None`` keeps every shingle (exact result);
+    ``max_df=N`` drops shingles appearing in > N docs (documented
+    approximation for web-scale stopword shingles).
     ``mode``: 'char' (k chars) or 'word' (k-word n-grams).
     """
     rows = _shingle_rows(ds, id_col, text_col, k, mode).materialize()
+    if max_df is not None:
+        rows = _drop_frequent_shingles(rows, max_df)
+    return _pair_intersections(rows, num_partitions, threshold)
 
-    # per-doc distinct shingle counts
-    sizes = (
-        rows.groupby("doc")
-        .aggregate(Count(alias_name="size"))
-        .map_batches(ensure_schema({"doc": _I64, "size": _I64}), batch_format="pyarrow")
-    )
 
-    # pairs per shingle bucket (optionally drop ubiquitous shingles)
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(g["doc"].to_numpy(dtype=np.int64))
-        if max_df is not None and len(docs) > max_df:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+def _drop_frequent_shingles(rows, max_df: int):
+    """Filter out shingles whose document frequency exceeds ``max_df``:
+    df via the count BSP, banned set broadcast (it is small by
+    definition — only ubiquitous shingles cross a sane max_df)."""
+    from ..util import count_i64_keys, semi_join_filter
 
-    inter = (
-        rows.groupby("sh")
-        .map_groups(pairs, batch_format="pandas")
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column("one", pa.array(np.ones(len(t), dtype=np.int64))),
-            batch_format="pyarrow",
+    df = count_i64_keys(rows, "sh")
+    banned_parts = []
+    for b in df.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        import pyarrow.compute as pc
+
+        banned_parts.append(
+            b.column("sh").filter(pc.greater(b.column("cnt"), max_df)).to_numpy(zero_copy_only=False)
         )
-        .groupby(["a", "b"])
-        .aggregate(Sum("one", alias_name="inter"))
-        .map_batches(ensure_schema({"a": _I64, "b": _I64, "inter": _I64}), batch_format="pyarrow")
-    )
-
-    inter = compact_for_join(inter, num_partitions)
-    sizes = compact_for_join(sizes, num_partitions)
-    j1 = inter.join(sizes, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc",))
-
-    def _p1(t: pa.Table) -> pa.Table:
-        if "a" not in t.column_names:
-            return pa.table(
-                {c: pa.array([], _I64) for c in ["a", "b", "inter", "size_a"]}
-            )
-        return pa.table(
-            {"a": t.column("a"), "b": t.column("b"), "inter": t.column("inter"), "size_a": t.column("size")}
-        )
-
-    j1 = compact_for_join(j1.map_batches(_p1, batch_format="pyarrow"), num_partitions)
-    j2 = j1.join(sizes, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc",))
-
-    thr = threshold
-
-    def _final(t: pa.Table) -> pa.Table:
-        cols = ["a", "b", "inter", "size_a", "size_b"]
-        if "a" not in t.column_names:
-            return pa.table({c: pa.array([], _I64) for c in cols})
-        inter_v = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = t.column("size_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        sb = t.column("size").to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = inter_v / (sa + sb - inter_v)
-        keep = jac >= thr
-        return pa.table(
-            {
-                "a": t.column("a").filter(pa.array(keep)),
-                "b": t.column("b").filter(pa.array(keep)),
-                "inter": t.column("inter").filter(pa.array(keep)),
-                "size_a": t.column("size_a").filter(pa.array(keep)),
-                "size_b": pa.array(sb[keep].astype(np.int64)),
-            }
-        )
-
-    return j2.map_batches(_final, batch_format="pyarrow")
+    banned = np.concatenate(banned_parts) if banned_parts else np.zeros(0, dtype=np.int64)
+    if len(banned) == 0:
+        return rows
+    return semi_join_filter(rows, "sh", banned, keep=False)
 
 
 # ---------------------------------------------------------------- minhash + lsh
@@ -342,22 +423,44 @@ def minhash_lsh_candidates(
 
     buckets = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(g["doc"].to_numpy(dtype=np.int64))
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ia], "b": docs[ib]})
+    # pairs per (band, bucket) via a two-key Acero self-join (buckets are
+    # small by LSH construction, so the quadratic blow-up is bounded),
+    # deduped across bands with the distinct-pair BSP — no per-bucket
+    # map_groups (tens of thousands of tiny pandas groups).
+    from ..util import distinct_i64_pairs
 
-    cand = (
-        buckets.groupby(["band", "bh"])
-        .map_groups(pairs, batch_format="pandas")
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
+    P = 8
+    left = compact_for_join(
+        buckets.map_batches(
+            lambda t: pa.table(
+                {"band": t.column("band"), "bh": t.column("bh"), "a": t.column("doc")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
     )
-    return cand
+    right = compact_for_join(
+        buckets.map_batches(
+            lambda t: pa.table(
+                {"band2": t.column("band"), "bh2": t.column("bh"), "b": t.column("doc")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    j = left.join(
+        right, join_type="inner", num_partitions=P, on=("band", "bh"), right_on=("band2", "bh2")
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names or len(t) == 0:
+            return pa.table({"a": pa.array([], _I64), "b": pa.array([], _I64)})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m])})
+
+    return distinct_i64_pairs(j.map_batches(keep, batch_format="pyarrow"), "a", "b")
 
 
 def minhash_lsh_dedup_pairs(
@@ -370,115 +473,42 @@ def minhash_lsh_dedup_pairs(
 ) -> "ray.data.Dataset":
     """LSH candidates verified by exact Jaccard >= threshold.
 
-    Returns (a, b, inter, size_a, size_b). Verification joins the
-    candidate pairs back to the shingle-set sizes / intersections —
-    computed only for candidate docs, not all pairs.
-    """
+    Returns (a, b, inter, size_a, size_b): the threshold-filtered
+    pair-intersection table (same BSP machinery as
+    ``ngram_jaccard_pairs``) inner-joined to the LSH candidate set —
+    only pairs that both clear the exact threshold AND collided in at
+    least one band survive."""
     k = lsh_kw.get("k", 5)
     mode = lsh_kw.get("mode", "char")
-    cand = compact_for_join(
-        minhash_lsh_candidates(ds, id_col, text_col, **lsh_kw), num_partitions
-    )
+    cand = minhash_lsh_candidates(ds, id_col, text_col, **lsh_kw)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names or len(t) == 0:
+            return pa.table({"ca": pa.array([], _I64), "cb": pa.array([], _I64)})
+        return pa.table({"ca": t.column("a"), "cb": t.column("b")})
+
+    cand = compact_for_join(cand.map_batches(_rename, batch_format="pyarrow"), num_partitions)
     if cand.count() == 0:
-        return cand
+        empty = {c: pa.array([], _I64) for c in ["a", "b", "inter", "size_a", "size_b"]}
+        import ray.data as _rd
 
-    # restrict shingle rows to candidate docs via semi-join (broadcastable
-    # doc set would be the scale path; here an inner join keeps it exact)
+        return _rd.from_arrow(pa.table(empty))
+
     rows = _shingle_rows(ds, id_col, text_col, k, mode).materialize()
-    sizes = (
-        rows.groupby("doc")
-        .aggregate(Count(alias_name="size"))
-        .map_batches(ensure_schema({"doc": _I64, "size": _I64}), batch_format="pyarrow")
+    pairs_all = compact_for_join(
+        _pair_intersections(rows, num_partitions, threshold), num_partitions
     )
-    sizes = compact_for_join(sizes, num_partitions)
-
-    j1 = cand.join(sizes, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc",))
-
-    def _p1(t: pa.Table) -> pa.Table:
-        if "a" not in t.column_names:
-            return pa.table({c: pa.array([], _I64) for c in ["a", "b", "size_a"]})
-        return pa.table({"a": t.column("a"), "b": t.column("b"), "size_a": t.column("size")})
-
-    j1 = compact_for_join(j1.map_batches(_p1, batch_format="pyarrow"), num_partitions)
-    j2 = j1.join(sizes, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc",))
-
-    def _p2(t: pa.Table) -> pa.Table:
-        if "a" not in t.column_names:
-            return pa.table({c: pa.array([], _I64) for c in ["a", "b", "size_a", "size_b"]})
-        return pa.table(
-            {"a": t.column("a"), "b": t.column("b"), "size_a": t.column("size_a"), "size_b": t.column("size")}
-        )
-
-    pairs_sized = compact_for_join(j2.map_batches(_p2, batch_format="pyarrow"), num_partitions)
-
-    # intersection counts for candidate pairs only: shingle-bucket pairs
-    # filtered to the candidate set via join
-    inter_all = (
-        rows.groupby("sh")
-        .map_groups(
-            lambda g: (
-                lambda docs: pd.DataFrame(
-                    {
-                        "a": docs[np.triu_indices(len(docs), k=1)[0]],
-                        "b": docs[np.triu_indices(len(docs), k=1)[1]],
-                    }
-                )
-                if len(docs) >= 2
-                else pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-            )(np.sort(np.unique(g["doc"].to_numpy(dtype=np.int64)))),
-            batch_format="pandas",
-        )
-        .map_batches(ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column("one", pa.array(np.ones(len(t), dtype=np.int64))),
-            batch_format="pyarrow",
-        )
-        .groupby(["a", "b"])
-        .aggregate(Sum("one", alias_name="inter"))
-        .map_batches(ensure_schema({"a": _I64, "b": _I64, "inter": _I64}), batch_format="pyarrow")
+    j = pairs_all.join(
+        cand, join_type="inner", num_partitions=num_partitions, on=("a", "b"), right_on=("ca", "cb")
     )
-    inter_all = compact_for_join(inter_all, num_partitions)
-
-    # key candidates and intersections on a packed pair key for one join
-    def packkey(t: pa.Table, keep_cols) -> pa.Table:
-        if "a" not in t.column_names:
-            return pa.table(
-                {"pk": pa.array([], _I64), **{c: pa.array([], _I64) for c in keep_cols}}
-            )
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        pk = (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)  # ids < 2**31
-        cols = {"pk": pa.array(pk)}
-        for c in keep_cols:
-            cols[c] = t.column(c)
-        return pa.table(cols)
-
-    left = compact_for_join(
-        pairs_sized.map_batches(lambda t: packkey(t, ["a", "b", "size_a", "size_b"]), batch_format="pyarrow"),
-        num_partitions,
-    )
-    right = compact_for_join(
-        inter_all.map_batches(lambda t: packkey(t, ["inter"]), batch_format="pyarrow"),
-        num_partitions,
-    )
-    joined = left.join(
-        right, join_type="inner", num_partitions=num_partitions, on=("pk",), right_on=("pk",)
-    )
-
-    thr = threshold
 
     def _final(t: pa.Table) -> pa.Table:
         cols = ["a", "b", "inter", "size_a", "size_b"]
         if "a" not in t.column_names:
             return pa.table({c: pa.array([], _I64) for c in cols})
-        inter_v = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = t.column("size_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        sb = t.column("size_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = inter_v / (sa + sb - inter_v)
-        keep = pa.array(jac >= thr)
-        return pa.table({c: t.column(c).filter(keep) for c in cols})
+        return pa.table({c: t.column(c) for c in cols})
 
-    return joined.map_batches(_final, batch_format="pyarrow")
+    return j.map_batches(_final, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash

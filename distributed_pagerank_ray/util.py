@@ -76,6 +76,52 @@ def distinct_i64_pairs(
     return ray.data.from_arrow_refs(refs)
 
 
+def _count_keys_block(t: pa.Table, col: str, S: int):
+    """Gather body for count_i64_keys: per-block (key, count) partials
+    split per shard by multiplicative hash."""
+    if col not in t.column_names or len(t) == 0:
+        return [None] * S
+    v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    u, c = np.unique(v, return_counts=True)
+    with np.errstate(over="ignore"):
+        shard = ((u.astype(np.uint64) * _HASH_K) >> np.uint64(33)).astype(np.int64) % S
+    order = np.argsort(shard, kind="stable")
+    u, c, shard = u[order], c[order], shard[order]
+    out: list = [None] * S
+    for s in np.unique(shard):
+        lo, hi = np.searchsorted(shard, [s, s + 1])
+        out[int(s)] = (u[lo:hi], c[lo:hi])
+    return out
+
+
+def count_i64_keys(ds, col: str, num_shards: int = 16, count_col: str = "cnt"):
+    """(key, count) per distinct int64 key — the per-shard BSP combine
+    replacement for ``groupby(col).count()`` (partial counts per block,
+    ``num_returns=S`` routing, merge-sum reducers). All values of one
+    key land in one reducer; size num_shards to the cluster."""
+    import ray
+    import ray.data
+
+    S = num_shards
+    gather = ray.remote(_count_keys_block)
+    blocks = ds.materialize().to_arrow_refs()
+
+    @ray.remote
+    def reduce(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return pa.table({col: pa.array([], pa.int64()), count_col: pa.array([], pa.int64())})
+        keys = np.concatenate([p[0] for p in parts])
+        cnts = np.concatenate([p[1] for p in parts])
+        u, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=cnts.astype(np.float64), minlength=len(u)).astype(np.int64)
+        return pa.table({col: pa.array(u), count_col: pa.array(tot)})
+
+    gathers = [gather.options(num_returns=S).remote(b, col, S) for b in blocks]
+    cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+    return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
+
+
 def compact_for_join(ds, num_partitions: int):
     """Compact a Dataset so Dataset.join can consume it.
 
