@@ -86,41 +86,23 @@ def _g_edges(sf_dir):
 
 
 def _g_out_degree(sf_dir):
-    from ray.data.aggregate import Count
+    from distributed_pagerank_ray.util import count_i64_keys
 
-    from distributed_pagerank_ray.util import ensure_schema
-
-    return (
-        _g_edges(sf_dir)
-        .groupby("src")
-        .aggregate(Count(alias_name="out_degree"))
-        .map_batches(
-            ensure_schema({"src": pa.int64(), "out_degree": pa.int64()}), batch_format="pyarrow"
-        )
-    )
+    return count_i64_keys(_g_edges(sf_dir), "src", count_col="out_degree")
 
 
 def _g_in_degree_top20(sf_dir):
-    from ray.data.aggregate import Count
-
-    from distributed_pagerank_ray.util import ensure_schema
+    from distributed_pagerank_ray.util import count_i64_keys
 
     return (
-        _g_edges(sf_dir)
-        .groupby("dst")
-        .aggregate(Count(alias_name="in_degree"))
-        .map_batches(
-            ensure_schema({"dst": pa.int64(), "in_degree": pa.int64()}), batch_format="pyarrow"
-        )
+        count_i64_keys(_g_edges(sf_dir), "dst", count_col="in_degree")
         .sort(["in_degree", "dst"], descending=[True, False])
         .limit(20)
     )
 
 
 def _g_vertex_count(sf_dir):
-    from ray.data.aggregate import Count
-
-    from distributed_pagerank_ray.util import ensure_schema
+    from distributed_pagerank_ray.util import count_i64_keys
 
     edges = _g_edges(sf_dir)
 
@@ -129,14 +111,7 @@ def _g_vertex_count(sf_dir):
             lambda t, c=col: pa.table({"v": t.column(c)}), batch_format="pyarrow"
         )
 
-    distinct = (
-        side("src")
-        .union(side("dst"))
-        .groupby("v")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(ensure_schema({"v": pa.int64()}), batch_format="pyarrow")
-    )
-    n = distinct.count()
+    n = count_i64_keys(side("src").union(side("dst")), "v").count()
     import ray.data
 
     return ray.data.from_items([{"n_vertices": int(n)}])

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from ..config import GraphSemantics, RunConfig
 from ..state.shards import SHARD_COL, ShardedVector, add_shard_column
@@ -374,59 +374,42 @@ def build_graph(
     edges_raw = edges_raw.materialize()
     m_lines = edges_raw.count()
 
-    # distinct edges (in-link dedup, graph.go:77)
-    edges_distinct = (
-        edges_raw.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
-    )
-    deg_input = edges_raw if semantics.outdegree_mode == "line_count" else edges_distinct
-    out_deg = deg_input.groupby("src").aggregate(Count(alias_name="out_degree"))
+    # distinct edges (in-link dedup, graph.go:77) — per-shard BSP combine
+    # when ids fit the packed key (post-mint ids are dense < n), else the
+    # hash-groupby fallback (Ray's 2-col AllToAll aggregate is slow here)
+    from ray.exceptions import RayTaskError
+
+    from ..util import distinct_i64_pairs
+
+    try:
+        edges_distinct = distinct_i64_pairs(edges_raw, "src", "dst").materialize()
+    except (RayTaskError, ValueError):
+        edges_distinct = (
+            edges_raw.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+        )
 
     edges_final = (edges_distinct if semantics.dedup_in_links else edges_raw).sort("src")
     edges_final = edges_final.materialize()
     m = edges_final.count()
     edges_final.write_parquet(os.path.join(graph_dir, "edges"))
 
-    # vertices: every id with its degree (0 ⇒ dangling), via union-aggregate
-    # (a join expressed as union + groupby-sum: one shuffle, no broadcast)
-    def _vm_zero(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"id": t.column("id"), "deg": pa.array(np.zeros(len(t), dtype=np.int64))}
-        )
-
-    def _deg(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "id": t.column("src"),
-                "deg": t.column("out_degree").cast(pa.int64()),
-            }
-        )
-
-    base = vmap.map_batches(_vm_zero, batch_format="pyarrow").union(
-        out_deg.map_batches(_deg, batch_format="pyarrow")
-    )
-    verts = base.groupby("id").aggregate(Sum("deg", alias_name="out_degree"))
-
+    # vertices: dense ids after minting ⇒ same per-shard task combine as
+    # the dense fast path (out-degree partials per block routed to one
+    # writer task per shard) — no union-aggregate shuffle, and the shard
+    # partition dirs are written directly
     shard_rows = run_cfg.shard_rows
     e_default = 1.0 / n if n else 0.0
-
-    def _finish(t: pa.Table) -> pa.Table:
-        deg = t.column("out_degree").to_numpy(zero_copy_only=False).astype(np.int64)
-        inv = np.zeros(len(deg))
-        nz = deg > 0
-        inv[nz] = 1.0 / deg[nz]
-        out = pa.table(
-            {
-                "id": t.column("id"),
-                "out_degree": pa.array(deg),
-                "inv_out": pa.array(inv),
-                "dangling": pa.array((~nz).astype(np.float64)),
-                "e": pa.array(np.full(len(deg), e_default)),
-            }
-        )
-        return add_shard_column(out, "id", shard_rows)
-
-    verts.map_batches(_finish, batch_format="pyarrow").write_parquet(
-        os.path.join(graph_dir, "vertices"), partition_cols=[SHARD_COL]
+    deg_input = edges_raw if semantics.outdegree_mode == "line_count" else edges_distinct
+    S = max(1, -(-n // shard_rows)) if n else 1
+    vdir = os.path.join(graph_dir, "vertices")
+    os.makedirs(vdir, exist_ok=True)
+    blocks = deg_input.materialize().to_arrow_refs()
+    partial_refs = [_degree_partials.remote(b, shard_rows, n) for b in blocks]
+    ray.get(
+        [
+            _write_vertex_shard.remote(s, shard_rows, n, e_default, vdir, *partial_refs)
+            for s in range(S)
+        ]
     )
 
     with open(done, "w") as fh:

@@ -37,6 +37,15 @@ pkg/graph/pagerank.go:14-19).
 At 10^12 vertices the rank vector is sharded (8 TB total, a few MB per
 shard); each gather task emits partials only for shards its batch
 actually targets, and each reduce task touches exactly one shard.
+
+Scale bound (tasks-mode BSP): the driver holds S × B object refs per
+iteration (S shards × B edge blocks). At the tested scales (S ≤ 16,
+B ≤ 128) that is thousands of refs; beyond ~10^9 vertices S × B
+reaches millions and the flat fan-in should become a two-level (tree)
+combine — gather blocks reduce into R intermediate combiners per
+shard, combiners into the shard reducer. Keep S bounded by raising
+``shard_rows`` with n (shards are a few MB up to tens of MB; the
+layout, not the algorithm, is the knob).
 """
 
 from __future__ import annotations
