@@ -613,6 +613,132 @@ def _r_semi_join(sf_dir):
     )
 
 
+def _r_asof_view(sf_dir):
+    """Backward as-of join: each 'purchase' event matched to the same
+    user's most recent 'view' event at or before it (pipelines/temporal:
+    bucketed merge_asof — the operator Ray Data lacks natively)."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.temporal import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    probe = ev.filter(expr="event_type == 'purchase'")
+    ref = ev.filter(expr="event_type == 'view'")
+    return asof_join(probe, ref)
+
+
+def _r_views_1h(sf_dir):
+    """Range join, counted: views by the same user in the hour before
+    each purchase (pipelines/temporal: two as-of probes against a
+    per-key cumulative counter — no output-exploding inequality join)."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.temporal import range_count_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    probe = ev.filter(expr="event_type == 'purchase'")
+    ref = ev.filter(expr="event_type == 'view'")
+    return range_count_join(probe, ref, window_us=3_600_000_000)
+
+
+def _r_top3_per_segment(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import top_orders_per_segment
+
+    return top_orders_per_segment(sf_dir, k=3)
+
+
+def _r_cust_no_orders(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _r_events_sliding(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import events_sliding
+
+    return events_sliding(sf_dir)
+
+
+def _t_near_dedup_keep(sf_dir):
+    """End-to-end near-dedup keep-first: exact 3-word-gram Jaccard
+    pairs (threshold 0.6) → duplicate graph → distributed connected
+    components → keep the minimum doc_id per component. Output: every
+    doc with kept ∈ {0,1} — the training-data dedup composition
+    (candidate pairs → components → representative election) run
+    through the REAL graph engine, not a driver union-find."""
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.functions.dedup import ngram_jaccard_pairs
+    from distributed_pagerank_ray.pipelines.components import connected_components
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.util import compact_for_join, ensure_schema
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), k=3, threshold=0.6, num_partitions=8, mode="word"
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")})
+        if "a" in t.column_names
+        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    run_dir = tempfile.mkdtemp(prefix="dpr_neardup_")
+    g = build_graph(
+        pairs, run_dir, src_col="src", dst_col="dst", mint=True, run_cfg=RunConfig(num_partitions=4)
+    )
+    res = connected_components(g)
+    vmap = g.vertex_map()  # minting preserves numeric order: min minted id == min doc_id
+    j1 = compact_for_join(res.labels(), 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("id",), right_on=("id",)
+    )
+
+    def p1(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        return pa.table({"vid": t.column("key"), "label": t.column("label")})
+
+    j2 = compact_for_join(j1.map_batches(p1, batch_format="pyarrow"), 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4, on=("label",), right_on=("id",)
+    )
+
+    def dup_keep(t: pa.Table) -> pa.Table:
+        # kept iff the doc IS its component's representative (min id)
+        if "vid" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "kept": pa.array([], pa.int64())})
+        vid = t.column("vid").to_numpy(zero_copy_only=False)
+        rep = t.column("key").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(vid), "kept": pa.array((vid == rep).astype(np.int64))})
+
+    # materialized: consumed twice (id gather + final union) — without
+    # this the whole CC lineage would re-execute
+    in_graph = j2.map_batches(dup_keep, batch_format="pyarrow").materialize()
+
+    # docs never in any duplicate pair are trivially kept
+    all_docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "kept": pa.array(np.ones(len(t), dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    from distributed_pagerank_ray.util import semi_join_filter
+
+    graph_ids = np.concatenate(
+        [
+            b.column("doc_id").to_numpy(zero_copy_only=False)
+            for b in in_graph.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    rest = semi_join_filter(all_docs, "doc_id", graph_ids, keep=False)
+    return rest.union(in_graph).map_batches(
+        ensure_schema({"doc_id": pa.int64(), "kept": pa.int64()}), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph engine (SURVEY §2.2-2.3 + north-rule algorithms)
@@ -633,12 +759,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_distinct_users": _r_distinct_users,
         "r_events_props_sum": _r_events_props_sum,
         "r_urgent_semi_join": _r_semi_join,
+        "r_asof_view": _r_asof_view,
+        "r_views_1h": _r_views_1h,
+        "r_top3_per_segment": _r_top3_per_segment,
+        "r_cust_no_orders": _r_cust_no_orders,
+        "r_events_sliding": _r_events_sliding,
         # text analysis / dedup / similarity / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
         "t_fingerprint_md5": _t_fingerprint,
         "t_exact_dedup": _t_exact_dedup,
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,
+        "t_near_dedup_keep": _t_near_dedup_keep,
         "t_minhash_pairs": _t_minhash_pairs,  # rows-only (sketch)
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only (sketch)
         "t_winnow_fp": _t_winnow,  # rows-only (custom hash)
@@ -854,6 +986,63 @@ SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_lines
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_orderkey
+""",
+        "r_asof_view": """
+SELECT p.event_id AS probe_id, p.user_id AS key, v.event_id AS ref_id, v.ts AS ref_ts
+FROM events p JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) = 1
+""",
+        "r_views_1h": """
+SELECT p.event_id AS probe_id, p.user_id AS key, count(v.event_id) AS n_in_window
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+        "r_top3_per_segment": """
+SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+QUALIFY row_number() OVER (
+  PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey) <= 3
+""",
+        "r_cust_no_orders": """
+SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+        "r_events_sliding": """
+SELECT event_type, window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT event_type, date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS window_start, value
+  FROM events, UNNEST([0, 1]) AS t(i)
+)
+GROUP BY 1, 2
+""",
+        "t_near_dedup_keep": f"""
+WITH RECURSIVE {_WORD_GRAMS_CTE},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.6
+),
+sym AS (SELECT a AS src, b AS dst FROM dup UNION SELECT b, a FROM dup),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+r AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT s.dst AS id, r.label FROM r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(label) AS rep FROM r GROUP BY id)
+SELECT d.doc_id,
+       CAST(CASE WHEN c.id IS NULL OR c.rep = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """,
         "t_token_counts": """
 SELECT doc_id,

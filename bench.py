@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -86,6 +87,7 @@ def run_bench() -> dict:
         warm_dir, g_cached.n, g_cached.m, g_cached.m_lines, g_cached.shard_rows, g_cached.semantics
     )
     pagerank(gw, PageRankConfig(threshold=0.0, max_iters=1, normalize=False))
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     iters = 5
 
@@ -102,6 +104,9 @@ def run_bench() -> dict:
         for kk in range(1, res.iterations + 1):
             with open(os.path.join(rd, f"iter_{kk:04d}", "metrics.json")) as fh:
                 isec += json.load(fh)["wall_sec"]
+        # each run dir holds iters x V-vertex rank shards (~0.5 GB at
+        # V=8M); scaling reps leak tens of GB and hit ENOSPC if kept
+        shutil.rmtree(rd, ignore_errors=True)
         return total, isec, res
 
     # best of 2 measurements: the sandbox host's throughput drifts ±2x
@@ -152,7 +157,9 @@ def run_bench() -> dict:
             concurrency=max(2, ncpu // 4),
         ).select_columns(["src_url", "dst_url"])
         gg = build_graph(links, rd, run_cfg=RunConfig(num_partitions=8))
-        return pagerank(gg, PageRankConfig(threshold=1e-6))
+        out = pagerank(gg, PageRankConfig(threshold=1e-6))
+        shutil.rmtree(rd, ignore_errors=True)
+        return out
 
     t, res2 = _timed(corpus_e2e)
     queries["corpus_e2e_5k_pages"] = round(t, 3)
@@ -210,8 +217,14 @@ def run_scaling() -> dict:
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
             )
+            if p.returncode != 0:
+                sys.stderr.write(
+                    f"scaling child (cpus={ncpu}) failed rc={p.returncode}:\n"
+                    + p.stderr[-4000:]
+                    + "\n"
+                )
+                raise SystemExit(1)
             r = json.loads(p.stdout.strip().splitlines()[-1])
             if ncpu not in out or r["value"] < out[ncpu]["value"]:
                 out[ncpu] = r

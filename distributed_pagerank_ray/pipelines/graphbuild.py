@@ -208,7 +208,12 @@ def _tables_from_done(run_dir: str, meta: dict, fallback_shard_rows: int, fallba
 @ray.remote
 def _degree_partials(block: pa.Table, shard_rows: int, n: int):
     """Per-block out-degree counts, pre-aggregated per id shard
-    (sparse (local_idx, count) pairs — the groupby combiner, as tasks)."""
+    (sparse (local_idx, count) pairs — the groupby combiner, as tasks).
+
+    Join/distinct lineages can emit 0-row EMPTY-SCHEMA blocks (Ray
+    2.49 quirk — see util.ensure_schema notes): tolerate them."""
+    if len(block) == 0 or "src" not in block.column_names:
+        return {}
     src = block.column("src").to_numpy(zero_copy_only=False)
     uniq, counts = np.unique(src, return_counts=True)
     shard_of = uniq // shard_rows

@@ -266,6 +266,165 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
+def events_sliding(sf_dir: str, size_hours: int = 2, slide_hours: int = 1) -> "ray.data.Dataset":
+    """Hopping (sliding) windows per event_type: ``size_hours``-wide
+    windows advancing every ``slide_hours``. Each event lands in
+    size/slide windows — the replication happens inside map_batches
+    (vectorized np.repeat), then ONE grouped aggregate; no flat_map
+    row loop and no second shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    n_copies = size_hours // slide_hours
+    slide_us = slide_hours * 3_600_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        base = (
+            pc.floor_temporal(t.column("ts"), unit="hour")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        offs = np.arange(n_copies, dtype=np.int64) * slide_us
+        starts = np.repeat(base, n_copies) - np.tile(offs, len(base))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.repeat(t.column("event_type").to_numpy(zero_copy_only=False), n_copies)
+                ),
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "value": pa.array(
+                    np.repeat(t.column("value").to_numpy(zero_copy_only=False), n_copies)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], _I64),
+                    "sum_value": pa.array([], _F64),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("window_start"),
+                "n_events": t.column("n_events"),
+                "sum_value": pa.array(_round4(t.column("sum_value").to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-k orders by o_totalprice per market segment (window-function
+    shape: row_number() <= k). Scale pattern: the small dimension side
+    (customer → segment) is broadcast once via ray.put; each orders
+    batch prunes to its LOCAL top-k per segment (combiner) so the final
+    shuffle moves O(k × segments × blocks) rows, not the orders table.
+    Ties broken by o_orderkey asc — deterministic on both sides."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    @ray.remote
+    def _pack(*blocks: pa.Table):
+        blocks = [b for b in blocks if len(b)]
+        keys = np.concatenate([b.column("c_custkey").to_numpy(zero_copy_only=False) for b in blocks])
+        segs = np.concatenate(
+            [b.column("c_mktsegment").to_numpy(zero_copy_only=False) for b in blocks]
+        )
+        order = np.argsort(keys)
+        return keys[order], segs[order]
+
+    seg_ref = _pack.remote(*cust.materialize().to_arrow_refs())
+    kk = k
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(seg_ref)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        ok = keys[pos] == ck
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": segs[pos][ok],
+                "o_orderkey": t.column("o_orderkey").to_numpy(zero_copy_only=False)[ok],
+                "o_totalprice": t.column("o_totalprice").to_numpy(zero_copy_only=False)[ok],
+            }
+        )
+        pruned = (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable")
+            .groupby("c_mktsegment", sort=False)
+            .head(kk)
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(pruned["c_mktsegment"], pa.string()),
+                "o_orderkey": pa.array(pruned["o_orderkey"], _I64),
+                "o_totalprice": pa.array(pruned["o_totalprice"], _F64),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(kk)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return (
+        orders.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {"c_mktsegment": pa.string(), "o_orderkey": _I64, "o_totalprice": _F64}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dataset":
+    """Anti-join: customers that never placed a ``priority`` order. The
+    orders key set is reduced DISTRIBUTED-first (vectorized priority
+    filter, then distinct custkeys via the count BSP — output is at
+    most |customer| keys), then broadcast into a vectorized NOT-IN
+    filter over the customer table (no shuffle of the fact side)."""
+    from ..util import count_i64_keys, semi_join_filter
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t.column("o_custkey").filter(pc.equal(t.column("o_orderpriority"), priority))}
+        ),
+        batch_format="pyarrow",
+    )
+    distinct = count_i64_keys(orders, "o_custkey")
+    have_parts = [
+        b.column("o_custkey").to_numpy(zero_copy_only=False)
+        for b in distinct.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    have = np.concatenate(have_parts) if have_parts else np.zeros(0, dtype=np.int64)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return semi_join_filter(cust, "c_custkey", have, keep=False).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_acctbal": pa.array(_round4(t.column("c_acctbal").to_numpy(zero_copy_only=False))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
     """JSON scalar extraction: parse ``props`` ('{"k": int}'), sum k per
     event_type. Per-batch json.loads (stdlib) — a stand-in for any
