@@ -663,6 +663,83 @@ def _r_events_sliding(sf_dir):
     return events_sliding(sf_dir)
 
 
+def _t_normalize(sf_dir):
+    """Vectorized text normalization (lower + whitespace collapse +
+    trim) — emitted as (doc_id, text_norm) for the oracle compare."""
+    from distributed_pagerank_ray.functions.textstats import normalize_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(normalize_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_norm"])
+    )
+
+
+def _g_degree_hist(sf_dir):
+    """Out-degree histogram: two chained count-BSP aggregations
+    (per-vertex degree → per-degree vertex count) — the two-level
+    aggregate shape that replaces nested groupbys at scale."""
+    from distributed_pagerank_ray.util import count_i64_keys
+
+    deg = count_i64_keys(_g_edges(sf_dir), "src", count_col="out_degree")
+    return count_i64_keys(deg, "out_degree", count_col="n_vertices")
+
+
+def _r_q5_nation_revenue(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import q5_revenue_by_nation
+
+    return q5_revenue_by_nation(sf_dir)
+
+
+def _r_qty_quantiles(sf_dir):
+    """Exact grouped discrete quantiles (functions/quantiles): per-batch
+    (group, value) histogram combiner → tiny merge → cumsum walk; the
+    raw column never leaves the cluster."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    return grouped_discrete_quantiles(
+        ds, "l_returnflag", "l_quantity", qs=(0.25, 0.5, 0.75, 0.9)
+    )
+
+
+def _r_events_std(sf_dir):
+    """Sample standard deviation per group (Ray's mergeable Std
+    aggregate — Welford-style combine across blocks)."""
+    import ray.data
+    from ray.data.aggregate import Count, Std
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Std("value", ddof=1, alias_name="std_value"), Count(alias_name="n")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "std_value": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "std_value": pa.array(
+                    np.round(t.column("std_value").to_numpy(zero_copy_only=False), 4)
+                ),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def _t_near_dedup_keep(sf_dir):
     """End-to-end near-dedup keep-first: exact 3-word-gram Jaccard
     pairs (threshold 0.6) → duplicate graph → distributed connected
@@ -751,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_triangles_parts": _g_triangles_parts,
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only (iterative)
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
+        "g_degree_hist": _g_degree_hist,
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,
@@ -764,11 +842,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_top3_per_segment": _r_top3_per_segment,
         "r_cust_no_orders": _r_cust_no_orders,
         "r_events_sliding": _r_events_sliding,
+        "r_q5_nation_revenue": _r_q5_nation_revenue,
+        "r_qty_quantiles": _r_qty_quantiles,
+        "r_events_std": _r_events_std,
         # text analysis / dedup / similarity / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
         "t_fingerprint_md5": _t_fingerprint,
         "t_exact_dedup": _t_exact_dedup,
+        "t_normalize": _t_normalize,
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,
         "t_near_dedup_keep": _t_near_dedup_keep,
         "t_minhash_pairs": _t_minhash_pairs,  # rows-only (sketch)
@@ -1019,6 +1101,37 @@ FROM (
   FROM events, UNNEST([0, 1]) AS t(i)
 )
 GROUP BY 1, 2
+""",
+        "g_degree_hist": (
+            f"SELECT out_degree, count(*) AS n_vertices FROM "
+            f"(SELECT src, count(*) AS out_degree FROM ({_EDGES_CTE}) GROUP BY src) "
+            "GROUP BY out_degree"
+        ),
+        "t_normalize": (
+            "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm "
+            "FROM documents"
+        ),
+        "r_q5_nation_revenue": """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n.n_name
+""",
+        "r_qty_quantiles": """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.5) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       quantile_disc(l_quantity, 0.9) AS q90
+FROM lineitem GROUP BY l_returnflag
+""",
+        "r_events_std": """
+SELECT event_type, round(stddev_samp(value), 4) AS std_value, count(*) AS n
+FROM events GROUP BY event_type
 """,
         "t_near_dedup_keep": f"""
 WITH RECURSIVE {_WORD_GRAMS_CTE},

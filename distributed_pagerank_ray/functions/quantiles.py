@@ -1,0 +1,93 @@
+"""Exact grouped discrete quantiles for bounded-cardinality value
+columns (the batch-engine shape for percentile reporting over codes,
+counts, ratings, quantities, …).
+
+Scale shape: each batch pre-aggregates to (group, value, n) counts
+(the combiner), one small groupby merges them, and ONLY the merged
+histogram — O(groups × distinct values), bounded by assumption — is
+gathered for the final cumsum walk. The raw column never leaves the
+cluster and nothing is sorted. For unbounded/continuous columns use a
+mergeable sketch instead (see functions/sketches.py's HLL for the
+merge pattern); this module is the exact path and documents its
+cardinality assumption.
+
+Quantile definition matches DuckDB's ``quantile_disc``: the element at
+zero-based sorted index ``ceil(q·n) − 1`` (verified against DuckDB
+1.x; see tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..util import ensure_schema
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def grouped_discrete_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    q_names: tuple[str, ...] | None = None,
+) -> "ray.data.Dataset":
+    """Per-group exact discrete quantiles of ``value_col``.
+
+    Output columns: (group_col, *q_names) with float64 quantile values;
+    ``q_names`` defaults to ``q25/q50/q75``-style labels.
+    """
+    q_names = q_names or tuple(f"q{int(round(q * 100))}" for q in qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_numpy(zero_copy_only=False),
+                "v": t.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        c = df.groupby(["g", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "g": pa.array(c["g"]),
+                "v": pa.array(c["v"].astype(np.float64)),
+                "n": pa.array(c["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # the merged histogram is small by the cardinality assumption —
+    # gathering it is the documented final step, not a driver loop
+    h = hist.to_pandas().dropna(subset=["g"]).sort_values(["g", "v"], kind="stable")
+
+    rows: dict[str, list] = {group_col: []}
+    for name in q_names:
+        rows[name] = []
+    for g, sub in h.groupby("g", sort=True):
+        vals = sub["v"].to_numpy(dtype=np.float64)
+        cnts = sub["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        rows[group_col].append(g)
+        for q, name in zip(qs, q_names):
+            idx = int(np.ceil(q * n)) - 1 if q > 0 else 0
+            idx = max(0, min(idx, n - 1))
+            rows[name].append(float(vals[np.searchsorted(cum, idx + 1)]))
+
+    out = pa.table(
+        {
+            group_col: pa.array(rows[group_col]),
+            **{name: pa.array(rows[name], _F64) for name in q_names},
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -46,6 +46,19 @@ def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Tab
     return batch.append_column("n_bpe_tokens", pa.array(n))
 
 
+# ---------------------------------------------------------------- normalize
+
+def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Training-corpus text normalization, fully vectorized in Arrow
+    kernels: lowercase → collapse whitespace runs to single spaces →
+    trim. Appends ``text_norm`` (the original column is untouched —
+    normalization is a derived view, never destructive)."""
+    t = pc.utf8_lower(batch.column(text_col))
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column("text_norm", t)
+
+
 # ---------------------------------------------------------------- quality
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -180,6 +180,155 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> "ray.d
     )
 
 
+# ---------------------------------------------------------------- q5 multi-join
+
+def q5_revenue_by_nation(
+    sf_dir: str, region: str = "ASIA", year: int = 1996, num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """TPC-H Q5-style 6-table query: revenue per nation for one region
+    and order year, where the supplier is in the customer's nation.
+
+    Join plan for scale: region/nation/supplier are DIMENSION tables —
+    packed by remote tasks and broadcast via ray.put, applied as
+    vectorized lookups inside map_batches (no shuffle). Only the two
+    FACT joins shuffle: orders⋈customer-filtered (both pruned first)
+    and lineitem⋈that. Aggregation is by int nationkey; names are
+    attached to the final handful of rows."""
+    import ray
+
+    P = num_partitions
+
+    # region -> allowed nation keys + names (two tiny reads, one remote pack)
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+
+    @ray.remote
+    def _pack_nations(reg_blocks, nat_blocks, region_name):
+        # block refs arrive nested in lists — resolve them in-task
+        rt = pa.concat_tables([b for b in ray.get(list(reg_blocks)) if len(b)])
+        nt = pa.concat_tables([b for b in ray.get(list(nat_blocks)) if len(b)])
+        rkeys = rt.column("r_regionkey").filter(
+            pc.equal(rt.column("r_name"), region_name)
+        ).to_numpy(zero_copy_only=False)
+        keep = pc.is_in(nt.column("n_regionkey").cast(_I64), value_set=pa.array(rkeys, _I64))
+        nt = nt.filter(keep)
+        nkeys = nt.column("n_nationkey").cast(_I64).to_numpy(zero_copy_only=False)
+        names = nt.column("n_name").to_numpy(zero_copy_only=False)
+        order = np.argsort(nkeys)
+        return nkeys[order], names[order]
+
+    nations_ref = _pack_nations.remote(
+        reg.materialize().to_arrow_refs(), nat.materialize().to_arrow_refs(), region
+    )
+
+    # supplier -> nationkey map (dimension broadcast, sorted for searchsorted)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    @ray.remote
+    def _pack_supp(*blocks):
+        t = pa.concat_tables([b for b in blocks if len(b)])
+        k = t.column("s_suppkey").cast(_I64).to_numpy(zero_copy_only=False)
+        v = t.column("s_nationkey").cast(_I64).to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    supp_ref = _pack_supp.remote(*supp.materialize().to_arrow_refs())
+
+    # customer pruned to the region's nations (broadcast filter, no shuffle)
+    def cust_prep(t: pa.Table) -> pa.Table:
+        nkeys, _ = ray.get(nations_ref)
+        keep = pc.is_in(t.column("c_nationkey").cast(_I64), value_set=pa.array(nkeys, _I64))
+        t = t.filter(keep)
+        return pa.table(
+            {"c_custkey": t.column("c_custkey"), "c_nationkey": t.column("c_nationkey").cast(_I64)}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+
+    lo = np.datetime64(f"{year}-01-01T00:00:00", "us")
+    hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        t = t.filter(keep)
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "o_custkey": t.column("o_custkey")})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_prep, batch_format="pyarrow"
+    )
+
+    co = compact_for_join(orders, P).join(
+        compact_for_join(cust, P), join_type="inner", num_partitions=P,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def co_prep(t: pa.Table) -> pa.Table:
+        if "o_orderkey" not in t.column_names:
+            return pa.table({"o_orderkey": pa.array([], _I64), "c_nationkey": pa.array([], _I64)})
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "c_nationkey": t.column("c_nationkey")})
+
+    co = compact_for_join(co.map_batches(co_prep, batch_format="pyarrow"), P)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey").cast(_I64),
+                "rev": pc.multiply(
+                    t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(li, P).join(
+        co, join_type="inner", num_partitions=P, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def local_filter(t: pa.Table) -> pa.Table:
+        # supplier-nation == customer-nation: dimension lookup, no join
+        if "l_suppkey" not in t.column_names:
+            return pa.table({"nk": pa.array([], _I64), "rev": pa.array([], _F64)})
+        sk, sn = ray.get(supp_ref)
+        supp_keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sk, supp_keys), 0, len(sk) - 1)
+        s_nat = np.where(sk[pos] == supp_keys, sn[pos], -1)
+        c_nat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        m = s_nat == c_nat
+        return pa.table(
+            {
+                "nk": pa.array(c_nat[m]),
+                "rev": pa.array(t.column("rev").to_numpy(zero_copy_only=False)[m]),
+            }
+        )
+
+    agg = (
+        j.map_batches(local_filter, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "nk" not in t.column_names:
+            return pa.table({"n_name": pa.array([], pa.string()), "revenue": pa.array([], _F64)})
+        nkeys, names = ray.get(nations_ref)
+        nk = t.column("nk").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(nkeys, nk), 0, len(nkeys) - 1)
+        return pa.table(
+            {
+                "n_name": pa.array(names[pos]),
+                "revenue": pa.array(_round4(t.column("revenue").to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- windows
 
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":

@@ -1,0 +1,112 @@
+"""Grouped discrete quantiles + the Q5 multi-join + grouped std —
+verified against DuckDB on the sf0.001 testdata (these three have
+driver-gate oracles too; the pytest copies keep them covered at
+num_cpus=4 and on schema edge cases)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["lineitem", "events", "customer", "orders", "supplier", "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_grouped_discrete_quantiles_vs_duckdb():
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    got = (
+        grouped_discrete_quantiles(ds, "l_returnflag", "l_quantity", qs=(0.25, 0.5, 0.75, 0.9))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _con()
+        .execute(
+            """
+            SELECT l_returnflag, quantile_disc(l_quantity, 0.25) AS q25,
+                   quantile_disc(l_quantity, 0.5) AS q50,
+                   quantile_disc(l_quantity, 0.75) AS q75,
+                   quantile_disc(l_quantity, 0.9) AS q90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_discrete_quantiles_tiny_groups():
+    """n=1 and n=2 groups: index = ceil(q·n)−1 must clamp correctly."""
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = ray.data.from_items(
+        [{"g": "a", "v": 5.0}, {"g": "b", "v": 1.0}, {"g": "b", "v": 9.0}]
+    )
+    got = grouped_discrete_quantiles(ds, "g", "v", qs=(0.25, 0.5, 1.0)).to_pandas()
+    got = got.set_index("g")
+    assert got.loc["a"].tolist() == [5.0, 5.0, 5.0]
+    # n=2: q=.25 → ceil(.5)−1 = 0 → 1.0; q=.5 → ceil(1)−1 = 0 → 1.0; q=1 → 9.0
+    assert got.loc["b"].tolist() == [1.0, 1.0, 9.0]
+
+
+def test_q5_revenue_vs_duckdb():
+    from distributed_pagerank_ray.pipelines.relational import q5_revenue_by_nation
+
+    got = (
+        q5_revenue_by_nation(SF)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _con()
+        .execute(
+            """
+            SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+            WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+              AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+            GROUP BY n.n_name ORDER BY n.n_name
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_std_vs_duckdb():
+    import __ray_entry__ as entry
+
+    got = (
+        entry.queries()["r_events_std"](SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _con()
+        .execute(
+            "SELECT event_type, round(stddev_samp(value), 4) AS std_value, count(*) AS n "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
