@@ -663,6 +663,33 @@ def _r_events_sliding(sf_dir):
     return events_sliding(sf_dir)
 
 
+def _r_det_sample(sf_dir):
+    """Deterministic ~10% sample of events (pure hash filter — same
+    rows on every engine/run; see functions/sampling.py)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sampling import deterministic_fraction
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"])
+    return deterministic_fraction(ds, "event_id", 0.1)
+
+
+def _r_sample_per_type(sf_dir):
+    """Deterministic 5-row sample per event_type (smallest id-hash)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sampling import deterministic_sample_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"])
+    return deterministic_sample_per_group(
+        ds,
+        "event_type",
+        "event_id",
+        n=5,
+        out_schema={"event_type": pa.string(), "event_id": pa.int64(), "user_id": pa.int64()},
+    )
+
+
 def _t_normalize(sf_dir):
     """Vectorized text normalization (lower + whitespace collapse +
     trim) — emitted as (doc_id, text_norm) for the oracle compare."""
@@ -845,6 +872,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_q5_nation_revenue": _r_q5_nation_revenue,
         "r_qty_quantiles": _r_qty_quantiles,
         "r_events_std": _r_events_std,
+        "r_det_sample": _r_det_sample,
+        "r_sample_per_type": _r_sample_per_type,
         # text analysis / dedup / similarity / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
@@ -1132,6 +1161,15 @@ FROM lineitem GROUP BY l_returnflag
         "r_events_std": """
 SELECT event_type, round(stddev_samp(value), 4) AS std_value, count(*) AS n
 FROM events GROUP BY event_type
+""",
+        "r_det_sample": (
+            "SELECT event_id, user_id, event_type FROM events "
+            "WHERE (event_id * 48271) % 100000007 < 10000000"  # int(0.1 * 100000007)
+        ),
+        "r_sample_per_type": """
+SELECT event_type, event_id, user_id FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY (event_id * 48271) % 100000007, event_id) <= 5
 """,
         "t_near_dedup_keep": f"""
 WITH RECURSIVE {_WORD_GRAMS_CTE},

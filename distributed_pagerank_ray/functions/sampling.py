@@ -1,0 +1,89 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+Random sampling (``ds.random_sample``) is covered in pytest, but a
+100 TB corpus pipeline wants REPRODUCIBLE samples: same input → same
+sample, across reruns, resumes and engines. Both operators here key
+the decision on a multiplicative hash of an id column, so they are
+pure per-row/per-group functions of the data — embarrassingly
+parallel (fraction) or one partial-prune shuffle (per-group), and
+expressible in SQL for the oracle gate.
+
+Hash: ``(id * 48271) % 100000007`` (MINSTD multiplier, prime modulus)
+computed in int64 — exact as long as ``id * 48271`` fits int64
+(id < ~1.9e14; documented bound, asserted). For full-range 64-bit ids
+swap in the splitmix64 finalizer and a NUMERIC oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..util import ensure_schema
+
+_MULT = 48271
+_MOD = 100_000_007
+_MAX_SAFE_ID = (2**63 - 1) // _MULT
+
+
+def _hash_ids(ids: np.ndarray) -> np.ndarray:
+    if len(ids) and int(ids.max()) > _MAX_SAFE_ID:
+        raise ValueError(f"id exceeds exact-hash bound {_MAX_SAFE_ID}; use a 64-bit mixer")
+    return (ids.astype(np.int64) * _MULT) % _MOD
+
+
+def deterministic_fraction(
+    ds: "ray.data.Dataset", id_col: str, fraction: float
+) -> "ray.data.Dataset":
+    """Keep rows whose id-hash falls under ``fraction`` — a pure
+    per-batch filter: no shuffle, no state, same rows every run."""
+    cut = int(fraction * _MOD)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_hash_ids(ids) < cut))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def deterministic_sample_per_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    n: int,
+    out_schema: dict[str, pa.DataType],
+) -> "ray.data.Dataset":
+    """Per-group deterministic sample: the ``n`` rows with the smallest
+    (id-hash, id) per group. Same partial-prune combiner shape as
+    top-k-per-group: each batch keeps at most ``n`` candidates per
+    group locally, so the final shuffle moves O(n × groups × blocks)
+    rows, never the input."""
+    cols = list(out_schema)
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {c: pa.array([], out_schema[c]) for c in cols}
+                | {"_h": pa.array([], pa.int64())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({c: t.column(c).to_numpy(zero_copy_only=False) for c in cols})
+        df["_h"] = _hash_ids(ids)
+        pruned = df.sort_values(["_h", id_col], kind="stable").groupby(group_col, sort=False).head(n)
+        return pa.table(
+            {c: pa.array(pruned[c], out_schema[c]) for c in cols}
+            | {"_h": pa.array(pruned["_h"].to_numpy(dtype=np.int64))}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["_h", id_col], kind="stable").head(n)[cols]
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+        .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
+    )
