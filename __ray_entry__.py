@@ -767,6 +767,36 @@ def _r_events_std(sf_dir):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def _e_value_quantiles(sf_dir):
+    """Approximate quantiles of the continuous events.value column via
+    the mergeable histogram sketch, self-gated the e_approx_users way:
+    for each q the engine RECOUNTS (exact, distributed filter+count)
+    how many rows fall at or below the approximation — ok iff the
+    realized rank is within 1% of q. The SQL twin returns the exact
+    row count and TRUE, so the gate hash-checks the tolerance claim."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from distributed_pagerank_ray.functions.quantiles import approx_quantiles
+
+    qs = (0.25, 0.5, 0.75)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    approx = approx_quantiles(ds, "value", qs=qs, n_bins=4096)
+    n_total = ds.count()
+    rows = []
+    for q, a in zip(qs, approx):
+        n_below = ds.map_batches(
+            lambda t, aa=a: pa.table(
+                {"c": pa.array([int(pc.sum(pc.less_equal(t.column("value"), aa)).as_py() or 0)])}
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        ok = abs(n_below / n_total - q) <= 0.01
+        rows.append({"q": float(q), "n_total": int(n_total), "ok": bool(ok)})
+    return ray.data.from_items(rows)
+
+
 def _t_near_dedup_keep(sf_dir):
     """End-to-end near-dedup keep-first: exact 3-word-gram Jaccard
     pairs (threshold 0.6) → duplicate graph → distributed connected
@@ -890,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_knn": _e_knn,
         "e_dup_pairs": _e_dup_pairs,
         "e_approx_users": _e_approx_users,  # exact count SQL-checked + in-query ±5% sketch gate
+        "e_value_quantiles": _e_value_quantiles,  # rank-recount SQL-checked ±1% sketch gate
         "r_events_stats": _r_events_stats,
         "x_extract_corpus": _x_extract_corpus,  # rows-only (corpus is engine-internal)
     }
@@ -979,6 +1010,10 @@ def oracle_sql() -> dict[str, str]:
         "t_lang_id": _lang_id_sql(),
         "e_approx_users": (
             "SELECT count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok FROM events"
+        ),
+        "e_value_quantiles": (
+            "SELECT q, (SELECT count(*) FROM events) AS n_total, TRUE AS ok "
+            "FROM (VALUES (0.25), (0.5), (0.75)) t(q)"
         ),
         "g_edges": f"SELECT src, dst FROM ({_EDGES_CTE})",
         "g_out_degree": f"SELECT src, count(*) AS out_degree FROM ({_EDGES_CTE}) GROUP BY src",

@@ -171,9 +171,12 @@ def run_bench() -> dict:
     for name in [
         "r_q1_pricing",
         "r_q3_top_orders",
+        "r_q5_nation_revenue",
         "r_events_hourly",
+        "r_asof_view",
         "t_exact_dedup",
         "t_ngram_dup_pairs",
+        "t_near_dedup_keep",
         "e_knn",
         "g_out_degree",
         "g_triangles_parts",

@@ -14,6 +14,12 @@ cardinality assumption.
 Quantile definition matches DuckDB's ``quantile_disc``: the element at
 zero-based sorted index ``ceil(q·n) − 1`` (verified against DuckDB
 1.x; see tests).
+
+``approx_quantiles`` is the promised sketch: a two-pass fixed-bin
+histogram (pass 1: min/max/count aggregate; pass 2: per-batch sparse
+bin counts merged by a distributed sum — the mergeable-sketch shape,
+never gathered raw). Rank error is bounded by the heaviest bin's mass;
+with uniform-ish data and 4096 bins that is ≲0.1%.
 """
 
 from __future__ import annotations
@@ -91,3 +97,54 @@ def grouped_discrete_quantiles(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_bins: int = 4096,
+) -> list[float]:
+    """Approximate quantiles of a CONTINUOUS column via a mergeable
+    fixed-bin histogram. Two passes, both streaming:
+
+    1. global (min, max, count) — one tiny aggregate;
+    2. per-batch ``np.bincount`` over scaled values emitted as sparse
+       (bin, n) rows, merged by a distributed sum — the merged
+       histogram is ≤ ``n_bins`` rows regardless of input size.
+
+    Returns the left edge of the bin containing each q-th rank
+    (rank error ≤ that bin's mass; value error ≤ (max−min)/n_bins).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(
+        Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi"), Count(alias_name="n")
+    )
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    if n == 0:
+        return [float("nan")] * len(qs)
+    width = (hi - lo) / n_bins or 1.0
+    nb = n_bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
+        cnt = np.bincount(b, minlength=0)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz].astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    bins = hist["bin"].to_numpy()
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        out.append(lo + float(bins[np.searchsorted(cum, rank)]) * width)
+    return out

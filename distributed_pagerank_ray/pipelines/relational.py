@@ -193,7 +193,12 @@ def q5_revenue_by_nation(
     vectorized lookups inside map_batches (no shuffle). Only the two
     FACT joins shuffle: orders⋈customer-filtered (both pruned first)
     and lineitem⋈that. Aggregation is by int nationkey; names are
-    attached to the final handful of rows."""
+    attached to the final handful of rows.
+
+    Broadcast bound: supplier is ~1% of lineitem in TPC-H, i.e. ~16 B
+    × |supplier| resident per worker; above a few GB swap the supplier
+    lookup for a third hash join (same compact_for_join pattern as the
+    other two) — the plan is otherwise unchanged."""
     import ray
 
     P = num_partitions

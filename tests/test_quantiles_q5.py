@@ -61,6 +61,25 @@ def test_grouped_discrete_quantiles_tiny_groups():
     assert got.loc["b"].tolist() == [1.0, 1.0, 9.0]
 
 
+def test_approx_quantiles_error_bound():
+    from distributed_pagerank_ray.functions.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(10.0, 50_000)  # skewed on purpose
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"v": __import__("pyarrow").array(vals)})
+    )
+    qs = (0.1, 0.5, 0.9, 0.99)
+    got = approx_quantiles(ds, "v", qs=qs, n_bins=4096)
+    exact = np.quantile(vals, qs)
+    width = (vals.max() - vals.min()) / 4096
+    for g, e in zip(got, exact):
+        assert abs(g - e) <= 2 * width + 1e-9, (g, e)
+    # rank error: realized rank of each approximation within 1% of q
+    for q, g in zip(qs, got):
+        assert abs((vals <= g).mean() - q) <= 0.01
+
+
 def test_q5_revenue_vs_duckdb():
     from distributed_pagerank_ray.pipelines.relational import q5_revenue_by_nation
 
