@@ -341,6 +341,55 @@ def _g_pagerank3(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _g_ppr3(sf_dir):
+    """Personalized PageRank, 3 fixed iterations: the teleport vector E
+    is uniform over the PART vertices only (raw id < ORDER_BASE) and
+    zero elsewhere — exercising the custom-E surface
+    (PageRankConfig.e_vector, reference graph.go:82-97 semantics)
+    against an unrolled SQL oracle. Minting preserves numeric key
+    order, so parts occupy minted ids [0, n_parts)."""
+    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.pipelines.relational import ORDER_BASE
+    from distributed_pagerank_ray.util import compact_for_join
+
+    run_dir = tempfile.mkdtemp(prefix="dpr_ppr3_")
+    g = build_graph(
+        _g_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    import pyarrow.compute as pc
+
+    n_parts = (
+        g.vertex_map()
+        .map_batches(
+            lambda t: pa.table({"k": t.column("key").filter(pc.less(t.column("key"), ORDER_BASE))}),
+            batch_format="pyarrow",
+        )
+        .count()
+    )
+    ev = np.zeros(g.n)
+    ev[:n_parts] = 1.0 / n_parts
+    res = pagerank(g, PageRankConfig(threshold=0.0, max_iters=3, e_vector=ev))
+    joined = compact_for_join(res.ranks(), 4).join(
+        compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "vertex": t.column("key"),
+                "rank": pa.array(np.round(t.column("rank").to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def _r_events_sessions(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import events_sessions
 
@@ -885,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_triangles_parts": _g_triangles_parts,
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only (iterative)
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
+        "g_ppr3_parts": _g_ppr3,  # personalized (custom-E) 3-iter, SQL-checked
         "g_degree_hist": _g_degree_hist,
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
@@ -1073,6 +1123,36 @@ r2 AS (
 r3 AS (
   SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
   FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r2.r / outdeg.d) AS contrib
+    FROM edges e JOIN r2 ON r2.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+)
+SELECT v AS vertex, round(r / (SELECT sum(r) FROM r3), 6) AS "rank" FROM r3
+""",
+        "g_ppr3_parts": """
+WITH edges AS (SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst FROM lineitem),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+np AS (SELECT count(*) AS n FROM verts WHERE v < 10000000),
+ev AS (SELECT v, CASE WHEN v < 10000000 THEN 1.0 / (SELECT n FROM np) ELSE 0 END AS e FROM verts),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT count(*) FROM verts) AS r FROM verts),
+r1 AS (
+  SELECT verts.v, 0.15 * ev.e + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts JOIN ev ON ev.v = verts.v LEFT JOIN (
+    SELECT e.dst AS v, sum(r0.r / outdeg.d) AS contrib
+    FROM edges e JOIN r0 ON r0.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+r2 AS (
+  SELECT verts.v, 0.15 * ev.e + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts JOIN ev ON ev.v = verts.v LEFT JOIN (
+    SELECT e.dst AS v, sum(r1.r / outdeg.d) AS contrib
+    FROM edges e JOIN r1 ON r1.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+r3 AS (
+  SELECT verts.v, 0.15 * ev.e + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts JOIN ev ON ev.v = verts.v LEFT JOIN (
     SELECT e.dst AS v, sum(r2.r / outdeg.d) AS contrib
     FROM edges e JOIN r2 ON r2.v = e.src JOIN outdeg ON outdeg.src = e.src
     GROUP BY e.dst) s ON s.v = verts.v
