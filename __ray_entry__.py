@@ -515,6 +515,56 @@ def _e_knn(sf_dir):
     return res.map_batches(remap, batch_format="pyarrow")
 
 
+def _e_knn_ivf(sf_dir):
+    """IVF knn with nprobe = n_clusters (full probe): exactly equals
+    brute force, so it hash-matches the same exact-knn SQL oracle —
+    gating the whole IVF plumbing (k-means fit, bucketing, probe,
+    merge). Approximate recall at small nprobe is pytest-bounded
+    (tests/test_kmeans.py)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.kmeans import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q, qids = _e_queries(sf_dir)
+    res = knn_ivf(ds, q, k=10, n_clusters=8, nprobe=8)
+
+    def remap(t: pa.Table) -> pa.Table:
+        j = t.column("query_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[j]),
+                "neighbor_id": t.column("neighbor_id"),
+                "rnk": t.column("rnk"),
+            }
+        )
+
+    return res.map_batches(remap, batch_format="pyarrow")
+
+
+def _e_kmeans(sf_dir):
+    """Distributed k-means cluster sizes (rows-only: the objective is
+    not SQL-expressible; determinism and label agreement are
+    pytest-checked)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from distributed_pagerank_ray.functions.kmeans import kmeans_assign, kmeans_fit
+    from distributed_pagerank_ray.util import ensure_schema
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=10)
+    return (
+        kmeans_assign(ds, cents)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n_members"))
+        .map_batches(
+            ensure_schema({"cluster": pa.int64(), "n_members": pa.int64()}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _e_dup_pairs(sf_dir):
     import ray.data
 
@@ -968,6 +1018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
         "e_knn": _e_knn,
+        "e_knn_ivf": _e_knn_ivf,  # IVF full-probe == exact, SQL-checked
+        "e_kmeans": _e_kmeans,  # rows-only (clustering objective)
         "e_dup_pairs": _e_dup_pairs,
         "e_approx_users": _e_approx_users,  # exact count SQL-checked + in-query ±5% sketch gate
         "e_value_quantiles": _e_value_quantiles,  # rank-recount SQL-checked ±1% sketch gate
@@ -1352,6 +1404,20 @@ SELECT event_type, round(avg(value), 4) AS avg_value,
 FROM events GROUP BY event_type
 """,
         "e_knn": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 10
+""",
+        "e_knn_ivf": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5
 ), scored AS (
