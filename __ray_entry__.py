@@ -750,6 +750,12 @@ def _r_top3_per_segment(sf_dir):
     return top_orders_per_segment(sf_dir, k=3)
 
 
+def _r_cust_urgent_counts(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import customer_urgent_counts
+
+    return customer_urgent_counts(sf_dir)
+
+
 def _r_cust_no_orders(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import customers_without_orders
 
@@ -799,6 +805,20 @@ def _t_normalize(sf_dir):
         .map_batches(normalize_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "text_norm"])
     )
+
+
+def _g_kcore2(sf_dir):
+    """Three peel rounds toward the 2-core of the bipartite
+    order↔part graph (fixed rounds so the unrolled SQL oracle matches
+    exactly; pipelines/kcore.py loops to the true core with
+    rounds=None)."""
+    from distributed_pagerank_ray.pipelines.kcore import kcore_peel
+
+    edges = _g_edges(sf_dir).map_batches(
+        lambda t: pa.table({"a": t.column("src"), "b": t.column("dst")}),
+        batch_format="pyarrow",
+    )
+    return kcore_peel(edges, k=2, rounds=3)
 
 
 def _g_degree_hist(sf_dir):
@@ -986,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
         "g_ppr3_parts": _g_ppr3,  # personalized (custom-E) 3-iter, SQL-checked
         "g_degree_hist": _g_degree_hist,
+        "g_kcore2_lineitem": _g_kcore2,
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,
@@ -998,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_views_1h": _r_views_1h,
         "r_top3_per_segment": _r_top3_per_segment,
         "r_cust_no_orders": _r_cust_no_orders,
+        "r_cust_urgent_counts": _r_cust_urgent_counts,
         "r_events_sliding": _r_events_sliding,
         "r_q5_nation_revenue": _r_q5_nation_revenue,
         "r_qty_quantiles": _r_qty_quantiles,
@@ -1290,6 +1312,14 @@ QUALIFY row_number() OVER (
 SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 """,
+        "r_cust_urgent_counts": """
+SELECT c.c_custkey,
+       COALESCE(u.n_urgent, 0) AS n_urgent
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_urgent FROM orders
+  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+) u ON u.o_custkey = c.c_custkey
+""",
         "r_events_sliding": """
 SELECT event_type, window_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM (
@@ -1303,6 +1333,19 @@ GROUP BY 1, 2
             f"(SELECT src, count(*) AS out_degree FROM ({_EDGES_CTE}) GROUP BY src) "
             "GROUP BY out_degree"
         ),
+        "g_kcore2_lineitem": f"""
+WITH e0 AS ({_EDGES_CTE}),
+d1 AS (SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY v),
+k1 AS (SELECT v FROM d1 WHERE deg < 2),
+e1 AS (SELECT * FROM e0 WHERE src NOT IN (SELECT v FROM k1) AND dst NOT IN (SELECT v FROM k1)),
+d2 AS (SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1) GROUP BY v),
+k2 AS (SELECT v FROM d2 WHERE deg < 2),
+e2 AS (SELECT * FROM e1 WHERE src NOT IN (SELECT v FROM k2) AND dst NOT IN (SELECT v FROM k2)),
+d3 AS (SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2) GROUP BY v),
+k3 AS (SELECT v FROM d3 WHERE deg < 2),
+e3 AS (SELECT * FROM e2 WHERE src NOT IN (SELECT v FROM k3) AND dst NOT IN (SELECT v FROM k3))
+SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e3 UNION ALL SELECT dst FROM e3) GROUP BY v
+""",
         "t_normalize": (
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm "
             "FROM documents"

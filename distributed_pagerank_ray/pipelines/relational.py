@@ -180,6 +180,44 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> "ray.d
     )
 
 
+def customer_urgent_counts(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
+    """LEFT OUTER join: every customer with their count of URGENT
+    orders, zero when none (the outer-join surface; inner/semi/anti are
+    gated elsewhere). The counting side is pre-aggregated to one row
+    per custkey (count BSP) BEFORE the join, so the shuffle moves at
+    most |customer| rows per side."""
+    from ..util import count_i64_keys
+
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t.column("o_custkey").filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))}
+        ),
+        batch_format="pyarrow",
+    )
+    counts = count_i64_keys(urgent, "o_custkey", count_col="n_urgent")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = compact_for_join(cust, num_partitions).join(
+        compact_for_join(counts, num_partitions),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "c_custkey" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], _I64), "n_urgent": pa.array([], _I64)})
+        n = t.column("n_urgent") if "n_urgent" in t.column_names else pa.nulls(len(t), _I64)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "n_urgent": pc.fill_null(n.cast(_I64) if n.type != _I64 else n, 0),
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- q5 multi-join
 
 def q5_revenue_by_nation(

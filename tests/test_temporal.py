@@ -162,6 +162,50 @@ def test_sliding_window_covers_each_event_twice(tmp_path):
     assert by_start[pd.Timestamp("2024-01-01 01:00")] == 10.0
 
 
+def test_kcore_true_core_vs_brute_force():
+    """rounds=None loops to the fixpoint; verify against an in-memory
+    peeling oracle on a random graph."""
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.pipelines.kcore import kcore_peel
+
+    rng = np.random.default_rng(4)
+    m = 1200  # dense enough that the core is non-empty (asserted below)
+    a = rng.integers(0, 60, m)
+    b = rng.integers(0, 60, m)
+    keep = a < b
+    pairs = sorted(set(zip(a[keep].tolist(), b[keep].tolist())))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    k = 8
+    got = kcore_peel(ds, k=k, rounds=None).to_pandas()
+
+    # oracle: iterative peeling on plain sets
+    edges = set(pairs)
+    while True:
+        deg: dict[int, int] = {}
+        for x, y in edges:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        kill = {v for v, d in deg.items() if d < k}
+        if not kill:
+            break
+        edges = {(x, y) for x, y in edges if x not in kill and y not in kill}
+    exp_deg: dict[int, int] = {}
+    for x, y in edges:
+        exp_deg[x] = exp_deg.get(x, 0) + 1
+        exp_deg[y] = exp_deg.get(y, 0) + 1
+    assert dict(zip(got["v"], got["deg"])) == exp_deg
+    assert len(exp_deg) > 0  # non-degenerate fixture
+    assert all(d >= k for d in exp_deg.values())
+
+
 def test_near_dedup_keep_first_sf0001():
     """End-to-end near-dedup on the real documents table: kept == docs
     that are the min id of their exact-Jaccard duplicate component."""
