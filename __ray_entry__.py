@@ -977,16 +977,36 @@ def _t_near_dedup_keep(sf_dir):
         ),
         batch_format="pyarrow",
     )
-    from distributed_pagerank_ray.util import semi_join_filter
+    # rest = docs outside the dup graph. Size-adaptive anti join: the
+    # dup set scales with the corpus, so above the broadcast bound use
+    # the native shuffle left_anti (nothing gathered); below it the
+    # broadcast NOT-IN filter skips the join's fixed AllToAll rounds
+    # (2-3 s each here — they dominate at gate scale).
+    if in_graph.count() <= 5_000_000:
+        from distributed_pagerank_ray.util import semi_join_filter
 
-    graph_ids = np.concatenate(
-        [
-            b.column("doc_id").to_numpy(zero_copy_only=False)
-            for b in in_graph.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        ]
-        or [np.zeros(0, dtype=np.int64)]
-    )
-    rest = semi_join_filter(all_docs, "doc_id", graph_ids, keep=False)
+        graph_ids = np.concatenate(
+            [
+                b.column("doc_id").to_numpy(zero_copy_only=False)
+                for b in in_graph.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+        rest = semi_join_filter(all_docs, "doc_id", graph_ids, keep=False)
+    else:
+        dup_ids = in_graph.map_batches(
+            lambda t: pa.table({"gid": t.column("doc_id")})
+            if "doc_id" in t.column_names
+            else pa.table({"gid": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        rest = compact_for_join(all_docs, 4).join(
+            compact_for_join(dup_ids, 4),
+            join_type="left_anti",
+            num_partitions=4,
+            on=("doc_id",),
+            right_on=("gid",),
+        )
     return rest.union(in_graph).map_batches(
         ensure_schema({"doc_id": pa.int64(), "kept": pa.int64()}), batch_format="pyarrow"
     )

@@ -45,13 +45,26 @@ def _sample_matrix(
     ds: "ray.data.Dataset", id_col: str, emb_col: str, m: int
 ) -> np.ndarray:
     """The m rows with the smallest id-hash, as a (m, d) matrix —
-    deterministic, order-independent, gathered bounded (each batch
-    contributes at most its m smallest candidates)."""
+    deterministic and order-independent.
+
+    Scale bound: a hash threshold of ~8m/n (n from the metadata-cheap
+    ``count()``) prefilters INSIDE each batch, so the expected gather
+    is O(m) rows total — not O(blocks × m); each batch additionally
+    caps its contribution at its m smallest. With 8× oversampling the
+    probability of the threshold missing part of the true smallest-m
+    is negligible (Chernoff), and correctness degrades gracefully: a
+    short sample still seeds k-means++ deterministically."""
+    from .sampling import _MOD
+
+    n = max(1, ds.count())
+    cut = int(min(_MOD, np.ceil(_MOD * min(1.0, 8.0 * m / n))))
+
     def local(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         h = _hash_ids(ids)
-        keep = np.argsort(h, kind="stable")[:m]
-        mat = _batch_matrix(t, emb_col)[keep]
+        under = np.nonzero(h < cut)[0]
+        keep = under[np.argsort(h[under], kind="stable")[:m]]
+        mat = _batch_matrix(t, emb_col)[keep] if len(keep) else np.zeros((0, 0))
         return pa.table(
             {
                 "h": pa.array(h[keep]),
@@ -70,6 +83,8 @@ def _sample_matrix(
                     np.stack([np.frombuffer(x, dtype=np.float64) for x in b.column("emb").to_pylist()]),
                 )
             )
+    if not parts:
+        raise ValueError("kmeans_fit: empty input dataset")
     h = np.concatenate([p[0] for p in parts])
     mat = np.concatenate([p[1] for p in parts])
     keep = np.argsort(h, kind="stable")[:m]

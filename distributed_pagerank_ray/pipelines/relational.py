@@ -522,7 +522,13 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     (customer → segment) is broadcast once via ray.put; each orders
     batch prunes to its LOCAL top-k per segment (combiner) so the final
     shuffle moves O(k × segments × blocks) rows, not the orders table.
-    Ties broken by o_orderkey asc — deterministic on both sides."""
+    Ties broken by o_orderkey asc — deterministic on both sides.
+
+    Broadcast bound: the custkey→segment map costs ~24 B/customer per
+    worker; above a few GB replace the lookup with a hash join against
+    the pre-pruned orders side (the partial top-k combiner is
+    unchanged either way — it is the part that makes the final
+    shuffle small)."""
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -585,13 +591,17 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     )
 
 
-def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dataset":
-    """Anti-join: customers that never placed a ``priority`` order. The
-    orders key set is reduced DISTRIBUTED-first (vectorized priority
-    filter, then distinct custkeys via the count BSP — output is at
-    most |customer| keys), then broadcast into a vectorized NOT-IN
-    filter over the customer table (no shuffle of the fact side)."""
-    from ..util import count_i64_keys, semi_join_filter
+def customers_without_orders(
+    sf_dir: str, priority: str = "1-URGENT", num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """Anti-join: customers that never placed a ``priority`` order —
+    the SHUFFLE anti shape (Ray's native ``left_anti`` join): both
+    sides hash-partition, nothing is ever gathered to the driver, so
+    it holds at any key-set size. (The complementary BROADCAST shape —
+    distinct keys → ``semi_join_filter`` — is what r_urgent_semi_join
+    uses for its small filtered key set.) The orders side is reduced
+    to distinct custkeys via the count BSP before the join."""
+    from ..util import count_i64_keys
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
         lambda t: pa.table(
@@ -599,22 +609,32 @@ def customers_without_orders(sf_dir: str, priority: str = "1-URGENT") -> "ray.da
         ),
         batch_format="pyarrow",
     )
-    distinct = count_i64_keys(orders, "o_custkey")
-    have_parts = [
-        b.column("o_custkey").to_numpy(zero_copy_only=False)
-        for b in distinct.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
-    have = np.concatenate(have_parts) if have_parts else np.zeros(0, dtype=np.int64)
+    distinct = count_i64_keys(orders, "o_custkey").map_batches(
+        lambda t: pa.table({"o_custkey": t.column("o_custkey")})
+        if "o_custkey" in t.column_names
+        else pa.table({"o_custkey": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-    return semi_join_filter(cust, "c_custkey", have, keep=False).map_batches(
-        lambda t: pa.table(
+    j = compact_for_join(cust, num_partitions).join(
+        compact_for_join(distinct, num_partitions),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "c_custkey" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], _I64), "c_acctbal": pa.array([], _F64)})
+        return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
                 "c_acctbal": pa.array(_round4(t.column("c_acctbal").to_numpy(zero_copy_only=False))),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow")
 
 
 def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
