@@ -807,6 +807,34 @@ def _t_normalize(sf_dir):
     )
 
 
+def _g_wpagerank3(sf_dir):
+    """Weighted PageRank, 3 fixed iterations, on the lineitem
+    multigraph with w = l_quantity (duplicate (src,dst) lines stay
+    separate rows — W(src) sums them, so contributions are identical
+    to pre-summed weights). Join-based formulation
+    (pipelines/pagerank_weighted.py) vs an unrolled-CTE oracle."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.pagerank_weighted import pagerank_weighted_fixed
+    from distributed_pagerank_ray.pipelines.relational import ORDER_BASE
+
+    import pyarrow.compute as pc
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.add(t.column("l_orderkey").cast(pa.int64()), ORDER_BASE),
+                "dst": t.column("l_partkey").cast(pa.int64()),
+                "w": t.column("l_quantity").cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pagerank_weighted_fixed(edges, iters=3)
+
+
 def _g_kcore2(sf_dir):
     """Three peel rounds toward the 2-core of the bipartite
     order↔part graph (fixed rounds so the unrolled SQL oracle matches
@@ -1027,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_ppr3_parts": _g_ppr3,  # personalized (custom-E) 3-iter, SQL-checked
         "g_degree_hist": _g_degree_hist,
         "g_kcore2_lineitem": _g_kcore2,
+        "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,
@@ -1353,6 +1382,33 @@ GROUP BY 1, 2
             f"(SELECT src, count(*) AS out_degree FROM ({_EDGES_CTE}) GROUP BY src) "
             "GROUP BY out_degree"
         ),
+        "g_wpagerank3_lineitem": """
+WITH e AS (SELECT l_orderkey + 10000000 AS src, l_partkey AS dst, l_quantity AS w FROM lineitem),
+ws AS (SELECT src, sum(w) AS W FROM e GROUP BY src),
+f AS (SELECT e.src, e.dst, e.w / ws.W AS f FROM e JOIN ws ON ws.src = e.src),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM verts),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+r1 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT f.dst AS v, sum(r0.r * f.f) AS contrib FROM f JOIN r0 ON r0.v = f.src GROUP BY f.dst
+  ) s ON s.v = verts.v
+),
+r2 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT f.dst AS v, sum(r1.r * f.f) AS contrib FROM f JOIN r1 ON r1.v = f.src GROUP BY f.dst
+  ) s ON s.v = verts.v
+),
+r3 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT f.dst AS v, sum(r2.r * f.f) AS contrib FROM f JOIN r2 ON r2.v = f.src GROUP BY f.dst
+  ) s ON s.v = verts.v
+)
+SELECT v AS vertex, round(r / (SELECT sum(r) FROM r3), 6) AS "rank" FROM r3
+""",
         "g_kcore2_lineitem": f"""
 WITH e0 AS ({_EDGES_CTE}),
 d1 AS (SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY v),

@@ -1,0 +1,163 @@
+"""Weighted PageRank over an edge table with a ``weight`` column —
+the JOIN-BASED formulation, fixed iteration count.
+
+Contribution of src→dst is ``rank(src) · w(src,dst) / W(src)`` where
+``W(src)`` is src's total out-weight; update is the reference rule
+``r' = (1−c)·E + c·Σ contrib`` with uniform E (reference semantics per
+pkg/graph/pagerank.go, generalized to weights; the unweighted sharded
+BSP engine in pipelines/pagerank.py remains the scale path for the
+plain case — this pipeline exists for weighted graphs and doubles as
+the join-based contrast implementation its docstring mentions).
+
+Shape per iteration: ONE hash join (ranks ⋈ edges on src — ranks is
+the small-per-partition side) + ONE grouped sum on dst. Loop-invariant
+state (edges with precomputed w/W, the vertex list) is materialized
+once; only the rank table changes per iteration. Fixed ``iters`` keeps
+it SQL-oracle-checkable (unrolled CTEs, like g_pagerank3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..util import compact_for_join, ensure_schema
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def pagerank_weighted_fixed(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    c: float = 0.85,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> "ray.data.Dataset":
+    """Returns (vertex, rank) after exactly ``iters`` iterations,
+    normalized to Σrank = 1. Deterministic."""
+    P = num_partitions
+
+    norm_edges = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column(src_col).cast(_I64),
+                "dst": t.column(dst_col).cast(_I64),
+                "w": t.column(w_col).cast(_F64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # W(src): total out-weight — grouped sum once, joined back once
+    wsum = (
+        norm_edges.groupby("src")
+        .aggregate(Sum("w", alias_name="W"))
+        .map_batches(ensure_schema({"src": _I64, "W": _F64}), batch_format="pyarrow")
+    )
+    ew = compact_for_join(norm_edges, P).join(
+        compact_for_join(wsum.map_batches(
+            lambda t: pa.table({"src2": t.column("src"), "W": t.column("W")}),
+            batch_format="pyarrow",
+        ), P),
+        join_type="inner", num_partitions=P, on=("src",), right_on=("src2",),
+    )
+
+    def _frac(t: pa.Table) -> pa.Table:
+        if "src" not in t.column_names:
+            return pa.table({"src": pa.array([], _I64), "dst": pa.array([], _I64), "f": pa.array([], _F64)})
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "f": pc.divide(t.column("w"), t.column("W")),
+            }
+        )
+
+    ew = compact_for_join(ew.map_batches(_frac, batch_format="pyarrow"), P).materialize()
+
+    # vertex set = src ∪ dst — distinct via the count BSP (keys must
+    # fit [0, 2^31); groupby fallback otherwise, same as build_graph)
+    both = norm_edges.map_batches(
+        lambda t: pa.table({"v": t.column("src")}), batch_format="pyarrow"
+    ).union(norm_edges.map_batches(lambda t: pa.table({"v": t.column("dst")}), batch_format="pyarrow"))
+    try:
+        from ray.exceptions import RayTaskError
+
+        from ..util import count_i64_keys
+
+        verts = (
+            count_i64_keys(both, "v")
+            .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
+            .materialize()
+        )
+    except (RayTaskError, ValueError):
+        verts = (
+            both.groupby("v")
+            .aggregate(Sum("v", alias_name="_s"))
+            .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
+            .materialize()
+        )
+    n = verts.count()
+    base = (1.0 - c) / n
+
+    ranks = verts.map_batches(
+        lambda t: pa.table({"v": t.column("v"), "r": pa.array(np.full(len(t), 1.0 / n))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        j = compact_for_join(ranks, P).join(
+            ew, join_type="inner", num_partitions=P, on=("v",), right_on=("src",)
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if "dst" not in t.column_names:
+                return pa.table({"dst": pa.array([], _I64), "x": pa.array([], _F64)})
+            return pa.table(
+                {"dst": t.column("dst"), "x": pc.multiply(t.column("r"), t.column("f"))}
+            )
+
+        sums = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("x", alias_name="s"))
+            .map_batches(ensure_schema({"dst": _I64, "s": _F64}), batch_format="pyarrow")
+        )
+        j2 = compact_for_join(verts, P).join(
+            compact_for_join(sums, P),
+            join_type="left_outer", num_partitions=P, on=("v",), right_on=("dst",),
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if "v" not in t.column_names:
+                return pa.table({"v": pa.array([], _I64), "r": pa.array([], _F64)})
+            s = t.column("s") if "s" in t.column_names else pa.nulls(len(t), _F64)
+            s = pc.fill_null(s.cast(_F64) if s.type != _F64 else s, 0.0)
+            return pa.table(
+                {"v": t.column("v"), "r": pc.add(pa.scalar(base), pc.multiply(pa.scalar(c), s))}
+            )
+
+        ranks = j2.map_batches(update, batch_format="pyarrow").materialize()
+
+    total = float(
+        ranks.aggregate(Sum("r", alias_name="t"))["t"]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "v" not in t.column_names:
+            return pa.table({"vertex": pa.array([], _I64), "rank": pa.array([], _F64)})
+        return pa.table(
+            {
+                "vertex": t.column("v"),
+                "rank": pa.array(
+                    np.round(t.column("r").to_numpy(zero_copy_only=False) / total, 6)
+                ),
+            }
+        )
+
+    return ranks.map_batches(fin, batch_format="pyarrow")

@@ -162,6 +162,35 @@ def test_sliding_window_covers_each_event_twice(tmp_path):
     assert by_start[pd.Timestamp("2024-01-01 01:00")] == 10.0
 
 
+def test_weighted_pagerank_vs_numpy():
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.pipelines.pagerank_weighted import pagerank_weighted_fixed
+
+    # small weighted digraph with a duplicate edge (multigraph) and a
+    # dangling vertex (3 has no out-edges)
+    src = [0, 0, 1, 2, 2, 0]
+    dst = [1, 2, 3, 0, 3, 1]  # (0,1) twice: w 1.0 and 0.5
+    w = [1.0, 2.0, 1.0, 4.0, 1.0, 0.5]
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()), "w": pa.array(w)})
+    )
+    got = pagerank_weighted_fixed(ds, iters=3, num_partitions=2).to_pandas()
+    got = dict(zip(got["vertex"], got["rank"]))
+
+    n, c = 4, 0.85
+    W = {0: 3.5, 1: 1.0, 2: 5.0}
+    r = np.full(n, 1 / n)
+    for _ in range(3):
+        nxt = np.full(n, (1 - c) / n)
+        for s, d, wt in zip(src, dst, w):
+            nxt[d] += c * r[s] * wt / W[s]
+        r = nxt
+    r = r / r.sum()
+    for v in range(n):
+        assert abs(got[v] - round(float(r[v]), 6)) < 1.5e-6, (v, got[v], r[v])
+
+
 def test_kcore_true_core_vs_brute_force():
     """rounds=None loops to the fixpoint; verify against an in-memory
     peeling oracle on a random graph."""
