@@ -576,18 +576,18 @@ def _e_dup_pairs(sf_dir):
 
 def _e_approx_users(sf_dir):
     """HLL sketch WITH a real oracle: the query returns the exact
-    distinct count (computed distributed — groupby row count) plus
-    ``hll_ok`` = sketch estimate within ±5% of it. The SQL twin
-    verifies the exact count AND expects hll_ok=true, so a broken
-    sketch (or a broken exact path) turns the cell red."""
+    distinct count (computed distributed — the count BSP, not a
+    row-level groupby) plus ``hll_ok`` = sketch estimate within ±5% of
+    it. The SQL twin verifies the exact count AND expects hll_ok=true,
+    so a broken sketch (or a broken exact path) turns the cell red."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from distributed_pagerank_ray.functions.sketches import approx_distinct
+    from distributed_pagerank_ray.util import count_i64_keys
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    exact = ds.groupby("user_id").aggregate(Count(alias_name="_n")).count()
+    exact = count_i64_keys(ds, "user_id").count()
     ok = abs(est - exact) <= 0.05 * max(exact, 1)
     return ray.data.from_items([{"exact_users": int(exact), "hll_ok": bool(ok)}])
 

@@ -251,7 +251,7 @@ def _pair_intersections(
         )
 
     packed = j.map_batches(keep, batch_format="pyarrow")
-    S = num_shards
+    S = max(2, num_shards)  # num_returns=1 would hand reducers the raw list
     thr = threshold
     gather = ray.remote(_pair_count_block)
     blocks = packed.materialize().to_arrow_refs()
@@ -285,7 +285,7 @@ def _pair_intersections(
         )
 
     gathers = [gather.options(num_returns=S).remote(b, S) for b in blocks]
-    cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+    cols = [list(c) for c in zip(*gathers)]
     return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 
 

@@ -114,7 +114,7 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Lloyd iterations with mergeable per-batch partials. Returns the
     (k, d) centroid matrix. Deterministic for fixed inputs/seed."""
-    sample = _sample_matrix(ds, id_col, emb_col, min(sample_size, max(k * 8, 256)))
+    sample = _sample_matrix(ds, id_col, emb_col, max(sample_size, k * 8))
     cents = _kmeanspp_init(sample, k, seed)
     d = cents.shape[1]
     ds = ds.materialize()  # consumed once per iteration

@@ -30,8 +30,12 @@ _MAX_SAFE_ID = (2**63 - 1) // _MULT
 
 
 def _hash_ids(ids: np.ndarray) -> np.ndarray:
-    if len(ids) and int(ids.max()) > _MAX_SAFE_ID:
-        raise ValueError(f"id exceeds exact-hash bound {_MAX_SAFE_ID}; use a 64-bit mixer")
+    # negative ids are rejected too: numpy's % is non-negative while
+    # SQL's is sign-preserving, so the paired oracles would diverge
+    if len(ids) and (int(ids.max()) > _MAX_SAFE_ID or int(ids.min()) < 0):
+        raise ValueError(
+            f"ids must be in [0, {_MAX_SAFE_ID}] for the exact hash; use a 64-bit mixer"
+        )
     return (ids.astype(np.int64) * _MULT) % _MOD
 
 

@@ -386,12 +386,17 @@ def build_graph(
 
     from ..util import distinct_i64_pairs
 
-    try:
-        edges_distinct = distinct_i64_pairs(edges_raw, "src", "dst").materialize()
-    except (RayTaskError, ValueError):
-        edges_distinct = (
-            edges_raw.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
-        )
+    if semantics.dedup_in_links or semantics.outdegree_mode != "line_count":
+        try:
+            edges_distinct = distinct_i64_pairs(edges_raw, "src", "dst").materialize()
+        except (RayTaskError, ValueError):
+            edges_distinct = (
+                edges_raw.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+            )
+    else:
+        # neither the edge set nor the degrees need the distinct pass —
+        # don't pay a full gather+reduce whose output would be discarded
+        edges_distinct = edges_raw
 
     edges_final = (edges_distinct if semantics.dedup_in_links else edges_raw).sort("src")
     edges_final = edges_final.materialize()

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -50,17 +51,15 @@ def kcore_peel(
         r += 1
         deg = _sym_degrees(edges)
         kill_parts = []
-        import pyarrow.compute as pc
-
         for b in deg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             kill_parts.append(
                 b.column("v").filter(pc.less(b.column("deg"), k)).to_numpy(zero_copy_only=False)
             )
         kill = np.concatenate(kill_parts) if kill_parts else np.zeros(0, dtype=np.int64)
         if len(kill) == 0:
-            if rounds is None:
-                break
-            continue
+            # fixpoint: further rounds are identical no-ops, fixed-round
+            # oracle parity is preserved by stopping here
+            break
         edges = semi_join_filter(
             semi_join_filter(edges, "a", kill, keep=False), "b", kill, keep=False
         ).materialize()

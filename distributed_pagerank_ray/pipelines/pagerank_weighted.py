@@ -80,28 +80,19 @@ def pagerank_weighted_fixed(
 
     ew = compact_for_join(ew.map_batches(_frac, batch_format="pyarrow"), P).materialize()
 
-    # vertex set = src ∪ dst — distinct via the count BSP (keys must
-    # fit [0, 2^31); groupby fallback otherwise, same as build_graph)
+    # vertex set = src ∪ dst — distinct via the count BSP (valid for
+    # any int64 key: the shard hash wraps uint64, unlike the packed
+    # PAIR key in distinct_i64_pairs which does need [0, 2^31) ids)
     both = norm_edges.map_batches(
         lambda t: pa.table({"v": t.column("src")}), batch_format="pyarrow"
     ).union(norm_edges.map_batches(lambda t: pa.table({"v": t.column("dst")}), batch_format="pyarrow"))
-    try:
-        from ray.exceptions import RayTaskError
+    from ..util import count_i64_keys
 
-        from ..util import count_i64_keys
-
-        verts = (
-            count_i64_keys(both, "v")
-            .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
-            .materialize()
-        )
-    except (RayTaskError, ValueError):
-        verts = (
-            both.groupby("v")
-            .aggregate(Sum("v", alias_name="_s"))
-            .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
-            .materialize()
-        )
+    verts = (
+        count_i64_keys(both, "v")
+        .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
+        .materialize()
+    )
     n = verts.count()
     base = (1.0 - c) / n
 

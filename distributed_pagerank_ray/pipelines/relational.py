@@ -338,6 +338,8 @@ def q5_revenue_by_nation(
         if "l_suppkey" not in t.column_names:
             return pa.table({"nk": pa.array([], _I64), "rev": pa.array([], _F64)})
         sk, sn = ray.get(supp_ref)
+        if len(sk) == 0 or len(t) == 0:
+            return pa.table({"nk": pa.array([], _I64), "rev": pa.array([], _F64)})
         supp_keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(sk, supp_keys), 0, len(sk) - 1)
         s_nat = np.where(sk[pos] == supp_keys, sn[pos], -1)
@@ -360,6 +362,8 @@ def q5_revenue_by_nation(
         if "nk" not in t.column_names:
             return pa.table({"n_name": pa.array([], pa.string()), "revenue": pa.array([], _F64)})
         nkeys, names = ray.get(nations_ref)
+        if len(nkeys) == 0 or len(t) == 0:
+            return pa.table({"n_name": pa.array([], pa.string()), "revenue": pa.array([], _F64)})
         nk = t.column("nk").to_numpy(zero_copy_only=False)
         pos = np.clip(np.searchsorted(nkeys, nk), 0, len(nkeys) - 1)
         return pa.table(
@@ -464,16 +468,17 @@ def events_sliding(sf_dir: str, size_hours: int = 2, slide_hours: int = 1) -> "r
     size/slide windows — the replication happens inside map_batches
     (vectorized np.repeat), then ONE grouped aggregate; no flat_map
     row loop and no second shuffle."""
+    if size_hours % slide_hours != 0:
+        raise ValueError("size_hours must be a multiple of slide_hours")
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     n_copies = size_hours // slide_hours
     slide_us = slide_hours * 3_600_000_000
 
     def assign(t: pa.Table) -> pa.Table:
-        base = (
-            pc.floor_temporal(t.column("ts"), unit="hour")
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
+        # window starts live on the SLIDE grid: floor ts to a slide
+        # multiple (floor-to-hour alone is wrong for slide_hours > 1)
+        raw = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (raw // slide_us) * slide_us
         offs = np.arange(n_copies, dtype=np.int64) * slide_us
         starts = np.repeat(base, n_copies) - np.tile(offs, len(base))
         return pa.table(
@@ -548,6 +553,10 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     def local_topk(t: pa.Table) -> pa.Table:
         keys, segs = ray.get(seg_ref)
+        if len(keys) == 0 or len(t) == 0:
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()), "o_orderkey": pa.array([], _I64), "o_totalprice": pa.array([], _F64)}
+            )
         ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, ck)
         pos = np.clip(pos, 0, len(keys) - 1)

@@ -50,7 +50,7 @@ def distinct_i64_pairs(
     import ray
     import ray.data
 
-    S = num_shards
+    S = max(2, num_shards)  # num_returns=1 would hand reducers the raw list
     gather = ray.remote(_pack_pairs_block)
     blocks = ds.materialize().to_arrow_refs()
     oa, ob = out_a or col_a, out_b or col_b
@@ -69,7 +69,7 @@ def distinct_i64_pairs(
         )
 
     gathers = [gather.options(num_returns=S).remote(b, col_a, col_b, S) for b in blocks]
-    cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+    cols = [list(c) for c in zip(*gathers)]
     refs = [reduce.remote(*cols[s]) for s in range(S)]
     # errors (id-range ValueError) surface when the dataset is consumed;
     # callers wanting a groupby fallback catch RayTaskError at materialize
@@ -102,7 +102,7 @@ def count_i64_keys(ds, col: str, num_shards: int = 16, count_col: str = "cnt"):
     import ray
     import ray.data
 
-    S = num_shards
+    S = max(2, num_shards)  # num_returns=1 would hand reducers the raw list
     gather = ray.remote(_count_keys_block)
     blocks = ds.materialize().to_arrow_refs()
 
@@ -118,7 +118,7 @@ def count_i64_keys(ds, col: str, num_shards: int = 16, count_col: str = "cnt"):
         return pa.table({col: pa.array(u), count_col: pa.array(tot)})
 
     gathers = [gather.options(num_returns=S).remote(b, col, S) for b in blocks]
-    cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+    cols = [list(c) for c in zip(*gathers)]
     return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 
 

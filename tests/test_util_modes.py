@@ -76,3 +76,48 @@ def test_cli_job_submit_style(tmp_path):
     assert summary["converged"] and summary["n_vertices"] == 3
     # 3-cycle: uniform ranks
     assert summary["status"].startswith("Converged after")
+
+
+def test_bsp_single_shard_request():
+    """num_shards=1 regression: with num_returns=1 Ray would hand the
+    reducer the raw per-shard list; the BSP helpers floor S at 2."""
+    import pyarrow as pa
+
+    import ray.data
+    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 1, 2, 2, 3], pa.int64()), "b": pa.array([7, 7, 8, 9, 9], pa.int64())})
+    ).repartition(3)
+    got = distinct_i64_pairs(ds, "a", "b", num_shards=1).to_pandas()
+    assert sorted(map(tuple, got[["a", "b"]].to_numpy())) == [(1, 7), (2, 8), (2, 9), (3, 9)]
+    cnt = count_i64_keys(ds, "a", num_shards=1).to_pandas()
+    assert dict(zip(cnt["a"], cnt["cnt"])) == {1: 2, 2: 2, 3: 1}
+
+
+def test_sliding_window_slide_grid(tmp_path):
+    """slide_hours=2 regression: window starts must sit on the slide
+    grid (00:00, 02:00, ...), not floor-to-hour minus offsets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_pagerank_ray.pipelines.relational import events_sliding
+
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([np.datetime64("2024-01-01T03:30", "us")], pa.timestamp("us")),
+                "event_type": pa.array(["a"]),
+                "value": pa.array([1.0]),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = events_sliding(str(tmp_path), size_hours=4, slide_hours=2).to_pandas()
+    starts = sorted(str(s) for s in got["window_start"])
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 02:00:00"], starts
+    import pytest
+
+    with pytest.raises(ValueError):
+        events_sliding(str(tmp_path), size_hours=3, slide_hours=2)
