@@ -1040,6 +1040,80 @@ def _t_near_dedup_keep(sf_dir):
     )
 
 
+def _x_host_graph(sf_dir):
+    """Host-level rollup of the page link graph (the Common-Crawl
+    aggregation: page edges → distinct host→host edges → in-degree per
+    host). Host extraction is a vectorized Arrow regex; the host-edge
+    distinct runs on hashed host ids (count BSP) with the small
+    host-string dictionary broadcast back for display. Rows-only: the
+    corpus is the engine's own deterministic generator.
+
+    Self-gated: recomputes the expected host in-degrees with DuckDB on
+    the corpus links table and raises on any mismatch."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from distributed_pagerank_ray.sources.corpus import corpus_dir
+    from distributed_pagerank_ray.stages.extract import extract_links
+    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs, ensure_schema
+
+    cdir = corpus_dir("small")
+    links = extract_links(
+        ray.data.read_parquet(f"{cdir}/pages.parquet", columns=["url", "html"]),
+        concurrency=4,
+    ).select_columns(["src_url", "dst_url"])
+
+    def hostify(t: pa.Table) -> pa.Table:
+        # https://site{K}.example/p/{i} → site{K}.example; host ids are
+        # the site number (deterministic, dense, < 2^31 by construction)
+        def ids(col):
+            m = pc.extract_regex(t.column(col), r"https://site(?P<h>\d+)\.example/")
+            return pc.struct_field(m, "h").cast(pa.int64())
+
+        return pa.table({"sh": ids("src_url"), "dh": ids("dst_url")})
+
+    host_edges = distinct_i64_pairs(
+        links.map_batches(hostify, batch_format="pyarrow"), "sh", "dh"
+    )
+    indeg = count_i64_keys(host_edges, "dh", count_col="in_degree").map_batches(
+        lambda t: pa.table(
+            {
+                "host": pc.binary_join_element_wise(
+                    pa.scalar("site"), t.column("dh").cast(pa.string()), pa.scalar(".example"), ""
+                ),
+                "in_degree": t.column("in_degree"),
+            }
+        )
+        if "dh" in t.column_names
+        else pa.table({"host": pa.array([], pa.string()), "in_degree": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    got = indeg.to_pandas().sort_values("host").reset_index(drop=True)
+
+    con = duckdb.connect()
+    exp = (
+        con.execute(
+            f"""
+            SELECT 'site' || regexp_extract(dst_url, 'https://site(\\d+)\\.example/', 1) || '.example' AS host,
+                   count(DISTINCT regexp_extract(src_url, 'https://site(\\d+)\\.example/', 1)) AS in_degree
+            FROM '{cdir}/links.parquet/*.parquet'
+            GROUP BY host ORDER BY host
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    if not (
+        len(got) == len(exp)
+        and (got["host"].to_numpy() == exp["host"].to_numpy()).all()
+        and (got["in_degree"].to_numpy() == exp["in_degree"].to_numpy()).all()
+    ):
+        raise AssertionError("host-graph rollup mismatch vs links-table oracle")
+    return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph engine (SURVEY §2.2-2.3 + north-rule algorithms)
@@ -1096,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_value_quantiles": _e_value_quantiles,  # rank-recount SQL-checked ±1% sketch gate
         "r_events_stats": _r_events_stats,
         "x_extract_corpus": _x_extract_corpus,  # rows-only (corpus is engine-internal)
+        "x_host_graph": _x_host_graph,  # rows-only + in-query DuckDB self-gate
     }
 
 

@@ -91,3 +91,41 @@ def test_oracle_invariants(edges, c):
     r2, it2, _, _ = pagerank_oracle(perm[src], perm[dst], c=c, threshold=1e-8, n_vertices=n)
     assert it == it2
     assert np.allclose(ranks, r2[perm], atol=1e-9)
+
+
+# ---- BSP combine utilities vs pandas (few examples: Ray in the loop) ----
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**31 - 1), st.integers(0, 2**31 - 1)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=10, deadline=None)
+def test_bsp_distinct_and_count_match_pandas(pairs, shards):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs
+
+    t = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    distinct = distinct_i64_pairs(ds, "a", "b", num_shards=shards).to_pandas()
+    counts = count_i64_keys(ds, "a", num_shards=shards).to_pandas()
+    if not pairs:
+        # all-empty Ray datasets drop their schema (documented quirk) —
+        # only emptiness is checkable
+        assert len(distinct) == 0 and len(counts) == 0
+        return
+    got_pairs = sorted(map(tuple, distinct[["a", "b"]].to_numpy()))
+    assert got_pairs == sorted(set(pairs))
+    exp = pd.Series([p[0] for p in pairs]).value_counts().to_dict()
+    assert dict(zip(counts["a"], counts["cnt"])) == exp
