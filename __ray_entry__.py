@@ -117,20 +117,46 @@ def _g_vertex_count(sf_dir):
     return ray.data.from_items([{"n_vertices": int(n)}])
 
 
+def _gate_graph(sf_dir: str, kind: str, edges, tag: str):
+    """Build-once graph cache for the driver gate: several queries run
+    over the SAME minted graph (lineitem: pr / pr3 / ppr3; org: cc /
+    lpa), so the graph artifacts are built under a deterministic
+    per-(sf_dir, kind) directory — build_graph's _DONE cache makes
+    every subsequent query (and process) a cheap reload. Iteration
+    state is NOT shared: each query gets a fresh run dir with the
+    graph symlinked in (the bench.py pattern), so checkpoint
+    fingerprints can never collide across algorithms."""
+    import hashlib
+    import os
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import GraphTables, build_graph
+
+    # bump the tag when graph-build SEMANTICS change, so stale cached
+    # artifacts from an older build can't serve a newer engine
+    _BUILD_SEMVER = "v1"
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{kind}:{_BUILD_SEMVER}".encode()).hexdigest()[:16]
+    build_root = os.path.join("/tmp/dpr_gate_graphs", f"{kind}_{key}")
+    os.makedirs(build_root, exist_ok=True)
+    g_cached = build_graph(
+        edges, build_root, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    run_dir = tempfile.mkdtemp(prefix=f"dpr_{tag}_")
+    os.symlink(os.path.join(build_root, "graph"), os.path.join(run_dir, "graph"))
+    return GraphTables(
+        run_dir, g_cached.n, g_cached.m, g_cached.m_lines, g_cached.shard_rows, g_cached.semantics
+    )
+
+
 def _g_cc_org(sf_dir):
     import ray.data
 
-    from distributed_pagerank_ray.config import RunConfig
     from distributed_pagerank_ray.pipelines.components import connected_components
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
     from distributed_pagerank_ray.pipelines.relational import org_edges
     from distributed_pagerank_ray.util import compact_for_join
 
-    run_dir = tempfile.mkdtemp(prefix="dpr_ccorg_")
-    g = build_graph(
-        org_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
-        run_cfg=RunConfig(num_partitions=4),
-    )
+    g = _gate_graph(sf_dir, "org", org_edges(sf_dir), "ccorg")
     res = connected_components(g)
     labels = res.labels()  # (id, label) in minted dense ids
     vmap = g.vertex_map()  # (key=raw id, id=minted); minting preserves numeric order
@@ -162,17 +188,11 @@ def _g_lpa_org(sf_dir):
     stop happens only at a fixpoint, which the unrolled 5-step SQL
     oracle reproduces identically). Minting preserves numeric key order,
     so minted-label tie-breaks map 1:1 onto raw-id tie-breaks."""
-    from distributed_pagerank_ray.config import RunConfig
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
     from distributed_pagerank_ray.pipelines.lpa import label_propagation
     from distributed_pagerank_ray.pipelines.relational import org_edges
     from distributed_pagerank_ray.util import compact_for_join
 
-    run_dir = tempfile.mkdtemp(prefix="dpr_lpaorg_")
-    g = build_graph(
-        org_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
-        run_cfg=RunConfig(num_partitions=4),
-    )
+    g = _gate_graph(sf_dir, "org", org_edges(sf_dir), "lpaorg")
     res = label_propagation(g, max_iters=5)
     labels = res.labels()
     vmap = g.vertex_map()
@@ -282,16 +302,11 @@ def _g_triangles_parts(sf_dir):
 
 
 def _g_pagerank_lineitem(sf_dir):
-    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.config import PageRankConfig
     from distributed_pagerank_ray.pipelines.pagerank import pagerank
     from distributed_pagerank_ray.util import compact_for_join
 
-    run_dir = tempfile.mkdtemp(prefix="dpr_prli_")
-    g = build_graph(
-        _g_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
-        run_cfg=RunConfig(num_partitions=4),
-    )
+    g = _gate_graph(sf_dir, "lineitem", _g_edges(sf_dir), "prli")
     res = pagerank(g, PageRankConfig(threshold=1e-8))
     joined = compact_for_join(res.ranks(), 4).join(
         compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
@@ -312,16 +327,11 @@ def _g_pagerank3(sf_dir):
     """PageRank, exactly 3 fixed iterations, uniform E, normalized —
     SQL-oracle-checkable because the oracle unrolls the 3 iterations as
     plain CTEs (no recursion needed). Both sides round to 6dp."""
-    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.config import PageRankConfig
     from distributed_pagerank_ray.pipelines.pagerank import pagerank
     from distributed_pagerank_ray.util import compact_for_join
 
-    run_dir = tempfile.mkdtemp(prefix="dpr_pr3_")
-    g = build_graph(
-        _g_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
-        run_cfg=RunConfig(num_partitions=4),
-    )
+    g = _gate_graph(sf_dir, "lineitem", _g_edges(sf_dir), "pr3")
     res = pagerank(g, PageRankConfig(threshold=0.0, max_iters=3))
     joined = compact_for_join(res.ranks(), 4).join(
         compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
@@ -348,17 +358,12 @@ def _g_ppr3(sf_dir):
     (PageRankConfig.e_vector, reference graph.go:82-97 semantics)
     against an unrolled SQL oracle. Minting preserves numeric key
     order, so parts occupy minted ids [0, n_parts)."""
-    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.config import PageRankConfig
     from distributed_pagerank_ray.pipelines.pagerank import pagerank
     from distributed_pagerank_ray.pipelines.relational import ORDER_BASE
     from distributed_pagerank_ray.util import compact_for_join
 
-    run_dir = tempfile.mkdtemp(prefix="dpr_ppr3_")
-    g = build_graph(
-        _g_edges(sf_dir), run_dir, src_col="src", dst_col="dst", mint=True,
-        run_cfg=RunConfig(num_partitions=4),
-    )
+    g = _gate_graph(sf_dir, "lineitem", _g_edges(sf_dir), "ppr3")
     import pyarrow.compute as pc
 
     n_parts = (
