@@ -884,6 +884,31 @@ def _r_qty_quantiles(sf_dir):
     )
 
 
+def _r_qty_quantiles_cont(sf_dir):
+    """Interpolated (quantile_cont-style) grouped quantiles — exact,
+    from the same merged histogram as the discrete variant."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+    out = grouped_discrete_quantiles(
+        ds, "l_returnflag", "l_quantity", qs=(0.25, 0.5, 0.9), interpolated=True
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                **{
+                    c: pa.array(np.round(t.column(c).to_numpy(zero_copy_only=False), 4))
+                    for c in ("q25", "q50", "q90")
+                },
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _r_events_std(sf_dir):
     """Sample standard deviation per group (Ray's mergeable Std
     aggregate — Welford-style combine across blocks)."""
@@ -1151,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_sliding": _r_events_sliding,
         "r_q5_nation_revenue": _r_q5_nation_revenue,
         "r_qty_quantiles": _r_qty_quantiles,
+        "r_qty_quantiles_cont": _r_qty_quantiles_cont,
         "r_events_std": _r_events_std,
         "r_det_sample": _r_det_sample,
         "r_sample_per_type": _r_sample_per_type,
@@ -1522,6 +1548,13 @@ SELECT l_returnflag,
        quantile_disc(l_quantity, 0.5) AS q50,
        quantile_disc(l_quantity, 0.75) AS q75,
        quantile_disc(l_quantity, 0.9) AS q90
+FROM lineitem GROUP BY l_returnflag
+""",
+        "r_qty_quantiles_cont": """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.9), 4) AS q90
 FROM lineitem GROUP BY l_returnflag
 """,
         "r_events_std": """

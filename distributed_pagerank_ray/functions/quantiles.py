@@ -43,8 +43,16 @@ def grouped_discrete_quantiles(
     value_col: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     q_names: tuple[str, ...] | None = None,
+    interpolated: bool = False,
 ) -> "ray.data.Dataset":
-    """Per-group exact discrete quantiles of ``value_col``.
+    """Per-group exact quantiles of ``value_col``.
+
+    ``interpolated=False``: discrete — the element at zero-based index
+    ``ceil(q·n) − 1`` (DuckDB ``quantile_disc``). ``interpolated=True``:
+    linear interpolation at fractional rank ``q·(n−1)`` (DuckDB
+    ``quantile_cont`` / numpy default) — still EXACT, derived from the
+    same merged histogram (the two order statistics around the
+    fractional rank are looked up in the cumsum).
 
     Output columns: (group_col, *q_names) with float64 quantile values;
     ``q_names`` defaults to ``q25/q50/q75``-style labels.
@@ -79,6 +87,9 @@ def grouped_discrete_quantiles(
     rows: dict[str, list] = {group_col: []}
     for name in q_names:
         rows[name] = []
+    def _at(vals: np.ndarray, cum: np.ndarray, idx: int) -> float:
+        return float(vals[np.searchsorted(cum, idx + 1)])
+
     for g, sub in h.groupby("g", sort=True):
         vals = sub["v"].to_numpy(dtype=np.float64)
         cnts = sub["n"].to_numpy(dtype=np.int64)
@@ -86,9 +97,15 @@ def grouped_discrete_quantiles(
         n = int(cum[-1])
         rows[group_col].append(g)
         for q, name in zip(qs, q_names):
-            idx = int(np.ceil(q * n)) - 1 if q > 0 else 0
-            idx = max(0, min(idx, n - 1))
-            rows[name].append(float(vals[np.searchsorted(cum, idx + 1)]))
+            if interpolated:
+                pos = q * (n - 1)
+                lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+                a, b = _at(vals, cum, lo), _at(vals, cum, hi)
+                rows[name].append(a + (pos - lo) * (b - a))
+            else:
+                idx = int(np.ceil(q * n)) - 1 if q > 0 else 0
+                idx = max(0, min(idx, n - 1))
+                rows[name].append(_at(vals, cum, idx))
 
     out = pa.table(
         {

@@ -129,3 +129,23 @@ def test_events_std_vs_duckdb():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interpolated_quantiles_vs_numpy():
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 30, 4000).astype(np.float64)  # repeated values
+    groups = np.array(["x", "y"])[rng.integers(0, 2, 4000)]
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(groups), "v": pa.array(vals)}))
+    got = (
+        grouped_discrete_quantiles(ds, "g", "v", qs=(0.1, 0.5, 0.99), interpolated=True)
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in ("x", "y"):
+        sub = vals[groups == g]
+        exp = np.quantile(sub, (0.1, 0.5, 0.99))  # numpy default = linear interp
+        np.testing.assert_allclose(got.loc[g].to_numpy(), exp, atol=1e-9)
