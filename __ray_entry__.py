@@ -128,16 +128,44 @@ def _gate_graph(sf_dir: str, kind: str, edges, tag: str):
     fingerprints can never collide across algorithms."""
     import hashlib
     import os
+    import shutil
 
     from distributed_pagerank_ray.config import RunConfig
     from distributed_pagerank_ray.pipelines.graphbuild import GraphTables, build_graph
 
     # bump the tag when graph-build SEMANTICS change, so stale cached
-    # artifacts from an older build can't serve a newer engine
+    # artifacts from an older build can't serve a newer engine; the key
+    # also fingerprints the INPUT parquet files (name/size/mtime), so a
+    # regenerated testdata dir at the same path gets a fresh build
     _BUILD_SEMVER = "v1"
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{kind}:{_BUILD_SEMVER}".encode()).hexdigest()[:16]
+    finger = ";".join(
+        f"{f}:{st.st_size}:{int(st.st_mtime)}"
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+        for st in [os.stat(os.path.join(sf_dir, f))]
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{kind}:{_BUILD_SEMVER}:{finger}".encode()
+    ).hexdigest()[:16]
     build_root = os.path.join("/tmp/dpr_gate_graphs", f"{kind}_{key}")
-    os.makedirs(build_root, exist_ok=True)
+    done = os.path.join(build_root, "graph", "_DONE.json")
+    if not os.path.exists(done):
+        # build into a scratch root and publish ATOMICALLY: an
+        # interrupted build must never leave partial parquet where the
+        # next run's build_graph would append a second copy of every
+        # row and then stamp the corruption with _DONE
+        scratch = f"{build_root}.building{os.getpid()}"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_graph(
+            edges, scratch, src_col="src", dst_col="dst", mint=True,
+            run_cfg=RunConfig(num_partitions=4),
+        )
+        shutil.rmtree(build_root, ignore_errors=True)
+        try:
+            os.rename(scratch, build_root)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)  # concurrent builder won
+    # cached reload (reads _DONE.json's persisted n/m/shard layout)
     g_cached = build_graph(
         edges, build_root, src_col="src", dst_col="dst", mint=True,
         run_cfg=RunConfig(num_partitions=4),
@@ -1087,7 +1115,7 @@ def _x_host_graph(sf_dir):
 
     from distributed_pagerank_ray.sources.corpus import corpus_dir
     from distributed_pagerank_ray.stages.extract import extract_links
-    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs, ensure_schema
+    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs
 
     cdir = corpus_dir("small")
     links = extract_links(

@@ -98,7 +98,7 @@ def grouped_discrete_quantiles(
         rows[group_col].append(g)
         for q, name in zip(qs, q_names):
             if interpolated:
-                pos = q * (n - 1)
+                pos = min(max(q, 0.0), 1.0) * (n - 1)  # clamp like the discrete path
                 lo, hi = int(np.floor(pos)), int(np.ceil(pos))
                 a, b = _at(vals, cum, lo), _at(vals, cum, hi)
                 rows[name].append(a + (pos - lo) * (b - a))

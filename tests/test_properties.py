@@ -1,6 +1,9 @@
 """Property-based tests (hypothesis) over the PURE kernels — parser,
-shingles, fingerprints, sketches, and the numpy oracle's invariants.
-No Ray in the loop, so hundreds of examples stay cheap."""
+shingles, fingerprints, sketches, and the numpy oracle's invariants —
+with no Ray in the loop, so hundreds of examples stay cheap. The one
+exception is the final BSP-combine section, which DOES run Ray per
+example and is capped at max_examples=10 — keep any future Ray-in-loop
+property test similarly capped."""
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
