@@ -937,6 +937,24 @@ def _r_qty_quantiles_cont(sf_dir):
     )
 
 
+def _r_orders_rollup(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
+def _r_parts_both_years(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import parts_in_both_years
+
+    return parts_in_both_years(sf_dir)
+
+
+def _r_user_type_pivot(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import user_type_pivot
+
+    return user_type_pivot(sf_dir)
+
+
 def _r_events_std(sf_dir):
     """Sample standard deviation per group (Ray's mergeable Std
     aggregate — Welford-style combine across blocks)."""
@@ -1206,6 +1224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_qty_quantiles": _r_qty_quantiles,
         "r_qty_quantiles_cont": _r_qty_quantiles_cont,
         "r_events_std": _r_events_std,
+        "r_orders_rollup": _r_orders_rollup,
+        "r_parts_both_years": _r_parts_both_years,
+        "r_user_type_pivot": _r_user_type_pivot,
         "r_det_sample": _r_det_sample,
         "r_sample_per_type": _r_sample_per_type,
         # text analysis / dedup / similarity / multimodal
@@ -1588,6 +1609,30 @@ FROM lineitem GROUP BY l_returnflag
         "r_events_std": """
 SELECT event_type, round(stddev_samp(value), 4) AS std_value, count(*) AS n
 FROM events GROUP BY event_type
+""",
+        "r_orders_rollup": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "r_parts_both_years": """
+SELECT l_partkey, count(*) AS cnt FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_partkey
+HAVING l_partkey IN (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01')
+""",
+        "r_user_type_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
 """,
         "r_det_sample": (
             "SELECT event_id, user_id, event_type FROM events "

@@ -218,6 +218,156 @@ def customer_urgent_counts(sf_dir: str, num_partitions: int = 8) -> "ray.data.Da
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """ROLLUP-style aggregation: order counts + revenue at three
+    grouping levels — (priority, status), (priority), and grand total —
+    unioned into one result with 'ALL' sentinels (the hash-compare-safe
+    stand-in for SQL ROLLUP's NULLs; source columns are never null).
+
+    Scale shape: the finest level is ONE grouped aggregate over the
+    fact table; the two coarser levels re-aggregate the (tiny) finest
+    result — never a second scan of the input."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    fine = (
+        ds.groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .map_batches(
+            ensure_schema(
+                {
+                    "o_orderpriority": pa.string(),
+                    "o_orderstatus": pa.string(),
+                    "n_orders": _I64,
+                    "revenue": _F64,
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused by both coarser levels
+    )
+
+    def relabel(status_all: bool, prio_all: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if "o_orderpriority" not in t.column_names:
+                return pa.table(
+                    {
+                        "o_orderpriority": pa.array([], pa.string()),
+                        "o_orderstatus": pa.array([], pa.string()),
+                        "n_orders": pa.array([], _I64),
+                        "revenue": pa.array([], _F64),
+                    }
+                )
+            n = len(t)
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(["ALL"] * n) if prio_all else t.column("o_orderpriority"),
+                    "o_orderstatus": pa.array(["ALL"] * n) if status_all else t.column("o_orderstatus"),
+                    "n_orders": t.column("n_orders"),
+                    "revenue": t.column("revenue"),
+                }
+            )
+
+        return fn
+
+    mid = (
+        fine.map_batches(relabel(True, False), batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+    )
+    top = (
+        fine.map_batches(relabel(True, True), batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "o_orderpriority" not in t.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "n_orders": pa.array([], _I64),
+                    "revenue": pa.array([], _F64),
+                }
+            )
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "n_orders": t.column("n_orders").cast(_I64),
+                "revenue": pa.array(_round4(t.column("revenue").to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return fine.union(mid.map_batches(fin, batch_format="pyarrow")).union(
+        top.map_batches(fin, batch_format="pyarrow")
+    ).map_batches(fin, batch_format="pyarrow")
+
+
+def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.data.Dataset":
+    """INTERSECT: part keys shipped in BOTH years — two filtered
+    distinct key sets (count BSP) intersected by a vectorized
+    searchsorted against the broadcast smaller side (set ops without an
+    AllToAll; INTERSECT output is bounded by the smaller input)."""
+    import ray
+
+    from ..util import count_i64_keys, semi_join_filter
+
+    def year_keys(year: int) -> "ray.data.Dataset":
+        lo = np.datetime64(f"{year}-01-01T00:00:00", "us")
+        hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
+        ds = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("l_shipdate")
+            keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+            return pa.table({"l_partkey": t.column("l_partkey").filter(keep)})
+
+        return count_i64_keys(ds.map_batches(f, batch_format="pyarrow"), "l_partkey")
+
+    a = year_keys(y1)
+    b_keys = np.concatenate(
+        [
+            blk.column("l_partkey").to_numpy(zero_copy_only=False)
+            for blk in year_keys(y2).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    return semi_join_filter(a, "l_partkey", b_keys, keep=True).map_batches(
+        ensure_schema({"l_partkey": _I64, "cnt": _I64}), batch_format="pyarrow"
+    )
+
+
+def user_type_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot (wide conditional aggregation): events per user with one
+    count column per event_type. Per-batch combiner: each batch
+    crosstabs locally (pandas), then ONE small grouped sum merges —
+    the shuffle moves at most |users| × blocks narrow rows."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def crosstab(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                "event_type": t.column("event_type").to_numpy(zero_copy_only=False),
+            }
+        )
+        w = pd.crosstab(df["user_id"], df["event_type"])
+        w = w.reindex(columns=types, fill_value=0).reset_index()
+        return pa.table(
+            {"user_id": pa.array(w["user_id"].to_numpy(dtype=np.int64))}
+            | {f"n_{c}": pa.array(w[c].to_numpy(dtype=np.int64)) for c in types}
+        )
+
+    agg = ds.map_batches(crosstab, batch_format="pyarrow").groupby("user_id").aggregate(
+        *[Sum(f"n_{c}", alias_name=f"n_{c}") for c in types]
+    )
+    return agg.map_batches(
+        ensure_schema({"user_id": _I64} | {f"n_{c}": _I64 for c in types}),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- q5 multi-join
 
 def q5_revenue_by_nation(
