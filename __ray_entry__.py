@@ -1020,6 +1020,39 @@ def _e_value_quantiles(sf_dir):
     return ray.data.from_items(rows)
 
 
+def _t_doc_words(sf_dir):
+    """One-to-many transform (the flat_map shape, done vectorized):
+    explode each document into (doc_id, word_no, word) rows — a
+    list-split + ListArray-flatten inside map_batches. One row in,
+    ~100 rows out, no Python row loop and no per-row ``ds.flat_map``
+    overhead; ~50k output rows from 500 docs at sf0.01."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+
+    def split(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten()
+        doc_ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lengths)
+        ordinals = (
+            np.concatenate([np.arange(1, n + 1) for n in lengths])
+            if len(t)
+            else np.zeros(0, dtype=np.int64)
+        )
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "word_no": pa.array(ordinals.astype(np.int64)),
+                "word": flat,
+            }
+        )
+        return out.filter(pc.not_equal(out.column("word"), ""))
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
 def _t_near_dedup_keep(sf_dir):
     """End-to-end near-dedup keep-first: exact 3-word-gram Jaccard
     pairs (threshold 0.6) → duplicate graph → distributed connected
@@ -1235,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint_md5": _t_fingerprint,
         "t_exact_dedup": _t_exact_dedup,
         "t_normalize": _t_normalize,
+        "t_doc_words": _t_doc_words,
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,
         "t_near_dedup_keep": _t_near_dedup_keep,
         "t_minhash_pairs": _t_minhash_pairs,  # rows-only (sketch)
@@ -1576,6 +1610,12 @@ d3 AS (SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e2 UNION ALL SELECT 
 k3 AS (SELECT v FROM d3 WHERE deg < 2),
 e3 AS (SELECT * FROM e2 WHERE src NOT IN (SELECT v FROM k3) AND dst NOT IN (SELECT v FROM k3))
 SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e3 UNION ALL SELECT dst FROM e3) GROUP BY v
+""",
+        "t_doc_words": """
+SELECT doc_id, g.i AS word_no, parts[g.i] AS word
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS parts FROM documents),
+     UNNEST(range(1, len(parts) + 1)) AS g(i)
+WHERE parts[g.i] != ''
 """,
         "t_normalize": (
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm "

@@ -444,14 +444,25 @@ def q5_revenue_by_nation(
     hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
 
     def orders_prep(t: pa.Table) -> pa.Table:
+        # residual row filter (the pushed-down predicate prunes whole
+        # row groups; rows inside surviving groups still need it)
         d = t.column("o_orderdate")
         keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
         t = t.filter(keep)
         return pa.table({"o_orderkey": t.column("o_orderkey"), "o_custkey": t.column("o_custkey")})
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_prep, batch_format="pyarrow"
+    import pyarrow.dataset as pads
+
+    # predicate pushed into the parquet read: row groups whose
+    # o_orderdate min/max stats miss the window never leave storage
+    date_pred = (pads.field("o_orderdate") >= pa.scalar(lo)) & (
+        pads.field("o_orderdate") < pa.scalar(hi)
     )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=date_pred,
+    ).map_batches(orders_prep, batch_format="pyarrow")
 
     co = compact_for_join(orders, P).join(
         compact_for_join(cust, P), join_type="inner", num_partitions=P,
