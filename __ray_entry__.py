@@ -716,8 +716,12 @@ def _r_semi_join(sf_dir):
 
     from distributed_pagerank_ray.util import ensure_schema, semi_join_filter
 
+    import pyarrow.dataset as pads
+
     keys_ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",  # row-group pruning
     ).map_batches(
         lambda t: pa.table(
             {"k": t.column("o_orderkey").filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))}

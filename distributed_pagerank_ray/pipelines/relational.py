@@ -1,10 +1,13 @@
 """Relational demo pipelines over the driver's TPC-H-ish tables.
 
 These exercise the generic engine surface the reference lacks
-(SURVEY §2.5): grouped aggregation, hash joins, sort/top-k, distinct,
-set ops, scalar functions, and tumbling windows — each with an exact
-DuckDB SQL oracle (see __ray_entry__.oracle_sql). Column names match
-the SQL aliases so the driver's value-hash compare lines up.
+(SURVEY §2.5): grouped aggregation (incl. ROLLUP levels, pivot, std),
+hash / broadcast / outer / semi / anti joins (Q3, Q5, left_anti),
+sort/top-k and top-k per group, distinct and INTERSECT set ops, scalar
+functions, tumbling/hopping/session windows, and parquet predicate
+pushdown at the read — each with an exact DuckDB SQL oracle (see
+__ray_entry__.oracle_sql). Column names match the SQL aliases so the
+driver's value-hash compare lines up.
 
 Float outputs are rounded (4dp) on BOTH sides: cross-engine float
 summation differs in the last ulp, never at 1e-4.
