@@ -721,11 +721,11 @@ def _r_semi_join(sf_dir):
     keys_ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"],
-        filter=pads.field("o_orderpriority") == "1-URGENT",  # row-group pruning
+        # exact row filtering at the scan (pyarrow fragment reader);
+        # matching row groups are also stat-pruned
+        filter=pads.field("o_orderpriority") == "1-URGENT",
     ).map_batches(
-        lambda t: pa.table(
-            {"k": t.column("o_orderkey").filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))}
-        ),
+        lambda t: pa.table({"k": t.column("o_orderkey")}),
         batch_format="pyarrow",
     )
     keys = np.concatenate(
@@ -1035,8 +1035,12 @@ def _t_doc_words(sf_dir):
     ds = _docs(sf_dir)
 
     def split(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t.column("text"))
-        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        # no pre-trim: leading whitespace yields a leading '' fragment
+        # on BOTH sides (same \s+ split in the SQL oracle), so ordinals
+        # line up even for texts starting with tabs/newlines; nulls
+        # become '' (one filtered fragment) rather than NaN lengths
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
         lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = parts.combine_chunks().flatten()
         doc_ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lengths)
@@ -1617,7 +1621,7 @@ SELECT v, count(*) AS deg FROM (SELECT src AS v FROM e3 UNION ALL SELECT dst FRO
 """,
         "t_doc_words": """
 SELECT doc_id, g.i AS word_no, parts[g.i] AS word
-FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS parts FROM documents),
+FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
      UNNEST(range(1, len(parts) + 1)) AS g(i)
 WHERE parts[g.i] != ''
 """,

@@ -248,38 +248,39 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
         .materialize()  # reused by both coarser levels
     )
 
-    def relabel(status_all: bool, prio_all: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            if "o_orderpriority" not in t.column_names:
-                return pa.table(
-                    {
-                        "o_orderpriority": pa.array([], pa.string()),
-                        "o_orderstatus": pa.array([], pa.string()),
-                        "n_orders": pa.array([], _I64),
-                        "revenue": pa.array([], _F64),
-                    }
-                )
-            n = len(t)
-            return pa.table(
-                {
-                    "o_orderpriority": pa.array(["ALL"] * n) if prio_all else t.column("o_orderpriority"),
-                    "o_orderstatus": pa.array(["ALL"] * n) if status_all else t.column("o_orderstatus"),
-                    "n_orders": t.column("n_orders"),
-                    "revenue": t.column("revenue"),
-                }
-            )
-
-        return fn
-
+    # coarser levels re-aggregate the TINY finest result (at most
+    # |priorities|×|statuses| rows): gather it once and sum with
+    # pandas — two extra AllToAll groupbys for 15 rows would cost more
+    # in operator startup than the whole query
+    fdf = fine.to_pandas()
     mid = (
-        fine.map_batches(relabel(True, False), batch_format="pyarrow")
-        .groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+        fdf.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
     )
-    top = (
-        fine.map_batches(relabel(True, True), batch_format="pyarrow")
-        .groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("revenue", alias_name="revenue"))
+    top = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [fdf["n_orders"].sum()],
+            "revenue": [fdf["revenue"].sum()],
+        }
+    )
+    coarse = pa.table(
+        {
+            "o_orderpriority": pa.array(
+                list(mid["o_orderpriority"]) + list(top["o_orderpriority"]), pa.string()
+            ),
+            "o_orderstatus": pa.array(
+                list(mid["o_orderstatus"]) + list(top["o_orderstatus"]), pa.string()
+            ),
+            "n_orders": pa.array(
+                np.concatenate([mid["n_orders"].to_numpy(), top["n_orders"].to_numpy()]).astype(np.int64)
+            ),
+            "revenue": pa.array(
+                np.concatenate([mid["revenue"].to_numpy(), top["revenue"].to_numpy()]).astype(np.float64)
+            ),
+        }
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -301,9 +302,7 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return fine.union(mid.map_batches(fin, batch_format="pyarrow")).union(
-        top.map_batches(fin, batch_format="pyarrow")
-    ).map_batches(fin, batch_format="pyarrow")
+    return fine.union(ray.data.from_arrow(coarse)).map_batches(fin, batch_format="pyarrow")
 
 
 def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.data.Dataset":
@@ -315,17 +314,23 @@ def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.dat
 
     from ..util import count_i64_keys, semi_join_filter
 
+    import pyarrow.dataset as pads
+
     def year_keys(year: int) -> "ray.data.Dataset":
         lo = np.datetime64(f"{year}-01-01T00:00:00", "us")
         hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
-        ds = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
-
-        def f(t: pa.Table) -> pa.Table:
-            d = t.column("l_shipdate")
-            keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
-            return pa.table({"l_partkey": t.column("l_partkey").filter(keep)})
-
-        return count_i64_keys(ds.map_batches(f, batch_format="pyarrow"), "l_partkey")
+        # the date window is pushed into the scan (exact row-level
+        # filtering by the pyarrow fragment reader, and row groups
+        # whose stats miss the window are skipped entirely)
+        pred = (pads.field("l_shipdate") >= pa.scalar(lo)) & (
+            pads.field("l_shipdate") < pa.scalar(hi)
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate"], filter=pred
+        ).map_batches(
+            lambda t: pa.table({"l_partkey": t.column("l_partkey")}), batch_format="pyarrow"
+        )
+        return count_i64_keys(ds, "l_partkey")
 
     a = year_keys(y1)
     b_keys = np.concatenate(
@@ -447,17 +452,16 @@ def q5_revenue_by_nation(
     hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
 
     def orders_prep(t: pa.Table) -> pa.Table:
-        # residual row filter (the pushed-down predicate prunes whole
-        # row groups; rows inside surviving groups still need it)
-        d = t.column("o_orderdate")
-        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
-        t = t.filter(keep)
+        # the scan filter is EXACT row-level filtering (pyarrow
+        # fragment reader), not just row-group pruning — only the
+        # projection remains here
         return pa.table({"o_orderkey": t.column("o_orderkey"), "o_custkey": t.column("o_custkey")})
 
     import pyarrow.dataset as pads
 
-    # predicate pushed into the parquet read: row groups whose
-    # o_orderdate min/max stats miss the window never leave storage
+    # predicate pushed into the parquet read: exact row filtering at
+    # the scan, and row groups whose o_orderdate stats miss the window
+    # never leave storage
     date_pred = (pads.field("o_orderdate") >= pa.scalar(lo)) & (
         pads.field("o_orderdate") < pa.scalar(hi)
     )
