@@ -1231,6 +1231,48 @@ def _x_host_graph(sf_dir):
     return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
 
 
+def _x_resumable_sink(sf_dir):
+    """Resumable partitioned sink in the gate (rows-only: output is a
+    filesystem artifact): write events partitioned by event_type,
+    break one partition the way a crash would (drop its _DONE), rerun,
+    and verify the rerun rewrote ONLY the broken partition and the
+    final on-disk rows equal the input. Raises on any violation;
+    returns per-partition (event_type, n_rows)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from distributed_pagerank_ray.sources.sink import finished_partitions, resumable_write_parquet
+
+    src = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    out = tempfile.mkdtemp(prefix="dpr_sinkgate_") + "/by_type"
+    first = resumable_write_parquet(src, out, "event_type").to_pandas()
+    parts = sorted(first["event_type"])
+    # crash window: one partition loses its _DONE marker
+    victim = parts[0]
+    os.remove(os.path.join(out, f"event_type={victim}", "_DONE"))
+    assert victim not in finished_partitions(out, "event_type")
+    second = resumable_write_parquet(src, out, "event_type").to_pandas()
+    if sorted(second["event_type"]) != [victim]:
+        raise AssertionError(f"resume rewrote {sorted(second['event_type'])}, expected [{victim!r}]")
+    disk = pq.read_table(out, partitioning="hive")
+    if len(disk) != src.count():
+        raise AssertionError(f"on-disk rows {len(disk)} != input {src.count()}")
+    res = first.sort_values("event_type").reset_index(drop=True)
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(res["event_type"], pa.string()),
+                "n_rows": pa.array(res["n_rows"].to_numpy(dtype=np.int64)),
+            }
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph engine (SURVEY §2.2-2.3 + north-rule algorithms)
@@ -1293,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_stats": _r_events_stats,
         "x_extract_corpus": _x_extract_corpus,  # rows-only (corpus is engine-internal)
         "x_host_graph": _x_host_graph,  # rows-only + in-query DuckDB self-gate
+        "x_resumable_sink": _x_resumable_sink,  # rows-only + in-query resume assertion
     }
 
 
