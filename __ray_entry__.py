@@ -832,6 +832,50 @@ def _r_sample_per_type(sf_dir):
     )
 
 
+def _r_split_counts(sf_dir):
+    """Deterministic 80/10/10 train/val/test split (hash thresholds) —
+    counts per split per event_type, reproducible on any engine."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from distributed_pagerank_ray.functions.sampling import deterministic_split
+    from distributed_pagerank_ray.util import ensure_schema
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    return (
+        deterministic_split(ds, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupby(["split", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            ensure_schema({"split": pa.string(), "event_type": pa.string(), "n": pa.int64()}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _t_quality_filter(sf_dir):
+    """End-to-end quality filtering: keep documents with ≥100 UTF-8
+    chars and punctuation ≤10% of characters (integer arithmetic so
+    both sides compare exactly) — the compose-quality-facets-then-
+    filter step every training corpus pipeline runs."""
+    import pyarrow.compute as pc
+
+    from distributed_pagerank_ray.functions.textstats import quality_batch
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = quality_batch(t)
+        keep = pc.and_(
+            pc.greater_equal(t.column("n_chars_utf8"), 100),
+            pc.less_equal(
+                pc.multiply(t.column("n_punct"), pa.scalar(10)), t.column("n_chars_utf8")
+            ),
+        )
+        t = t.filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"), "n_chars_utf8": t.column("n_chars_utf8")})
+
+    return _docs(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
 def _t_normalize(sf_dir):
     """Vectorized text normalization (lower + whitespace collapse +
     trim) — emitted as (doc_id, text_norm) for the oracle compare."""
@@ -1312,9 +1356,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_user_type_pivot": _r_user_type_pivot,
         "r_det_sample": _r_det_sample,
         "r_sample_per_type": _r_sample_per_type,
+        "r_split_counts": _r_split_counts,
         # text analysis / dedup / similarity / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
+        "t_quality_filter": _t_quality_filter,
         "t_fingerprint_md5": _t_fingerprint,
         "t_exact_dedup": _t_exact_dedup,
         "t_normalize": _t_normalize,
@@ -1724,6 +1770,20 @@ SELECT user_id,
        count(*) FILTER (event_type = 'signup') AS n_signup,
        count(*) FILTER (event_type = 'view') AS n_view
 FROM events GROUP BY user_id
+""",
+        "r_split_counts": """
+SELECT CASE WHEN h < 80000005 THEN 'train'
+            WHEN h < 90000005 THEN 'val'
+            ELSE 'test' END AS split,
+       event_type, count(*) AS n
+FROM (SELECT (event_id * 48271) % 100000007 AS h, event_type FROM events)
+GROUP BY 1, 2
+""",
+        "t_quality_filter": """
+SELECT doc_id, length(text) AS n_chars_utf8
+FROM documents
+WHERE length(text) >= 100
+  AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 10 <= length(text)
 """,
         "r_det_sample": (
             "SELECT event_id, user_id, event_type FROM events "

@@ -53,6 +53,26 @@ def deterministic_fraction(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def deterministic_split(
+    ds: "ray.data.Dataset", id_col: str, fractions: dict[str, float]
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test-style split: each row's id-hash
+    picks its split by cumulative fraction thresholds. Appends a
+    ``split`` column — a pure per-batch map (no shuffle, no state,
+    reproducible across runs and engines). Fractions must sum to 1."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names = list(fractions)
+    cuts = np.cumsum([int(fractions[n] * _MOD) for n in names[:-1]])
+
+    def f(t: pa.Table) -> pa.Table:
+        h = _hash_ids(t.column(id_col).to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(cuts, h, side="right")
+        return t.append_column("split", pa.array(np.array(names, dtype=object)[idx]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def deterministic_sample_per_group(
     ds: "ray.data.Dataset",
     group_col: str,

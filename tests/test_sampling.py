@@ -68,3 +68,20 @@ def test_sample_per_group_matches_brute_force():
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert len(got) == 21
+
+
+def test_deterministic_split_partitions_and_fractions():
+    from distributed_pagerank_ray.functions.sampling import deterministic_split
+
+    ds = _ds(n=10_000)
+    got = deterministic_split(ds, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    # exactly one split per row, rerun-stable
+    again = deterministic_split(ds, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("event_id").reset_index(drop=True),
+        again.sort_values("event_id").reset_index(drop=True),
+    )
+    frac = got["split"].value_counts(normalize=True)
+    assert 0.77 < frac["train"] < 0.83 and 0.08 < frac["val"] < 0.12 and 0.08 < frac["test"] < 0.12
+    with pytest.raises(ValueError):
+        deterministic_split(ds, "event_id", {"a": 0.5, "b": 0.4})
