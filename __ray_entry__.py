@@ -160,11 +160,17 @@ def _gate_graph(sf_dir: str, kind: str, edges, tag: str):
             edges, scratch, src_col="src", dst_col="dst", mint=True,
             run_cfg=RunConfig(num_partitions=4),
         )
-        shutil.rmtree(build_root, ignore_errors=True)
-        try:
-            os.rename(scratch, build_root)
-        except OSError:
+        # publish only if no concurrent builder beat us: once _DONE.json
+        # exists another process may already be READING the cached graph,
+        # and an rmtree here would delete its parquet mid-query
+        if os.path.exists(done):
             shutil.rmtree(scratch, ignore_errors=True)  # concurrent builder won
+        else:
+            shutil.rmtree(build_root, ignore_errors=True)  # partial, never published
+            try:
+                os.rename(scratch, build_root)
+            except OSError:
+                shutil.rmtree(scratch, ignore_errors=True)  # lost a photo-finish race
     # cached reload (reads _DONE.json's persisted n/m/shard layout)
     g_cached = build_graph(
         edges, build_root, src_col="src", dst_col="dst", mint=True,

@@ -146,6 +146,9 @@ def approx_quantiles(
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # nulls arrive as NaN; pass 1's Min/Max/Count ignore them, so the
+        # histogram must too (NaN→int64 is undefined and would land in bin 0)
+        v = v[~np.isnan(v)]
         b = np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
         cnt = np.bincount(b, minlength=0)
         nz = np.nonzero(cnt)[0]

@@ -308,11 +308,17 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
 def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.data.Dataset":
     """INTERSECT: part keys shipped in BOTH years — two filtered
     distinct key sets (count BSP) intersected by a vectorized
-    searchsorted against the broadcast smaller side (set ops without an
-    AllToAll; INTERSECT output is bounded by the smaller input)."""
+    searchsorted against the broadcast SMALLER side (set ops without an
+    AllToAll; INTERSECT output is bounded by the smaller input).
+
+    The broadcast side is chosen by the (free, post-materialize) row
+    counts and packed in a REMOTE task — no driver gather. When year 1
+    is smaller, its keys first prune year 2 to the intersection key set
+    (≤ the smaller side) which then filters year 1's counted rows, so
+    every broadcast is bounded by min(|y1|, |y2|)."""
     import ray
 
-    from ..util import count_i64_keys, semi_join_filter
+    from ..util import count_i64_keys, pack_sorted_keys, semi_join_filter
 
     import pyarrow.dataset as pads
 
@@ -332,15 +338,19 @@ def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.dat
         )
         return count_i64_keys(ds, "l_partkey")
 
-    a = year_keys(y1)
-    b_keys = np.concatenate(
-        [
-            blk.column("l_partkey").to_numpy(zero_copy_only=False)
-            for blk in year_keys(y2).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        ]
-        or [np.zeros(0, dtype=np.int64)]
-    )
-    return semi_join_filter(a, "l_partkey", b_keys, keep=True).map_batches(
+    a = year_keys(y1).materialize()
+    b = year_keys(y2).materialize()
+    if b.count() <= a.count():
+        out = semi_join_filter(a, "l_partkey", pack_sorted_keys(b, "l_partkey"), keep=True)
+    else:
+        inter = semi_join_filter(
+            b.select_columns(["l_partkey"]),
+            "l_partkey",
+            pack_sorted_keys(a, "l_partkey"),
+            keep=True,
+        )
+        out = semi_join_filter(a, "l_partkey", pack_sorted_keys(inter, "l_partkey"), keep=True)
+    return out.map_batches(
         ensure_schema({"l_partkey": _I64, "cnt": _I64}), batch_format="pyarrow"
     )
 
@@ -886,7 +896,20 @@ def lineitem_edges(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
-    return distinct_i64_pairs(mapped, "src", "dst")
+    # src = l_orderkey + ORDER_BASE exceeds the pair-packer's [0, 2^31)
+    # bound at TPC-H SF ≳ 350 — degrade to the hash-groupby distinct
+    # (graphbuild.py's pattern) instead of raising
+    try:
+        from ray.exceptions import RayTaskError
+
+        return distinct_i64_pairs(mapped, "src", "dst").materialize()
+    except (RayTaskError, ValueError):
+        return (
+            mapped.groupby(["src", "dst"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["src", "dst"])
+            .map_batches(ensure_schema({"src": _I64, "dst": _I64}), batch_format="pyarrow")
+        )
 
 
 def part_cooccurrence_edges(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":

@@ -85,7 +85,14 @@ def resumable_write_parquet(
             return pa.table({col: pa.array([], pa.string()), "n_rows": pa.array([], pa.int64())})
         value = str(t.column(col)[0].as_py())
         target = _part_dir(out, col, value)
-        tmp = target + ".tmp"
+        # re-check _DONE: lineage re-execution / task retry (or consuming
+        # the returned Dataset twice) can re-run this task after a prior
+        # attempt committed — the frozen call-time `done` set won't know
+        if os.path.exists(os.path.join(target, _DONE)):
+            return pa.table({col: pa.array([value]), "n_rows": pa.array([len(t)], pa.int64())})
+        # pid-unique tmp so two concurrent attempts never rmtree each
+        # other's half-written dir; os.replace is the single commit point
+        tmp = f"{target}.tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         # hive convention: the partition column lives in the dir name,

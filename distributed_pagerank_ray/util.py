@@ -138,17 +138,43 @@ def compact_for_join(ds, num_partitions: int):
     return m.repartition(nb)  # lazy; the consuming join executes it
 
 
-def semi_join_filter(ds, col: str, keys, keep: bool = True):
-    """Semi (keep=True) / anti (keep=False) join against a small key set:
-    broadcast the keys once via ray.put, filter inside map_batches —
-    no shuffle (guide's semi/anti-join pattern; a Bloom filter swaps in
-    for the exact set at larger key counts)."""
+def pack_sorted_keys(ds, col: str):
+    """Pack a Dataset column into ONE sorted int64 array inside a REMOTE
+    task and return the ObjectRef — the small-side-broadcast shape
+    (triangles.py's _pack_degree_lookup): the driver only ever holds the
+    ref, never the rows. Feed the ref straight to semi_join_filter."""
     import numpy as np
 
     import ray
 
-    arr = np.sort(np.asarray(keys if isinstance(keys, np.ndarray) else list(keys)))
-    ref = ray.put(arr)
+    @ray.remote
+    def _pack(*blocks):
+        vals = [
+            b.column(col).to_numpy(zero_copy_only=False)
+            for b in blocks
+            if col in b.column_names and len(b) > 0
+        ]
+        return np.sort(np.concatenate(vals)) if vals else np.zeros(0, dtype=np.int64)
+
+    return _pack.remote(*ds.materialize().to_arrow_refs())
+
+
+def semi_join_filter(ds, col: str, keys, keep: bool = True):
+    """Semi (keep=True) / anti (keep=False) join against a small key set:
+    broadcast the keys once via ray.put, filter inside map_batches —
+    no shuffle (guide's semi/anti-join pattern; a Bloom filter swaps in
+    for the exact set at larger key counts). ``keys`` may be an array
+    (put from the driver) or an ObjectRef to a pre-SORTED array packed
+    remotely (pack_sorted_keys) — the no-driver-gather path."""
+    import numpy as np
+
+    import ray
+
+    if isinstance(keys, ray.ObjectRef):
+        ref = keys
+    else:
+        arr = np.sort(np.asarray(keys if isinstance(keys, np.ndarray) else list(keys)))
+        ref = ray.put(arr)
 
     def fn(t: pa.Table) -> pa.Table:
         if col not in t.column_names:
