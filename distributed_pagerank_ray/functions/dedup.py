@@ -565,69 +565,137 @@ class SimHasher:
         return pa.table({"doc": ids, "simhash": pa.array(vals, _I64)})
 
 
+def drop_hot_buckets(rows, bucket_col: str, max_bucket: int):
+    """Drop every row whose ``bucket_col`` value occurs more than
+    ``max_bucket`` times: bucket sizes via the count BSP, the (small by
+    definition) hot set broadcast as an anti semi-join filter. The
+    LSH-bucket guard: degenerate web buckets (empty/boilerplate docs
+    collapsing to one signature) otherwise make within-bucket pair
+    generation quadratic."""
+    import pyarrow.compute as pc
+
+    from ..util import count_i64_keys, semi_join_filter
+
+    sizes = count_i64_keys(rows, bucket_col)
+    hot_parts = [
+        b.column(bucket_col)
+        .filter(pc.greater(b.column("cnt"), max_bucket))
+        .to_numpy(zero_copy_only=False)
+        for b in sizes.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    hot = np.concatenate(hot_parts) if hot_parts else np.zeros(0, dtype=np.int64)
+    if len(hot) == 0:
+        return rows
+    return semi_join_filter(rows, bucket_col, hot, keep=False)
+
+
 def simhash_pairs(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     concurrency: int = 4,
+    num_partitions: int = 8,
+    max_bucket: int | None = 4096,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: band the 64-bit hash into
     ``max_hamming + 1`` chunks — by pigeonhole, any pair within the
-    Hamming budget shares at least one identical chunk — group by
-    chunk value, verify Hamming distance exactly."""
+    Hamming budget shares at least one identical chunk — candidates via
+    a two-key Acero self-join on (band, chunk value), Hamming verified
+    vectorized (SWAR popcount over the xor), deduped across bands by a
+    small groupby over the (few) surviving near-dup pairs.
+
+    Scale guards: band keys come from numpy shifts over the whole
+    column (no per-row loop), and (band, key) buckets larger than
+    ``max_bucket`` are dropped BEFORE the join — a dropped pair can
+    still surface through its other bands; ``max_bucket=None`` keeps
+    every bucket (exact pigeonhole recall, quadratic on degenerate
+    buckets)."""
     n_bands = min(max_hamming + 1, 16)
-    bounds = np.linspace(0, 64, n_bands + 1).astype(int)
-    chunks = [(int(lo), int(hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])]
+    bounds = np.linspace(0, 64, n_bands + 1).astype(np.uint64)
+    los = bounds[:-1]
+    widths = bounds[1:] - bounds[:-1]
+    masks = np.where(
+        widths >= np.uint64(64),
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << widths) - np.uint64(1),
+    )
+    band_ids = np.arange(n_bands, dtype=np.int64)
 
     sigs = ds.map_batches(
         SimHasher(id_col, text_col), batch_format="pyarrow", concurrency=concurrency, batch_size=1024
     ).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        docs: list[int] = []
-        bands: list[int] = []
-        keys: list[int] = []
-        hsv: list[int] = []
-        for did, h in zip(batch.column("doc").to_pylist(), batch.column("simhash").to_pylist()):
-            for bi, (lo, width) in enumerate(chunks):
-                docs.append(did)
-                bands.append(bi)
-                keys.append((h >> lo) & ((1 << width) - 1))
-                hsv.append(h)
+        """One (doc, band, key, h, bk) row per band — 2 vector ops per
+        band (shift + mask) over the whole column; ``bk`` packs
+        (band, key) into one int64 for the bucket-size counter (keys
+        fit 32 bits whenever n_bands >= 2)."""
+        if len(batch) == 0 or "doc" not in batch.column_names:
+            return pa.table({c: pa.array([], _I64) for c in ["doc", "band", "key", "h", "bk"]})
+        docs = batch.column("doc").to_numpy(zero_copy_only=False)
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = ((h[:, None] >> los[None, :]) & masks[None, :]).astype(np.int64).reshape(-1)
+        band = np.tile(band_ids, len(docs))
+        bk = ((band << np.int64(32)) | keys) if n_bands > 1 else keys
         return pa.table(
             {
-                "doc": pa.array(docs, _I64),
-                "band": pa.array(bands, _I64),
-                "key": pa.array(keys, _I64),
-                "h": pa.array(hsv, _I64),
+                "doc": pa.array(np.repeat(docs, n_bands)),
+                "band": pa.array(band),
+                "key": pa.array(keys),
+                "h": pa.array(np.repeat(h.astype(np.int64), n_bands)),
+                "bk": pa.array(bk),
             }
         )
 
+    rows = sigs.map_batches(band_rows, batch_format="pyarrow")
+    if max_bucket is not None:
+        rows = drop_hot_buckets(rows.materialize(), "bk", max_bucket)
+
+    P = num_partitions
+    left = compact_for_join(
+        rows.map_batches(
+            lambda t: pa.table(
+                {"band": t.column("band"), "key": t.column("key"), "a": t.column("doc"), "ha": t.column("h")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    right = compact_for_join(
+        rows.map_batches(
+            lambda t: pa.table(
+                {"band2": t.column("band"), "key2": t.column("key"), "b": t.column("doc"), "hb": t.column("h")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    j = left.join(
+        right, join_type="inner", num_partitions=P, on=("band", "key"), right_on=("band2", "key2")
+    )
     md = max_hamming
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc").sort_values("doc")
-        docs = g["doc"].to_numpy(dtype=np.int64)
-        hs = g["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(docs), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
+    def verify(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names or len(t) == 0:
+            return pa.table({c: pa.array([], _I64) for c in ["a", "b", "hamming"]})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ha = t.column("ha").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = t.column("hb").to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = a < b
+        a, b, x = a[m], b[m], ha[m] ^ hb[m]
+        if len(x):
+            ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1).astype(np.int64)
+        else:
+            ham = np.zeros(0, dtype=np.int64)
         keep = ham <= md
-        return pd.DataFrame({"a": docs[ia][keep], "b": docs[ib][keep], "hamming": ham[keep]})
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "hamming": pa.array(ham[keep])}
+        )
 
     return (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pandas")
-        .map_batches(
-            ensure_schema({"a": _I64, "b": _I64, "hamming": _I64}), batch_format="pyarrow"
-        )
+        j.map_batches(verify, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Min("hamming", alias_name="hamming"))
         .map_batches(

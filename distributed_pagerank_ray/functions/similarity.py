@@ -269,37 +269,137 @@ def embedding_dup_pairs_exact(
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+class MultiBandHyperplaneLSH:
+    """Multi-band random-hyperplane signatures (OR-construction): bands
+    independent r-bit sign signatures per vector; a candidate pair is
+    any two vectors agreeing on at least one whole band. Smaller r →
+    higher recall, bigger buckets; more bands → higher recall, more
+    join rows. R generated once per actor from a fixed seed."""
+
+    def __init__(self, dim: int, bands: int = 4, r: int = 8, seed: int = 42, id_col: str = "vec_id", emb_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.R = rng.standard_normal((bands * r, dim))
+        self.bands = bands
+        self.r = r
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def keys_of(self, m: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 band keys — sign bits of each r-chunk."""
+        bits = ((m @ self.R.T) > 0).reshape(len(m), self.bands, self.r)
+        return (bits @ (1 << np.arange(self.r))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.emb_col)
+        n = len(m)
+        keys = self.keys_of(m).reshape(-1)
+        band = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        blobs = np.empty(n, dtype=object)
+        for i in range(n):
+            blobs[i] = m[i].tobytes()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(band),
+                "key": pa.array(keys),
+                # packed (band, key) for the bucket-size counter
+                "bk": pa.array((band << np.int64(32)) | keys),
+                "emb": pa.array(np.repeat(blobs, self.bands).tolist(), pa.binary()),
+            }
+        )
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
-    n_bits: int = 6,
+    bands: int = 4,
+    r: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_partitions: int = 8,
+    max_bucket: int | None = 4096,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs (a, b, sim) with sim >= threshold,
-    candidates generated per LSH bucket (approximate recall, exact
-    verification). Rows a<b, deterministic."""
+    a < b: multi-band hyperplane LSH candidates (OR over ``bands``
+    independent ``r``-bit signatures), verified by exact cosine on the
+    candidate stream, deduped across bands by a small groupby.
+
+    Scale shape: candidates come from a per-band Acero self-join on
+    (band, key) — vectors are co-located by bucket, never all-pairs —
+    and buckets larger than ``max_bucket`` are dropped before the join
+    (``drop_hot_buckets``; a dropped pair can still collide in another
+    band). Embedding payloads ride the join as fixed-width binary blobs
+    (Acero rejects list<> payloads), costing ``bands``× the embedding
+    bytes through one shuffle — the price of shipping verification to
+    the data instead of broadcasting the whole matrix
+    (``embedding_dup_pairs_exact``'s small-collection shape)."""
+    from ..util import compact_for_join
+    from .dedup import drop_hot_buckets
+
     dim_probe = ds.take(1)[0][emb_col]
-    hasher = HyperplaneLSH(len(dim_probe), n_bits, seed, id_col, emb_col)
-    bucketed = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    hasher = MultiBandHyperplaneLSH(len(dim_probe), bands, r, seed, id_col, emb_col)
+    rows = ds.map_batches(hasher, batch_format="pyarrow", batch_size=4096)
+    if max_bucket is not None:
+        rows = drop_hot_buckets(rows.materialize(), "bk", max_bucket)
     thr = threshold
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype({"a": np.int64, "b": np.int64, "sim": np.float64})
-        m = _normalize(np.stack([np.frombuffer(b, dtype=np.float64) for b in g["emb"]]))
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
+    P = num_partitions
+    left = compact_for_join(
+        rows.map_batches(
+            lambda t: pa.table(
+                {"band": t.column("band"), "key": t.column("key"), "a": t.column("vec_id"), "ea": t.column("emb")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    right = compact_for_join(
+        rows.map_batches(
+            lambda t: pa.table(
+                {"band2": t.column("band"), "key2": t.column("key"), "b": t.column("vec_id"), "eb": t.column("emb")}
+            ),
+            batch_format="pyarrow",
+        ),
+        P,
+    )
+    j = left.join(
+        right, join_type="inner", num_partitions=P, on=("band", "key"), right_on=("band2", "key2")
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"a": pa.array([], _I64), "b": pa.array([], _I64), "sim": pa.array([], _F64)}
+            )
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = a < b
+        if not m.any():
+            return pa.table(
+                {"a": pa.array([], _I64), "b": pa.array([], _I64), "sim": pa.array([], _F64)}
+            )
+        # one C-level pass per side: all blobs share a width, so the
+        # joined bytes reshape straight into the pair matrices
+        A = np.frombuffer(b"".join(t.column("ea").to_pylist()), dtype=np.float64).reshape(len(a), -1)[m]
+        B = np.frombuffer(b"".join(t.column("eb").to_pylist()), dtype=np.float64).reshape(len(a), -1)[m]
+        s = np.einsum("ij,ij->i", _normalize(A), _normalize(B))
         keep = s >= thr
-        return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep], "sim": s[keep]})
+        return pa.table(
+            {
+                "a": pa.array(a[m][keep]),
+                "b": pa.array(b[m][keep]),
+                "sim": pa.array(s[keep], _F64),
+            }
+        )
+
+    from ray.data.aggregate import Min
 
     return (
-        bucketed.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        j.map_batches(verify, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("sim", alias_name="sim"))
         .map_batches(
             ensure_schema({"a": _I64, "b": _I64, "sim": _F64}), batch_format="pyarrow"
         )

@@ -8,12 +8,11 @@ named there (HLL distinct-url count).
 
 Standard HLL (Flajolet et al. 2007), p-bit register index, 64-bit
 hashes, harmonic-mean estimator with small-range linear counting.
-Deterministic (blake2b row hashes).
+Deterministic (pandas siphash — process-stable, one C pass per batch;
+same kernel as the dedup hashing).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -21,15 +20,19 @@ import pyarrow as pa
 import ray.data
 
 
-def _hash64(values: list) -> np.ndarray:
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "little")
-            for v in values
-        ),
-        dtype=np.uint64,
-        count=len(values),
-    )
+def _hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of stringified elements, vectorized
+    (pd.util.hash_array siphash via dedup.hash_str_array — no per-row
+    Python hashing)."""
+    from .dedup import hash_str_array
+
+    if isinstance(values, np.ndarray) and values.dtype == object:
+        arr = values
+    else:
+        arr = np.array([str(v) for v in values], dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    return hash_str_array(arr)
 
 
 class HLL:
@@ -43,20 +46,17 @@ class HLL:
         )
 
     def add_hashes(self, h: np.ndarray) -> "HLL":
+        if len(h) == 0:
+            return self
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)  # remaining bits, top-aligned
-        # rank = leading zeros of rest + 1 (capped)
-        rank = np.zeros(len(h), dtype=np.uint8)
-        mask = np.uint64(1) << np.uint64(63)
-        cur = rest.copy()
-        r = np.ones(len(h), dtype=np.uint8)
-        for _ in range(64 - self.p):
-            top = (cur & mask) != 0
-            done = top & (rank == 0)
-            rank[done] = r[done]
-            cur = cur << np.uint64(1)
-            r += 1
-        rank[rank == 0] = 64 - self.p + 1
+        # rank = leading zeros + 1, via one unpackbits (MSB-first) +
+        # argmax pass — no 64-iteration shift loop
+        bits = np.unpackbits(
+            rest.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1, bitorder="big"
+        )
+        rank = (np.argmax(bits, axis=1) + 1).astype(np.uint8)
+        rank[rest == 0] = 64 - self.p + 1  # all-zero suffix (argmax=0 is wrong there)
         np.maximum.at(self.registers, idx, rank)
         return self
 
@@ -86,7 +86,12 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
     on the driver (sketches are tiny: 2^p bytes)."""
 
     def sketch(batch: pa.Table) -> pa.Table:
-        h = HLL(p).add_hashes(_hash64(batch.column(col).to_pylist()))
+        import pyarrow.compute as pc
+
+        strs = pc.fill_null(pc.cast(batch.column(col), pa.string()), "None").to_numpy(
+            zero_copy_only=False
+        )
+        h = HLL(p).add_hashes(_hash64(strs))
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()

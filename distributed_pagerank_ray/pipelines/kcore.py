@@ -8,11 +8,15 @@ can hash-match an unrolled-CTE DuckDB oracle (same trick as the
 3-iteration PageRank query).
 
 Scale shape per round: degrees via the per-shard count BSP
-(util.count_i64_keys — no row-level groupby), the KILL set (vertices
-below k) gathered and broadcast into a vectorized NOT-IN edge filter
-(kill sets shrink geometrically; the surviving edge set is never
-gathered). Edges are re-materialized per round so the next round's
-count scans the filtered set, not the original lineage.
+(util.count_i64_keys — no row-level groupby); the KILL set (vertices
+below k) is applied either as a broadcast NOT-IN filter (small kill
+sets — the common shape after round 1, when kill sets shrink
+geometrically) or, above ``broadcast_kill_limit``, as a shuffle
+``left_anti`` join that never gathers anything to the driver — the
+FIRST round's kill set is every vertex with degree < k, which is O(V)
+on a web graph and must not pass through the driver. Edges are
+re-materialized per round so the next round's count scans the
+filtered set, not the original lineage.
 
 Reference parity: no such operator in lioia/distributed-pagerank
 (PageRank only) — new-engine scope, SURVEY §2.5 graph family.
@@ -39,28 +43,65 @@ def _sym_degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def kcore_peel(
-    edges: "ray.data.Dataset", k: int, rounds: int | None = None
+    edges: "ray.data.Dataset",
+    k: int,
+    rounds: int | None = None,
+    broadcast_kill_limit: int = 1 << 20,
+    num_partitions: int = 8,
 ) -> "ray.data.Dataset":
     """Peel ``rounds`` times (or until fixpoint when ``rounds`` is
     None). ``edges`` must be distinct undirected pairs (a < b).
     Returns the surviving vertex set as (v, deg) — degrees as of the
-    surviving edge set."""
+    surviving edge set.
+
+    Kill sets up to ``broadcast_kill_limit`` are broadcast (one filter
+    pass, no AllToAll); larger ones — typically only round 1 at low k —
+    go through two ``left_anti`` shuffle joins, driver-free."""
+    from ..util import compact_for_join, ensure_schema
+
     edges = edges.materialize()
     r = 0
     while rounds is None or r < rounds:
         r += 1
         deg = _sym_degrees(edges)
-        kill_parts = []
-        for b in deg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            kill_parts.append(
-                b.column("v").filter(pc.less(b.column("deg"), k)).to_numpy(zero_copy_only=False)
-            )
-        kill = np.concatenate(kill_parts) if kill_parts else np.zeros(0, dtype=np.int64)
-        if len(kill) == 0:
+        kill_ds = deg.map_batches(
+            lambda t: pa.table(
+                {"v": t.column("v").filter(pc.less(t.column("deg"), k))}
+                if "v" in t.column_names
+                else {"v": pa.array([], _I64)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_kill = kill_ds.count()
+        if n_kill == 0:
             # fixpoint: further rounds are identical no-ops, fixed-round
             # oracle parity is preserved by stopping here
             break
-        edges = semi_join_filter(
-            semi_join_filter(edges, "a", kill, keep=False), "b", kill, keep=False
-        ).materialize()
+        if n_kill <= broadcast_kill_limit:
+            kill_parts = [
+                b.column("v").to_numpy(zero_copy_only=False)
+                for b in kill_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            kill = np.concatenate(kill_parts) if kill_parts else np.zeros(0, dtype=np.int64)
+            edges = semi_join_filter(
+                semi_join_filter(edges, "a", kill, keep=False), "b", kill, keep=False
+            ).materialize()
+        else:
+            kc = compact_for_join(kill_ds, num_partitions)
+            surv = compact_for_join(edges, num_partitions).join(
+                kc, join_type="left_anti", num_partitions=num_partitions,
+                on=("a",), right_on=("v",),
+            )
+            surv = compact_for_join(
+                surv.map_batches(
+                    ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
+                ),
+                num_partitions,
+            )
+            edges = surv.join(
+                kc, join_type="left_anti", num_partitions=num_partitions,
+                on=("b",), right_on=("v",),
+            ).map_batches(
+                ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
+            ).materialize()
     return _sym_degrees(edges)

@@ -602,34 +602,55 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+def events_sessions(
+    sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32
+) -> "ray.data.Dataset":
     """Session windows per user: a new session starts when the gap to
-    the previous event exceeds ``gap_minutes``. Stream-shaped operator
-    done batch-style (guide: partition by key, sort by ts within the
-    group, window with pandas inside map_groups). Output:
-    (user_id, session_start, n_events)."""
+    the previous event exceeds ``gap_minutes``. Output:
+    (user_id, session_start, n_events).
+
+    Scale shape: users are HASH-BUCKETED (temporal.py's pattern) so the
+    shuffle produces ~``num_buckets`` coarse groups — not one pandas
+    group per user, which is catastrophic on this Ray version at 10⁸
+    users. Each bucket sorts by (user_id, ts) once and splits sessions
+    with a vectorized segmented diff (a session break at a user change
+    or a gap over the threshold) — no per-user loop anywhere. Raise
+    ``num_buckets`` with data size; each bucket is O(rows/num_buckets)."""
+    from .temporal import _bucket_of
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+            }
+        )
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
         ts = g["ts"].to_numpy()
         new_session = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({"sid": sid, "ts": ts})
-            .groupby("sid")
-            .agg(session_start=("ts", "min"), n_events=("ts", "size"))
-            .reset_index(drop=True)
+            new_session[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        starts = np.nonzero(new_session)[0]
+        counts = np.diff(np.append(starts, len(ts)))
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_start": ts[starts],
+                "n_events": counts.astype(np.int64),
+            }
         )
-        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
 
     return (
-        ds.groupby("user_id")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
         .map_batches(
             ensure_schema(

@@ -85,3 +85,24 @@ def test_simhash_pairs():
     assert (0, 2) in pairs
     # unrelated doc 3 (hamming 28) should not pair with 0
     assert (0, 3) not in pairs
+
+
+def test_simhash_hot_bucket_bound():
+    # 1000 identical docs share one simhash -> every band bucket is
+    # degenerate; with a bucket cap the clone cliques are DROPPED (no
+    # quadratic pair blowup) while a small planted near-dup pair in
+    # cold buckets still surfaces
+    clones = [{"doc_id": i, "text": "spam " * 40} for i in range(1000)]
+    planted = [
+        {"doc_id": 2000, "text": BASE},
+        {"doc_id": 2001, "text": BASE.replace("seventeen", "nineteen")},
+    ]
+    ds = ray.data.from_items(clones + planted)
+    got = simhash_pairs(ds, max_hamming=8, max_bucket=64).take_all()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (2000, 2001) in pairs
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)  # clone cliques dropped
+    # and with no cap the clone pairs DO exist (sanity of the guard)
+    few = [{"doc_id": i, "text": "spam " * 40} for i in range(3)]
+    got2 = simhash_pairs(ray.data.from_items(few), max_hamming=0, max_bucket=None).take_all()
+    assert {(r["a"], r["b"]) for r in got2} == {(0, 1), (0, 2), (1, 2)}

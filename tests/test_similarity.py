@@ -68,6 +68,26 @@ def test_embedding_dup_pairs():
         assert r["sim"] >= 0.99
 
 
+def test_embedding_dup_pairs_hot_bucket_bound():
+    # 800 identical vectors collapse into one bucket in every band;
+    # with a cap the clique is dropped, a planted near-dup pair in a
+    # cold bucket still verifies
+    rng = np.random.default_rng(3)
+    clone = rng.standard_normal(8)
+    other = rng.standard_normal(8)
+    near = other + rng.standard_normal(8) * 1e-3
+    items = [{"vec_id": i, "embedding": clone.tolist()} for i in range(800)]
+    items += [
+        {"vec_id": 900, "embedding": other.tolist()},
+        {"vec_id": 901, "embedding": near.tolist()},
+    ]
+    ds = ray.data.from_items(items)
+    got = embedding_dup_pairs(ds, threshold=0.99, max_bucket=32).take_all()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (900, 901) in pairs
+    assert not any(a < 800 and b < 800 for a, b in pairs)
+
+
 def test_on_driver_embeddings_table():
     ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
     first = ds.take(2)

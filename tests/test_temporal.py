@@ -234,6 +234,12 @@ def test_kcore_true_core_vs_brute_force():
     assert len(exp_deg) > 0  # non-degenerate fixture
     assert all(d >= k for d in exp_deg.values())
 
+    # the anti-join path (forced: broadcast_kill_limit=0 so even the
+    # first round's >50%-of-vertices kill set goes through left_anti
+    # shuffle joins) must produce the identical core
+    got2 = kcore_peel(ds, k=k, rounds=None, broadcast_kill_limit=0, num_partitions=4).to_pandas()
+    assert dict(zip(got2["v"], got2["deg"])) == exp_deg
+
 
 def test_near_dedup_keep_first_sf0001():
     """End-to-end near-dedup on the real documents table: kept == docs
