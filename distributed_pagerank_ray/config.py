@@ -88,3 +88,15 @@ class RunConfig:
     #   groupby('shard') → map_groups) — same math, ~2-3s fixed
     #   AllToAll startup per iteration in local mode.
     combine_mode: str = "tasks"
+    # Per-shard reduce arity cap for the tasks-mode BSP (pagerank / CC /
+    # LPA). 0 = flat fan-in: every reduce task takes all B gather
+    # payloads directly (fine while S × B is thousands). > 0 inserts
+    # intermediate combiner tasks that merge groups of `combine_fanin`
+    # payloads tree-wise until <= combine_fanin refs remain per shard —
+    # the scale path once S × B reaches millions of refs (~10^9+
+    # vertices): per-task argument counts stay bounded and the driver
+    # releases gather refs as combiner levels complete. Combining is
+    # the same accumulate the reducers run (sum / min / count-sum), so
+    # results match the flat path up to FP summation order for
+    # PageRank and exactly for CC / LPA (integer min / counts).
+    combine_fanin: int = 0

@@ -73,6 +73,28 @@ def _cc_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int):
     return tuple(out) if S > 1 else out[0]
 
 
+@ray.remote
+def _cc_combine(*payloads):
+    """Intermediate tree-combine node (combine_fanin > 0): min-merge a
+    group of (local-idx, min-label) byte payloads into one — min is
+    associative, so the tree path is EXACTLY the flat path."""
+    locs, vals = [], []
+    for payload in payloads:
+        if payload is None:
+            continue
+        k = len(payload) // 16
+        locs.append(np.frombuffer(payload[: k * 8], dtype=np.int64))
+        vals.append(np.frombuffer(payload[k * 8 :], dtype=np.float64))
+    if not locs:
+        return None
+    loc = np.concatenate(locs)
+    val = np.concatenate(vals)
+    uniq, inv = np.unique(loc, return_inverse=True)
+    mins = np.full(len(uniq), np.inf)
+    np.minimum.at(mins, inv, val)
+    return uniq.tobytes() + mins.tobytes()
+
+
 @ray.remote(num_returns=2)
 def _cc_reduce_shard(s: int, old: "np.ndarray", n: int, shard_rows: int, out_dir: str, *payloads):
     """Min-combine partials with the shard's own labels, write checkpoint,
@@ -225,6 +247,14 @@ def connected_components(
             for b in blocks
         ]
         cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+        if run_cfg.combine_fanin > 0:
+            from ..util import tree_combine_refs
+
+            cols = [
+                tree_combine_refs(cols[s], _cc_combine, run_cfg.combine_fanin)
+                for s in range(S)
+            ]
+            del gathers
         outs = [
             _cc_reduce_shard.remote(s, label_vec.refs[s], n, shard_rows, labels_out, *cols[s])
             for s in range(S)

@@ -77,6 +77,33 @@ def _lpa_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int):
     return tuple(out) if S > 1 else out[0]
 
 
+@ray.remote
+def _lpa_combine(pack: int, *payloads):
+    """Intermediate tree-combine node (combine_fanin > 0): sum a group
+    of (local, label, count) payloads per (local, label) key — integer
+    count addition is associative, so the tree path is EXACTLY the
+    flat path."""
+    locs, labs, cnts = [], [], []
+    for payload in payloads:
+        if payload is None:
+            continue
+        k = len(payload) // 24
+        locs.append(np.frombuffer(payload[: k * 8], dtype=np.int64))
+        labs.append(np.frombuffer(payload[k * 8 : 2 * k * 8], dtype=np.int64))
+        cnts.append(np.frombuffer(payload[2 * k * 8 :], dtype=np.int64))
+    if not locs:
+        return None
+    key = np.concatenate(locs) * np.int64(pack) + np.concatenate(labs)
+    cnt = np.concatenate(cnts)
+    uniq, inv = np.unique(key, return_inverse=True)
+    tot = np.bincount(inv, weights=cnt.astype(np.float64), minlength=len(uniq)).astype(np.int64)
+    return (
+        (uniq // pack).astype(np.int64).tobytes()
+        + (uniq % pack).astype(np.int64).tobytes()
+        + tot.tobytes()
+    )
+
+
 @ray.remote(num_returns=2)
 def _lpa_reduce_shard(s: int, old: "np.ndarray", n: int, shard_rows: int, out_dir: str, *payloads):
     """Merge (local, label, count) partials; per vertex adopt the most
@@ -215,6 +242,14 @@ def label_propagation(
             for b in blocks
         ]
         cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+        if run_cfg.combine_fanin > 0:
+            from ..util import tree_combine_refs
+
+            cols = [
+                tree_combine_refs(cols[s], _lpa_combine, run_cfg.combine_fanin, n + 1)
+                for s in range(S)
+            ]
+            del gathers
         outs = [
             _lpa_reduce_shard.remote(s, label_vec.refs[s], n, shard_rows, labels_out, *cols[s])
             for s in range(S)

@@ -38,14 +38,18 @@ At 10^12 vertices the rank vector is sharded (8 TB total, a few MB per
 shard); each gather task emits partials only for shards its batch
 actually targets, and each reduce task touches exactly one shard.
 
-Scale bound (tasks-mode BSP): the driver holds S × B object refs per
-iteration (S shards × B edge blocks). At the tested scales (S ≤ 16,
-B ≤ 128) that is thousands of refs; beyond ~10^9 vertices S × B
-reaches millions and the flat fan-in should become a two-level (tree)
-combine — gather blocks reduce into R intermediate combiners per
-shard, combiners into the shard reducer. Keep S bounded by raising
-``shard_rows`` with n (shards are a few MB up to tens of MB; the
-layout, not the algorithm, is the knob).
+Scale bound (tasks-mode BSP): with the default flat fan-in the driver
+holds S × B object refs per iteration (S shards × B edge blocks) and
+each reduce task takes B payload arguments. At the tested scales
+(S ≤ 16, B ≤ 128) that is thousands of refs; beyond ~10^9 vertices
+S × B reaches millions — set ``RunConfig.combine_fanin`` (> 0) to
+switch to the TREE combine: per shard, gather payloads merge through
+intermediate ``_combine_payloads`` tasks in groups of ``fanin`` until
+≤ fanin refs feed the shard reducer, bounding every task's arity and
+letting the driver drop gather refs level by level (same accumulate
+math; util.tree_combine_refs, shared with CC/LPA). Keep S bounded by
+raising ``shard_rows`` with n (shards are a few MB up to tens of MB;
+the layout, not the algorithm, is the knob).
 """
 
 from __future__ import annotations
@@ -238,6 +242,34 @@ def _gather_block(
         else:
             out[int(s)] = (KIND_SPARSE, local.astype(np.int64).tobytes() + v.tobytes())
     return tuple(out) if S > 1 else out[0]
+
+
+@ray.remote
+def _combine_payloads(size: int, *payloads):
+    """Intermediate tree-combine node (combine_fanin > 0): sum a group
+    of (kind, bytes) rank partials into ONE payload — the same
+    accumulate `_reduce_shard` runs, so the tree path differs from the
+    flat path only in FP summation order. All-None groups stay None
+    (a src-range block group that never targeted this shard)."""
+    acc = None
+    for payload in payloads:
+        if payload is None:
+            continue
+        if acc is None:
+            acc = np.zeros(size)
+        kind, data = payload
+        if kind == KIND_DENSE:
+            acc += np.frombuffer(data, dtype=np.float64)
+        else:
+            k = len(data) // 16
+            local = np.frombuffer(data[: k * 8], dtype=np.int64)
+            acc[local] += np.frombuffer(data[k * 8 :], dtype=np.float64)
+    if acc is None:
+        return None
+    nz = np.nonzero(acc)[0]
+    if len(nz) * 2 > size:
+        return (KIND_DENSE, acc.tobytes())
+    return (KIND_SPARSE, nz.astype(np.int64).tobytes() + acc[nz].tobytes())
 
 
 def _write_rank_shard(s: int, lo: int, new: np.ndarray, delta: np.ndarray, out_dir: str) -> None:
@@ -447,6 +479,19 @@ def pagerank(
                 for b in blocks
             ]
             cols = [gathers] if S == 1 else [list(col) for col in zip(*gathers)]
+            if run_cfg.combine_fanin > 0:
+                from ..util import tree_combine_refs
+
+                cols = [
+                    tree_combine_refs(
+                        cols[s],
+                        _combine_payloads,
+                        run_cfg.combine_fanin,
+                        min(shard_rows, n - s * shard_rows),
+                    )
+                    for s in range(S)
+                ]
+                del gathers  # release gather refs as combiner levels drain
             outs = [
                 _reduce_shard.remote(
                     s,

@@ -8,6 +8,24 @@ import pyarrow as pa
 _HASH_K = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci multiplier
 
 
+def tree_combine_refs(refs: list, combiner, fanin: int, *args) -> list:
+    """Two-or-more-level fan-in: merge a per-shard list of payload
+    ObjectRefs through ``combiner.remote(*args, group...)`` tasks in
+    groups of ``fanin`` until at most ``fanin`` refs remain. ``fanin``
+    <= 0 (or already few enough refs) returns the list unchanged — the
+    flat path. Intermediate levels free their input refs as the loop
+    rebinds the list, so the driver's live ref count stays O(B/fanin^d)
+    while combiners run — the scale fix for the S x B flat fan-in bound
+    (pagerank.py module docstring)."""
+    if fanin and fanin > 0:
+        while len(refs) > fanin:
+            refs = [
+                combiner.remote(*args, *refs[i : i + fanin])
+                for i in range(0, len(refs), fanin)
+            ]
+    return refs
+
+
 def _pack_pairs_block(t: pa.Table, col_a: str, col_b: str, S: int):
     """One gather task body: distinct packed (a<<32)|b keys of a block,
     split per shard (shard = multiplicative hash of the key — uniform
