@@ -57,6 +57,18 @@ class PageRankConfig:
     normalize: bool = True
 
 
+def random_e(n: int, seed: int) -> np.ndarray:
+    """Reference-style random personalization vector, made reproducible:
+    the reference draws an UNSEEDED uniform per vertex and normalizes
+    the sum to 1 (reference: pkg/graph/graph.go:81-96 — ``probability
+    := rand.Float64()`` then ``v.E /= total``). Here the draw is seeded
+    so engine and oracle can consume the identical vector; pass the
+    result as ``PageRankConfig.e_vector``."""
+    rng = np.random.default_rng(seed)
+    e = rng.random(n)
+    return e / e.sum()
+
+
 @dataclass
 class IterationLimits:
     max_iters: int = 100

@@ -59,6 +59,23 @@ def test_alt_params_and_custom_e(tmp_path, golden_graphs):
     assert res.iterations == it
 
 
+def test_random_e_helper(tmp_path, golden_graphs):
+    """random_e matches the reference formula (uniform draw, normalized
+    to sum 1 — graph.go:81-96), is seed-deterministic, and drives
+    pagerank to oracle conformance like any explicit E."""
+    from distributed_pagerank_ray.config import random_e
+
+    e = random_e(9, seed=21)
+    assert np.array_equal(e, random_e(9, seed=21))
+    assert abs(e.sum() - 1.0) < 1e-12
+    assert (e > 0).all() and not np.allclose(e, e[0])
+    src, dst = golden_graphs["star8"]
+    _, res = _run(tmp_path, src, dst, "star8re", e_vector=e)
+    want, it, _, _ = pagerank_oracle(src, dst, e_vector=e)
+    assert np.allclose(res.ranks_numpy(shard_rows=3), want, atol=1e-6)
+    assert res.iterations == it
+
+
 def test_dangling_redistribute(tmp_path, golden_graphs):
     src, dst = golden_graphs["chain5"]
     g = build_graph(
