@@ -336,6 +336,16 @@ def _g_triangles_parts(sf_dir):
 
 
 def _g_pagerank_lineitem(sf_dir):
+    """Converged PageRank over the lineitem graph (threshold 1e-8).
+    Rows-only for the driver (an iterative fixpoint is not
+    SQL-expressible), but self-gated in-query: whenever the graph is
+    small enough to densify on the driver (<= 5M edges), the returned
+    ranks must match ``oracle/pagerank_oracle.py`` — the pure-numpy
+    source of truth for the reference semantics (graph.go /
+    master.go load + update rules) — per vertex to 1e-6, with the
+    identical iteration count."""
+    import ray.data
+
     from distributed_pagerank_ray.config import PageRankConfig
     from distributed_pagerank_ray.pipelines.pagerank import pagerank
     from distributed_pagerank_ray.util import compact_for_join
@@ -354,7 +364,29 @@ def _g_pagerank_lineitem(sf_dir):
             {"vertex": t.column("key"), "rank": pa.array(np.round(t.column("rank").to_numpy(zero_copy_only=False), 8))}
         )
 
-    return joined.map_batches(fin, batch_format="pyarrow")
+    out = joined.map_batches(fin, batch_format="pyarrow")
+    if g.m > 5_000_000:
+        return out
+
+    from oracle.pagerank_oracle import pagerank_oracle
+
+    got = out.to_pandas().sort_values("vertex").reset_index(drop=True)
+    e = _g_edges(sf_dir).to_pandas()
+    keys = np.unique(np.concatenate([e["src"].to_numpy(), e["dst"].to_numpy()]))
+    want, iters, _, _ = pagerank_oracle(
+        np.searchsorted(keys, e["src"].to_numpy()),
+        np.searchsorted(keys, e["dst"].to_numpy()),
+        threshold=1e-8,
+    )
+    if len(got) != len(keys) or res.iterations != iters:
+        raise AssertionError(
+            f"pagerank vs oracle shape/iters: {len(got)}/{len(keys)} rows, "
+            f"{res.iterations}/{iters} iterations"
+        )
+    gid = np.searchsorted(keys, got["vertex"].to_numpy())
+    if not np.allclose(got["rank"].to_numpy(), want[gid], atol=1e-6):
+        raise AssertionError("pagerank ranks diverge from numpy oracle beyond 1e-6")
+    return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
 
 
 def _g_pagerank3(sf_dir):
@@ -517,9 +549,50 @@ def _t_minhash_pairs(sf_dir):
 
 
 def _t_simhash_pairs(sf_dir):
-    from distributed_pagerank_ray.functions.dedup import simhash_pairs
+    """SimHash near-dup pairs (Hamming <= 8). Rows-only for the driver
+    (the signed bit-accumulator hash is not SQL-expressible), but
+    self-gated in-query: at gate sizes (<= 20k docs) the engine pairs
+    must EQUAL a driver-side brute force — same SimHasher bits,
+    all-pairs XOR popcount — pair for pair including the hamming
+    payload. ``max_bucket=None`` here gives exact pigeonhole recall;
+    the bounded-bucket scale path is pytest-gated
+    (test_simhash_hot_bucket_bound)."""
+    import ray.data
 
-    return simhash_pairs(_docs(sf_dir), max_hamming=8)
+    from distributed_pagerank_ray.functions.dedup import SimHasher, simhash_pairs
+
+    got = (
+        simhash_pairs(_docs(sf_dir), max_hamming=8, max_bucket=None)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir).to_pandas()
+    if len(docs) > 20_000:
+        return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
+
+    acc = SimHasher()._acc_batch(list(docs["text"]))
+    h = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    # the engine stores 63 bits (top bit masked to stay in int64 range —
+    # SimHasher.__call__), so hamming here must ignore bit 63 too
+    h &= np.uint64((1 << 63) - 1)
+    ids = docs["doc_id"].to_numpy()
+    want: dict[tuple[int, int], int] = {}
+    for lo in range(0, len(ids), 256):  # row-chunked all-pairs popcount
+        x = h[lo : lo + 256, None] ^ h[None, :]
+        ham = np.unpackbits(x.view(np.uint8)).reshape(x.shape[0], len(ids), 64).sum(axis=2)
+        ii, jj = np.nonzero(ham <= 8)
+        for i, j in zip(ii + lo, jj):
+            if ids[i] < ids[j]:
+                want[(int(ids[i]), int(ids[j]))] = int(ham[i - lo, j])
+    have = {(int(a), int(b)): int(hm) for a, b, hm in zip(got["a"], got["b"], got["hamming"])}
+    if have != want:
+        raise AssertionError(
+            f"simhash pairs diverge from brute force: {len(have)} engine vs {len(want)} exact"
+        )
+    return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
 
 
 def _t_winnow(sf_dir):
@@ -625,18 +698,29 @@ def _e_knn_ivf(sf_dir):
 
 
 def _e_kmeans(sf_dir):
-    """Distributed k-means cluster sizes (rows-only: the objective is
-    not SQL-expressible; determinism and label agreement are
-    pytest-checked)."""
+    """Distributed k-means cluster sizes. Rows-only for the driver (the
+    clustering objective is not SQL-expressible), but self-gated
+    in-query at gate sizes (<= 100k vectors): a dense numpy replica of
+    the SAME algorithm — identical deterministic sample + k-means++
+    init (the library's own helpers) and the same Lloyd loop
+    (n_iters=20, tol=1e-6, empty clusters keep their centroid) — must
+    agree with the distributed fit on every centroid (1e-6) and on the
+    exact per-cluster member counts."""
     import ray.data
     from ray.data.aggregate import Count
 
-    from distributed_pagerank_ray.functions.kmeans import kmeans_assign, kmeans_fit
+    from distributed_pagerank_ray.functions.kmeans import (
+        _kmeanspp_init,
+        _sample_matrix,
+        kmeans_assign,
+        kmeans_fit,
+    )
     from distributed_pagerank_ray.util import ensure_schema
 
+    k = 10
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cents = kmeans_fit(ds, k=10)
-    return (
+    cents = kmeans_fit(ds, k=k)
+    out = (
         kmeans_assign(ds, cents)
         .groupby("cluster")
         .aggregate(Count(alias_name="n_members"))
@@ -645,6 +729,32 @@ def _e_kmeans(sf_dir):
             batch_format="pyarrow",
         )
     )
+    if ds.count() > 100_000:
+        return out
+
+    got = out.to_pandas().sort_values("cluster").reset_index(drop=True)
+    mat = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    ref = _kmeanspp_init(_sample_matrix(ds, "vec_id", "embedding", 2048), k, seed=42)
+    for _ in range(20):
+        a = ((mat[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        new = ref.copy()
+        for c in range(k):
+            members = mat[a == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        shift = float(np.abs(new - ref).max())
+        ref = new
+        if shift <= 1e-6:
+            break
+    if not np.allclose(cents, ref, atol=1e-6):
+        raise AssertionError("distributed k-means centroids diverge from dense numpy replica")
+    sizes = np.bincount(
+        ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1), minlength=k
+    )
+    have = {int(c): int(n) for c, n in zip(got["cluster"], got["n_members"])}
+    if any(have.get(c, 0) != int(sizes[c]) for c in range(k)):
+        raise AssertionError("k-means cluster sizes diverge from driver-side assignment")
+    return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
 
 
 def _e_dup_pairs(sf_dir):
@@ -1154,6 +1264,18 @@ def _t_doc_words(sf_dir):
     return ds.map_batches(split, batch_format="pyarrow")
 
 
+def _t_rep_stats(sf_dir):
+    """Gopher-style repetition quality signals per document: top-word
+    fraction, top-2-gram fraction, duplicate-2-gram fraction. The SQL
+    oracle rebuilds the identical fractions from the proven doc_words
+    tokenizer CTE (\\s+ split, empties dropped)."""
+    from distributed_pagerank_ray.functions.textstats import repetition_stats_batch
+
+    return _docs(sf_dir).map_batches(
+        lambda t: repetition_stats_batch(t), batch_format="pyarrow"
+    )
+
+
 def _t_near_dedup_keep(sf_dir):
     """End-to-end near-dedup keep-first: exact 3-word-gram Jaccard
     pairs (threshold 0.6) → duplicate graph → distributed connected
@@ -1422,24 +1544,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
-        "t_quality_filter": _t_quality_filter,
         "t_exact_dedup": _t_exact_dedup,
         "t_doc_words": _t_doc_words,
+        "t_rep_stats": _t_rep_stats,
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,
         "t_near_dedup_keep": _t_near_dedup_keep,
         "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
         # ---- entry 50 boundary: variants + pytest-covered rows-only ----
-        "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only (converged; pr3 SQL-gated above)
+        "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
+        "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only + in-query numpy-oracle gate
         "r_qty_quantiles_cont": _r_qty_quantiles_cont,  # interpolation variant of r_qty_quantiles
         "r_events_std": _r_events_std,  # aggregate variant (family gated by r_q1)
         "r_sample_per_type": _r_sample_per_type,  # per-group variant of r_det_sample
         "t_fingerprint_md5": _t_fingerprint,  # md5 kernel also gated via t_exact_dedup
         "t_normalize": _t_normalize,  # scalar-fn variant (family gated by t_token_counts)
         "t_minhash_pairs": _t_minhash_pairs,  # rows-only + in-query subset/recall self-gate
-        "t_simhash_pairs": _t_simhash_pairs,  # rows-only (pytest brute-force parity)
+        "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
-        "e_kmeans": _e_kmeans,  # rows-only (clustering objective; pytest-gated)
+        "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
     }
 
 
@@ -1776,6 +1899,37 @@ WHERE parts[g.i] != ''
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm "
             "FROM documents"
         ),
+        "t_rep_stats": """
+WITH words AS (
+  SELECT doc_id, g.i AS word_no, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+seq AS (
+  SELECT doc_id, word, row_number() OVER (PARTITION BY doc_id ORDER BY word_no) AS rn
+  FROM words
+),
+per_word AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
+wstats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, max(cnt) AS top_w
+           FROM per_word GROUP BY doc_id),
+grams AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+),
+per_gram AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM grams GROUP BY doc_id, w1, w2),
+gstats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, max(cnt) AS top_g,
+                  count(*) AS distinct_g
+           FROM per_gram GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(w.n_words, 0) AS n_words,
+       round(COALESCE(w.top_w * 1.0 / w.n_words, 0.0), 6) AS top_word_frac,
+       round(COALESCE(g.top_g * 1.0 / g.n_grams, 0.0), 6) AS top_2gram_frac,
+       round(COALESCE((g.n_grams - g.distinct_g) * 1.0 / g.n_grams, 0.0), 6) AS dup_2gram_frac
+FROM documents d
+LEFT JOIN wstats w USING (doc_id)
+LEFT JOIN gstats g USING (doc_id)
+""",
         "r_q5_nation_revenue": """
 SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
 FROM customer c, orders o, lineitem l, supplier s, nation n, region r

@@ -104,6 +104,80 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("quality_score", pa.array(score))
 
 
+# ---------------------------------------------------------------- repetition
+
+def repetition_stats_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_words``: whitespace-token count (same ``\\s+`` split /
+      drop-empties tokenizer as ``doc_words`` — oracle-parity proven)
+    - ``top_word_frac``: occurrences of the most frequent word / n_words
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram
+      / total 2-grams
+    - ``dup_2gram_frac``: 1 − distinct 2-grams / total 2-grams
+
+    Heavily repeated boilerplate (nav bars, SEO spam) scores high on
+    all three; the Gopher rules filter on thresholds over exactly these
+    fractions. Fully vectorized: one siphash pass over every token
+    occurrence, per-(doc, term) counts via lexsort + run-length
+    boundaries — no Python loop over rows or words. 2-grams combine the
+    two word hashes with a 64-bit odd-constant multiply (collision odds
+    ~1e-16 per doc at these sizes). Fractions are 0 for docs with no
+    words / no 2-grams, rounded to 6dp (oracle does the same)."""
+    from .dedup import hash_str_array
+
+    n_docs = len(batch)
+    text = pc.fill_null(batch.column(text_col), "")
+    parts = pc.split_pattern_regex(text, pattern=r"\s+")
+    lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = parts.combine_chunks().flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)[keep]
+    wh = hash_str_array(words) if len(words) else np.zeros(0, dtype=np.uint64)
+
+    def _run_stats(d: np.ndarray, h: np.ndarray):
+        """Per-doc (total, top-run, n-runs) of (d, h) pairs."""
+        total = np.bincount(d, minlength=n_docs)
+        top = np.zeros(n_docs, dtype=np.int64)
+        nruns = np.zeros(n_docs, dtype=np.int64)
+        if len(d):
+            order = np.lexsort((h, d))
+            ds, hs = d[order], h[order]
+            new = np.ones(len(ds), dtype=bool)
+            new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            run_id = np.cumsum(new) - 1
+            run_n = np.bincount(run_id)
+            run_doc = ds[new]
+            np.maximum.at(top, run_doc, run_n)
+            nruns = np.bincount(run_doc, minlength=n_docs)
+        return total, top, nruns
+
+    n_words, top_w, _ = _run_stats(doc_idx, wh)
+    adj = doc_idx[1:] == doc_idx[:-1] if len(doc_idx) else np.zeros(0, dtype=bool)
+    g_doc = doc_idx[:-1][adj]
+    gh = wh[:-1][adj] * np.uint64(0x9E3779B97F4A7C15) + wh[1:][adj]
+    n_grams, top_g, distinct_g = _run_stats(g_doc, gh)
+
+    def frac(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        out = np.zeros(n_docs)
+        nz = den > 0
+        out[nz] = num[nz] / den[nz]
+        return np.round(out, 6)
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "top_word_frac": pa.array(frac(top_w, n_words)),
+            "top_2gram_frac": pa.array(frac(top_g, n_grams)),
+            "dup_2gram_frac": pa.array(frac(n_grams - distinct_g, n_grams)),
+        }
+    )
+
+
 # ---------------------------------------------------------------- lang id
 
 class LangId:

@@ -70,3 +70,46 @@ def test_fingerprints_deterministic():
     # check short-text and empty edge cases don't crash
     assert winnow_fingerprint("") == 0
     assert winnow_fingerprint("ab") != 0
+
+
+def test_repetition_stats():
+    """Hand-computed Gopher repetition fractions, plus a brute-force
+    Counter cross-check over the shared DOCS fixtures (null text, empty
+    text, leading/trailing whitespace)."""
+    from collections import Counter
+
+    from distributed_pagerank_ray.functions.textstats import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a a b",          # top word a=3/4; 2-grams: aa aa ab -> top 2/3, dup 1/3
+                "x y x y x",        # top 3/5; 2-grams xy yx xy yx -> top 2/4, dup 2/4
+                None,               # no words
+                "solo",             # 1 word, no 2-grams
+            ],
+        }
+    )
+    out = repetition_stats_batch(t).to_pydict()
+    assert out["n_words"] == [4, 5, 0, 1]
+    assert out["top_word_frac"] == [0.75, 0.6, 0.0, 1.0]
+    assert out["top_2gram_frac"] == [round(2 / 3, 6), 0.5, 0.0, 0.0]
+    assert out["dup_2gram_frac"] == [round(1 / 3, 6), 0.5, 0.0, 0.0]
+
+    docs = pa.Table.from_pylist(DOCS)
+    got = repetition_stats_batch(docs).to_pydict()
+    for i, d in enumerate(DOCS):
+        words = [w for w in (d["text"] or "").split() if w]
+        grams = list(zip(words, words[1:]))
+        wc, gc = Counter(words), Counter(grams)
+        assert got["n_words"][i] == len(words)
+        assert got["top_word_frac"][i] == (
+            round(max(wc.values()) / len(words), 6) if words else 0.0
+        )
+        assert got["top_2gram_frac"][i] == (
+            round(max(gc.values()) / len(grams), 6) if grams else 0.0
+        )
+        assert got["dup_2gram_frac"][i] == (
+            round((len(grams) - len(gc)) / len(grams), 6) if grams else 0.0
+        )

@@ -63,7 +63,18 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+        # An explicit 64 GiB object store (/dev/shm is 126 GiB here):
+        # the default 37 GiB store forces ~45 GB of disk spill at this
+        # size, and this host's filesystem over-reports its capacity to
+        # Ray's 95%-full monitor (252 GB claimed, ~93 GB real), so heavy
+        # spilling aborts with OutOfDiskError instead of degrading.
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            logging_level="ERROR",
+            object_store_memory=64 * (1 << 30),
+        )
     import ray.data
     from ray.data import DataContext
 
