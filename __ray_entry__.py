@@ -964,6 +964,23 @@ def _r_events_sliding(sf_dir):
     return events_sliding(sf_dir)
 
 
+def _r_events_lag_cum(sf_dir):
+    """Per-user ordered window functions: row_number, lag-gap (µs,
+    -1 on first), running value sum — one hash-bucketed sort + three
+    segmented vectorized kernels (relational.events_lag_cumsum)."""
+    from distributed_pagerank_ray.pipelines.relational import events_lag_cumsum
+
+    return events_lag_cumsum(sf_dir)
+
+
+def _r_part_year_volumes(sf_dir):
+    """FULL OUTER join of two per-part yearly quantity aggregates
+    (0-filled single-year parts) — completes the join-type surface."""
+    from distributed_pagerank_ray.pipelines.relational import part_year_volumes
+
+    return part_year_volumes(sf_dir)
+
+
 def _r_det_sample(sf_dir):
     """Deterministic ~10% sample of events (pure hash filter — same
     rows on every engine/run; see functions/sampling.py)."""
@@ -1073,6 +1090,16 @@ def _g_wpagerank3(sf_dir):
         batch_format="pyarrow",
     )
     return pagerank_weighted_fixed(edges, iters=3)
+
+
+def _g_hits2(sf_dir):
+    """HITS hubs/authorities, 2 fixed iterations, L1-normalized, on
+    the bipartite order→part lineitem graph (orders are pure hubs,
+    parts pure authorities). Join-based formulation
+    (pipelines/hits.py) vs an unrolled-CTE oracle; both sides 6dp."""
+    from distributed_pagerank_ray.pipelines.hits import hits_fixed
+
+    return hits_fixed(_g_edges(sf_dir), iters=2)
 
 
 def _g_kcore2(sf_dir):
@@ -1274,6 +1301,18 @@ def _t_rep_stats(sf_dir):
     return _docs(sf_dir).map_batches(
         lambda t: repetition_stats_batch(t), batch_format="pyarrow"
     )
+
+
+def _t_tfidf_top3(sf_dir):
+    """Top-3 TF-IDF terms per document (score = tf · ln(N/df), 6dp,
+    ties broken word-asc). Engine: complete per-doc tf rows from one
+    map_batches, BSP df count over word hashes, Acero tf⋈df join,
+    per-batch top-k combiner + bucketed exact top-k — no vocabulary
+    broadcast, no per-doc groups. Oracle rebuilds the identical score
+    and ranking from the proven doc_words tokenizer CTE."""
+    from distributed_pagerank_ray.functions.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
 def _t_near_dedup_keep(sf_dir):
@@ -1507,9 +1546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_triangles_parts": _g_triangles_parts,
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
         "g_ppr3_parts": _g_ppr3,  # personalized (custom-E) 3-iter, SQL-checked
-        "g_degree_hist": _g_degree_hist,
         "g_kcore2_lineitem": _g_kcore2,
         "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
+        "g_hits2_lineitem": _g_hits2,  # HITS hubs/authorities, SQL-checked
         # embeddings / sketches / engine-proof block (kept in the prefix)
         "e_knn": _e_knn,
         "e_knn_ivf": _e_knn_ivf,  # IVF full-probe == exact, SQL-checked
@@ -1529,30 +1568,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_props_sum": _r_events_props_sum,
         "r_urgent_semi_join": _r_semi_join,
         "r_asof_view": _r_asof_view,
-        "r_views_1h": _r_views_1h,
         "r_top3_per_segment": _r_top3_per_segment,
         "r_cust_no_orders": _r_cust_no_orders,
         "r_cust_urgent_counts": _r_cust_urgent_counts,
-        "r_events_sliding": _r_events_sliding,
+        "r_events_lag_cum": _r_events_lag_cum,  # ordered window fns, SQL-checked
+        "r_part_year_volumes": _r_part_year_volumes,  # FULL OUTER join, SQL-checked
         "r_q5_nation_revenue": _r_q5_nation_revenue,
         "r_qty_quantiles": _r_qty_quantiles,
         "r_orders_rollup": _r_orders_rollup,
         "r_parts_both_years": _r_parts_both_years,
         "r_user_type_pivot": _r_user_type_pivot,
         "r_det_sample": _r_det_sample,
-        "r_split_counts": _r_split_counts,
         # text analysis / dedup / multimodal
         "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
         "t_exact_dedup": _t_exact_dedup,
         "t_doc_words": _t_doc_words,
         "t_rep_stats": _t_rep_stats,
+        "t_tfidf_top3": _t_tfidf_top3,
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,
         "t_near_dedup_keep": _t_near_dedup_keep,
         "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
         # ---- entry 50 boundary: variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
+        "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
+        "r_views_1h": _r_views_1h,  # range-count variant (temporal family gated by r_asof_view)
+        "r_events_sliding": _r_events_sliding,  # hopping-window variant (family gated by r_events_hourly)
+        "r_split_counts": _r_split_counts,  # split variant (family gated by r_det_sample)
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only + in-query numpy-oracle gate
         "r_qty_quantiles_cont": _r_qty_quantiles_cont,  # interpolation variant of r_qty_quantiles
         "r_events_std": _r_events_std,  # aggregate variant (family gated by r_q1)
@@ -1899,6 +1942,72 @@ WHERE parts[g.i] != ''
             "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm "
             "FROM documents"
         ),
+        "g_hits2_lineitem": f"""
+WITH e AS ({_EDGES_CTE}),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM verts),
+a0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS x FROM verts),
+h1r AS (SELECT e.src AS v, sum(a0.x) AS x FROM e JOIN a0 ON a0.v = e.dst GROUP BY e.src),
+h1 AS (SELECT verts.v, COALESCE(h1r.x, 0) / (SELECT sum(x) FROM h1r) AS x
+       FROM verts LEFT JOIN h1r ON h1r.v = verts.v),
+a1r AS (SELECT e.dst AS v, sum(h1.x) AS x FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+a1 AS (SELECT verts.v, COALESCE(a1r.x, 0) / (SELECT sum(x) FROM a1r) AS x
+       FROM verts LEFT JOIN a1r ON a1r.v = verts.v),
+h2r AS (SELECT e.src AS v, sum(a1.x) AS x FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+h2 AS (SELECT verts.v, COALESCE(h2r.x, 0) / (SELECT sum(x) FROM h2r) AS x
+       FROM verts LEFT JOIN h2r ON h2r.v = verts.v),
+a2r AS (SELECT e.dst AS v, sum(h2.x) AS x FROM e JOIN h2 ON h2.v = e.src GROUP BY e.dst),
+a2 AS (SELECT verts.v, COALESCE(a2r.x, 0) / (SELECT sum(x) FROM a2r) AS x
+       FROM verts LEFT JOIN a2r ON a2r.v = verts.v)
+SELECT h2.v AS vertex, round(h2.x, 6) AS hub, round(a2.x, 6) AS auth
+FROM h2 JOIN a2 ON a2.v = h2.v
+""",
+        "r_events_lag_cum": """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "r_part_year_volumes": """
+WITH a AS (
+  SELECT l_partkey, round(sum(l_quantity), 4) AS qty_1995 FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  GROUP BY l_partkey
+),
+b AS (
+  SELECT l_partkey, round(sum(l_quantity), 4) AS qty_1996 FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey
+)
+SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
+       COALESCE(a.qty_1995, 0.0) AS qty_1995,
+       COALESCE(b.qty_1996, 0.0) AS qty_1996
+FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey
+""",
+        "t_tfidf_top3": """
+WITH words AS (
+  SELECT doc_id, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf,
+         round(t.tf * ln((SELECT n FROM nd) * 1.0 / d.df), 6) AS tfidf
+  FROM tf t JOIN df d USING (word)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, word, tf, tfidf, rk FROM ranked WHERE rk <= 3
+""",
         "t_rep_stats": """
 WITH words AS (
   SELECT doc_id, g.i AS word_no, parts[g.i] AS word

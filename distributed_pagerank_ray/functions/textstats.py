@@ -178,6 +178,148 @@ def repetition_stats_batch(
     )
 
 
+# ---------------------------------------------------------------- tf-idf
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF terms per document: score = tf · ln(N / df),
+    rounded to 6dp, ranked (tfidf desc, word asc) with ``rk`` 1..k.
+    Same ``\\s+`` tokenizer as ``doc_words`` (oracle-parity proven).
+
+    Scale shape — no vocabulary broadcast and no per-doc groups:
+    1. ONE map_batches emits complete (doc, word, tf) rows — a doc is
+       one input row, so its term counts never span batches; counting
+       is the lexsort/run-length kernel, no Python loop.
+    2. df comes from the count BSP over 64-bit word hashes (the
+       ``count_i64_keys`` shape — vocabulary never leaves the
+       workers; hash collisions merge two words' df with probability
+       ~|V|²/2⁶⁴, negligible and strictly bounded, documented here).
+    3. tf ⋈ df is an Acero int-key join (co-located by word hash).
+    4. Per-batch local top-k per doc (a combiner: the global top-k is
+       a subset of the union of per-batch top-ks), THEN an exact
+       top-k inside ~``num_buckets`` hash-bucketed groups — the
+       final shuffle moves O(k · partitions) rows per doc, and no
+       per-user/per-doc tiny ``map_groups`` groups exist anywhere."""
+    import pandas as pd
+
+    import ray.data
+
+    from ..util import compact_for_join, count_i64_keys, ensure_schema
+    from .dedup import hash_str_array
+
+    _STR = pa.string()
+    n_docs = ds.count()
+    P = num_partitions
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "word": pa.array([], _STR),
+                "tf": pa.array([], pa.int64()),
+                "wh": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        text = pc.fill_null(batch.column(text_col), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)[keep]
+        if len(words) == 0:
+            return empty
+        doc_ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False), lengths
+        )[keep]
+        wh = hash_str_array(words).view(np.int64)
+        order = np.lexsort((wh, doc_ids))
+        d_s, h_s, w_s = doc_ids[order], wh[order], words[order]
+        new = np.ones(len(d_s), dtype=bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        run_id = np.cumsum(new) - 1
+        tf = np.bincount(run_id)
+        first = np.nonzero(new)[0]
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[first]),
+                "word": pa.array(w_s[first], _STR),
+                "tf": pa.array(tf.astype(np.int64)),
+                "wh": pa.array(h_s[first]),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df_ds = count_i64_keys(tf_ds, "wh", count_col="df").map_batches(
+        ensure_schema({"wh": pa.int64(), "df": pa.int64()}), batch_format="pyarrow"
+    )
+    joined = compact_for_join(tf_ds, P).join(
+        compact_for_join(
+            df_ds.map_batches(
+                lambda t: pa.table({"wh2": t.column("wh"), "df": t.column("df")}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="inner", num_partitions=P, on=("wh",), right_on=("wh2",),
+    )
+    kk = k
+    nb = num_buckets
+
+    def score_prune(t: pa.Table) -> pd.DataFrame:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype=object),
+                    "tfidf": pd.Series([], dtype="float64"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="uint64"),
+                }
+            )
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s6 = np.round(tf * np.log(n_docs / df), 6)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out = pd.DataFrame(
+            {
+                "doc_id": doc,
+                "word": t.column("word").to_numpy(zero_copy_only=False),
+                "tfidf": s6,
+                "tf": t.column("tf").to_numpy(zero_copy_only=False),
+                "bucket": (doc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(nb),
+            }
+        )
+        out = (
+            out.sort_values(["doc_id", "tfidf", "word"], ascending=[True, False, True], kind="mergesort")
+            .groupby("doc_id", sort=False)
+            .head(kk)
+        )
+        return out
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf", "word"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g.groupby("doc_id", sort=False).head(kk).copy()
+        g["rk"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[["doc_id", "word", "tf", "tfidf", "rk"]]
+
+    return (
+        joined.map_batches(score_prune, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- lang id
 
 class LangId:

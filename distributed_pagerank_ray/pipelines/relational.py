@@ -355,6 +355,83 @@ def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.dat
     )
 
 
+def part_year_volumes(
+    sf_dir: str, y1: int = 1995, y2: int = 1996, num_partitions: int = 8
+) -> "ray.data.Dataset":
+    """FULL OUTER join: per-part shipped-quantity sums for two ship
+    years side by side, 0-filled where a part shipped in only one year
+    (completes the join-type surface: inner/left/semi/anti elsewhere,
+    full outer here). Each side pre-aggregates per batch (pandas
+    combiner) so the grouped shuffle moves ≤ |parts| × blocks rows;
+    the date window is pushed into both scans."""
+    import pyarrow.dataset as pads
+
+    from ..util import compact_for_join
+
+    P = num_partitions
+
+    def year_sum(year: int, key: str, out: str) -> "ray.data.Dataset":
+        lo = np.datetime64(f"{year}-01-01T00:00:00", "us")
+        hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
+        pred = (pads.field("l_shipdate") >= pa.scalar(lo)) & (
+            pads.field("l_shipdate") < pa.scalar(hi)
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_shipdate"],
+            filter=pred,
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    key: t.column("l_partkey").to_numpy(zero_copy_only=False),
+                    "q": t.column("l_quantity").to_numpy(zero_copy_only=False),
+                }
+            )
+            g = df.groupby(key, sort=False)["q"].sum().reset_index()
+            return pa.table({key: pa.array(g[key].to_numpy(dtype=np.int64)), "q": pa.array(g["q"].to_numpy(dtype=np.float64))})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Sum("q", alias_name=out))
+            .map_batches(ensure_schema({key: _I64, out: _F64}), batch_format="pyarrow")
+        )
+
+    a = year_sum(y1, "l_partkey", "qty_a")
+    b = year_sum(y2, "pk2", "qty_b")
+    j = compact_for_join(a, P).join(
+        compact_for_join(b, P),
+        join_type="full_outer", num_partitions=P, on=("l_partkey",), right_on=("pk2",),
+    )
+    c1, c2 = f"qty_{y1}", f"qty_{y2}"
+
+    def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or ("l_partkey" not in t.column_names and "pk2" not in t.column_names):
+            return pa.table(
+                {"l_partkey": pa.array([], _I64), c1: pa.array([], _F64), c2: pa.array([], _F64)}
+            )
+        n = len(t)
+        lk = t.column("l_partkey") if "l_partkey" in t.column_names else pa.nulls(n, _I64)
+        rk = t.column("pk2") if "pk2" in t.column_names else pa.nulls(n, _I64)
+        qa = t.column("qty_a") if "qty_a" in t.column_names else pa.nulls(n, _F64)
+        qb = t.column("qty_b") if "qty_b" in t.column_names else pa.nulls(n, _F64)
+        return pa.table(
+            {
+                "l_partkey": pc.coalesce(lk.cast(_I64), rk.cast(_I64)),
+                c1: pa.array(
+                    np.round(pc.fill_null(qa.cast(_F64), 0.0).to_numpy(zero_copy_only=False), 4)
+                ),
+                c2: pa.array(
+                    np.round(pc.fill_null(qb.cast(_F64), 0.0).to_numpy(zero_copy_only=False), 4)
+                ),
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
 def user_type_pivot(sf_dir: str) -> "ray.data.Dataset":
     """Pivot (wide conditional aggregation): events per user with one
     count column per event_type. Per-batch combiner: each batch
@@ -655,6 +732,85 @@ def events_sessions(
         .map_batches(
             ensure_schema(
                 {"user_id": _I64, "session_start": pa.timestamp("us"), "n_events": _I64}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_lag_cumsum(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
+    """Ordered per-user window functions in one pass: sequence number
+    (row_number), gap to the previous event in µs (lag; -1 on each
+    user's first event), and the running sum of ``value`` (4dp).
+    Order within a user is (ts, event_id) — deterministic.
+
+    Scale shape: same hash-bucketed plan as ``events_sessions`` —
+    ~``num_buckets`` coarse pandas groups, one (user_id, ts) sort per
+    bucket, then segmented vectorized kernels: run boundaries for
+    row_number (cumcount), a shifted diff for lag, and a cumsum with
+    the per-run offset subtracted for the running sum. No per-user
+    groups, no Python loop over rows."""
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+                "value": t.column("value"),
+            }
+        )
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts_us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy(dtype=np.float64)
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        run_id = np.cumsum(new_user) - 1
+        # row_number: position minus the run's start position
+        seq = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        if n > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        gap[new_user] = -1
+        # fresh sequential accumulator per user (pandas segmented
+        # cumsum) — float-order-identical to SQL's running window sum,
+        # unlike a global cumsum with the run offset subtracted
+        cum = pd.Series(val).groupby(run_id).cumsum().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "user_id": uid,
+                "seq": seq,
+                "gap_us": gap,
+                "cum_value": np.round(cum, 4),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {
+                    "event_id": _I64,
+                    "user_id": _I64,
+                    "seq": _I64,
+                    "gap_us": _I64,
+                    "cum_value": _F64,
+                }
             ),
             batch_format="pyarrow",
         )

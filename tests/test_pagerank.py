@@ -124,3 +124,37 @@ def test_corpus_end_to_end(tmp_path, tiny_corpus):
     got = res.ranks_numpy(shard_rows=16)
     assert np.allclose(got, want, atol=1e-6)
     assert res.iterations == it
+
+
+def test_hits_vs_numpy(golden_graphs):
+    """hits_fixed matches a dense numpy HITS (same L1-normalized
+    half-step order) on every golden graph, for 1-3 iterations."""
+    import pyarrow as pa
+
+    import ray.data
+    from distributed_pagerank_ray.pipelines.hits import hits_fixed
+
+    # three shapes cover the edge cases: dangling chain (zero rows),
+    # multi-edges + self-loop, dense clique
+    for name in ("chain5", "selfdup", "k4"):
+        src, dst = golden_graphs[name]
+        verts = np.unique(np.concatenate([src, dst]))
+        n = len(verts)
+        idx = {v: i for i, v in enumerate(verts)}
+        # duplicate (s,d) rows are multi-edges: each contributes its own
+        # summand in the join-based half-steps
+        A = np.zeros((n, n))
+        for s, d in zip(src, dst):
+            A[idx[s], idx[d]] += 1.0
+        for iters in (1, 3):
+            a = np.full(n, 1.0 / n)
+            for _ in range(iters):
+                h = A @ a
+                h /= h.sum()
+                a = A.T @ h
+                a /= a.sum()
+            ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+            got = hits_fixed(ds, iters=iters, num_partitions=2).to_pandas()
+            got = got.set_index("vertex").loc[verts]
+            assert np.allclose(got["hub"].to_numpy(), np.round(h, 6), atol=2e-6), (name, iters)
+            assert np.allclose(got["auth"].to_numpy(), np.round(a, 6), atol=2e-6), (name, iters)

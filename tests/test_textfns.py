@@ -113,3 +113,34 @@ def test_repetition_stats():
         assert got["dup_2gram_frac"][i] == (
             round((len(grams) - len(gc)) / len(grams), 6) if grams else 0.0
         )
+
+
+def test_tfidf_top_terms():
+    """tfidf_top_terms vs a brute-force Counter replica on the DOCS
+    fixtures: same scores (tf·ln(N/df), 6dp), same (score desc, word
+    asc) ranking, k=2, across several batch/bucket shapes."""
+    import math
+    from collections import Counter
+
+    from distributed_pagerank_ray.functions.textstats import tfidf_top_terms
+
+    docs = [d for d in DOCS]
+    tfs = {d["doc_id"]: Counter((d["text"] or "").split()) for d in docs}
+    df = Counter(w for c in tfs.values() for w in c)
+    n = len(docs)
+    want = {}
+    for did, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log(n / df[w]), 6), w, tf) for w, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for rk, (s, w, tf) in enumerate(scored, 1):
+            want[(did, rk)] = (w, s, tf)
+
+    ds = ray.data.from_items(docs, override_num_blocks=3)
+    out = tfidf_top_terms(ds, k=2, num_buckets=4).to_pandas()
+    got = {
+        (int(r.doc_id), int(r.rk)): (r.word, float(r.tfidf), int(r.tf))
+        for r in out.itertuples()
+    }
+    assert got == want
