@@ -8,19 +8,26 @@ instead of L2 so the unrolled SQL oracle stays exact):
     a'(u) = Σ_{(v,u) ∈ E} h(v)        then  a = a' / Σ a'
 
 starting from a₀ = 1/n on every vertex. Vertices with no out-edges
-keep hub 0; no in-edges keep authority 0 (left-outer against the
-vertex set each half-step).
+keep hub 0; no in-edges keep authority 0.
 
-Shape per iteration: TWO hash joins (scores ⋈ edges — the score table
-is the small-per-partition side) + TWO grouped sums + two scalar
-normalizer aggregates. Loop-invariant state (edge table, vertex set)
-is materialized once. Like ``pagerank_weighted_fixed`` this is the
-join-based formulation kept SQL-oracle-checkable by a fixed ``iters``;
-the sharded BSP engine (pipelines/pagerank.py) remains the scale path
-for massive iterative runs. Reference scope note: the reference engine
-(lioia/distributed-pagerank, pkg/graph/pagerank.go) implements only
-PageRank; HITS is an engine extension sharing its edge-table data
-model and convergence-free fixed-iteration contract.
+Execution shape — the half-steps are LINEAR maps, so every scalar
+normalization commutes to the end: the loop runs on RAW sparse scores
+(initial a₀ ≡ 1, zero-score vertices dropped — they contribute
+nothing to any later sum), each half-step is exactly ONE hash join
+(scores ⋈ edges) + ONE grouped sum, and the final stage zero-fills
+against the vertex set and divides hub/auth by their totals once.
+That is 2 all-to-all exchanges per half-step instead of the naive 3 +
+a per-step normalize pass, and is float-identical to the per-step
+normalized chain up to ~1-ulp scalar reassociation (both sides round
+to 6dp). Raw magnitudes grow like (mean degree)^half-steps — far
+inside float64 range for the fixed small ``iters`` this pipeline
+targets (SQL-oracle-able unrolled CTEs); for free-running iteration
+counts use the sharded BSP engine instead.
+
+Reference scope note: the reference engine (lioia/distributed-pagerank,
+pkg/graph/pagerank.go) implements only PageRank; HITS is an engine
+extension sharing its edge-table data model and fixed-iteration
+contract.
 """
 
 from __future__ import annotations
@@ -36,10 +43,6 @@ from ..util import compact_for_join, count_i64_keys, ensure_schema
 
 _I64 = pa.int64()
 _F64 = pa.float64()
-
-
-def _score_sum(scores: "ray.data.Dataset") -> float:
-    return float(scores.aggregate(Sum("x", alias_name="t"))["t"])
 
 
 def hits_fixed(
@@ -70,17 +73,19 @@ def hits_fixed(
         .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
         .materialize()
     )
-    n = verts.count()
 
+    # raw a₀ ≡ 1 (any uniform constant — normalization happens once at
+    # the end, and scalars commute through the linear half-steps)
     auth = verts.map_batches(
-        lambda t: pa.table({"v": t.column("v"), "x": pa.array(np.full(len(t), 1.0 / n))}),
+        lambda t: pa.table({"v": t.column("v"), "x": pa.array(np.ones(len(t)))}),
         batch_format="pyarrow",
     ).materialize()
     hub = auth
 
     def _half_step(scores, join_key: str, group_key: str):
-        """One HITS half-step: sum scores of ``join_key`` neighbors
-        onto ``group_key`` vertices, zero-fill, L1-normalize."""
+        """Raw half-step: sum scores of ``join_key`` neighbors onto
+        ``group_key`` vertices. Sparse: vertices summing to nothing
+        simply emit no row (they contribute nothing downstream)."""
         j = compact_for_join(scores, P).join(
             e, join_type="inner", num_partitions=P, on=("v",), right_on=(join_key,)
         )
@@ -90,33 +95,19 @@ def hits_fixed(
                 return pa.table({"k": pa.array([], _I64), "x": pa.array([], _F64)})
             return pa.table({"k": t.column(group_key), "x": t.column("x")})
 
-        sums = (
+        return (
             j.map_batches(pick, batch_format="pyarrow")
             .groupby("k")
             .aggregate(Sum("x", alias_name="s"))
-            .map_batches(ensure_schema({"k": _I64, "s": _F64}), batch_format="pyarrow")
+            .map_batches(
+                lambda t: pa.table({"v": t.column("k"), "x": t.column("s")})
+                if "k" in t.column_names
+                else pa.table({"v": pa.array([], _I64), "x": pa.array([], _F64)}),
+                batch_format="pyarrow",
+            )
+            .map_batches(ensure_schema({"v": _I64, "x": _F64}), batch_format="pyarrow")
+            .materialize()
         )
-        j2 = compact_for_join(verts, P).join(
-            compact_for_join(sums, P),
-            join_type="left_outer", num_partitions=P, on=("v",), right_on=("k",),
-        )
-
-        def fill(t: pa.Table) -> pa.Table:
-            if "v" not in t.column_names:
-                return pa.table({"v": pa.array([], _I64), "x": pa.array([], _F64)})
-            s = t.column("s") if "s" in t.column_names else pa.nulls(len(t), _F64)
-            s = pc.fill_null(s.cast(_F64) if s.type != _F64 else s, 0.0)
-            return pa.table({"v": t.column("v"), "x": s})
-
-        raw = j2.map_batches(fill, batch_format="pyarrow").materialize()
-        total = _score_sum(raw)
-
-        def norm(t: pa.Table) -> pa.Table:
-            if "v" not in t.column_names:
-                return pa.table({"v": pa.array([], _I64), "x": pa.array([], _F64)})
-            return pa.table({"v": t.column("v"), "x": pc.divide(t.column("x"), pa.scalar(total))})
-
-        return raw.map_batches(norm, batch_format="pyarrow").materialize()
 
     for _ in range(iters):
         # h(v) = Σ a(u) over out-neighbors u: join auth on EDGE DST,
@@ -126,25 +117,28 @@ def hits_fixed(
         # accumulate onto dst
         auth = _half_step(hub, "src", "dst")
 
-    merged = compact_for_join(
-        hub.map_batches(
-            lambda t: pa.table({"v": t.column("v"), "h": t.column("x")})
-            if "v" in t.column_names
-            else pa.table({"v": pa.array([], _I64), "h": pa.array([], _F64)}),
-            batch_format="pyarrow",
-        ),
-        P,
-    ).join(
+    t_h = float(hub.aggregate(Sum("x", alias_name="t"))["t"])
+    t_a = float(auth.aggregate(Sum("x", alias_name="t"))["t"])
+
+    j = compact_for_join(verts, P).join(
         compact_for_join(
-            auth.map_batches(
-                lambda t: pa.table({"v2": t.column("v"), "a": t.column("x")})
-                if "v" in t.column_names
-                else pa.table({"v2": pa.array([], _I64), "a": pa.array([], _F64)}),
+            hub.map_batches(
+                lambda t: pa.table({"vh": t.column("v"), "h": t.column("x")}),
                 batch_format="pyarrow",
             ),
             P,
         ),
-        join_type="inner", num_partitions=P, on=("v",), right_on=("v2",),
+        join_type="left_outer", num_partitions=P, on=("v",), right_on=("vh",),
+    )
+    j = compact_for_join(j, P).join(
+        compact_for_join(
+            auth.map_batches(
+                lambda t: pa.table({"va": t.column("v"), "a": t.column("x")}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="left_outer", num_partitions=P, on=("v",), right_on=("va",),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -156,12 +150,17 @@ def hits_fixed(
                     "auth": pa.array([], _F64),
                 }
             )
+        n = len(t)
+        h = t.column("h") if "h" in t.column_names else pa.nulls(n, _F64)
+        a = t.column("a") if "a" in t.column_names else pa.nulls(n, _F64)
+        h = pc.fill_null(h.cast(_F64), 0.0).to_numpy(zero_copy_only=False)
+        a = pc.fill_null(a.cast(_F64), 0.0).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "vertex": t.column("v"),
-                "hub": pa.array(np.round(t.column("h").to_numpy(zero_copy_only=False), 6)),
-                "auth": pa.array(np.round(t.column("a").to_numpy(zero_copy_only=False), 6)),
+                "hub": pa.array(np.round(h / t_h, 6)),
+                "auth": pa.array(np.round(a / t_a, 6)),
             }
         )
 
-    return merged.map_batches(fin, batch_format="pyarrow")
+    return j.map_batches(fin, batch_format="pyarrow")
