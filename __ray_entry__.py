@@ -1102,6 +1102,35 @@ def _g_hits2(sf_dir):
     return hits_fixed(_g_edges(sf_dir), iters=2)
 
 
+def _g_bfs_parts(sf_dir):
+    """Multi-source BFS hop distance (seed = the smallest part key) on
+    the UNDIRECTED lineitem order↔part graph, run on the sharded BSP
+    engine (pipelines/bfs.py — same gather/reduce machinery as CC with
+    min(dist+1) relaxation) vs a bounded recursive-CTE oracle.
+    Minting preserves numeric key order and part keys sort below the
+    +10M order keys, so minted id 0 IS the smallest part key — the
+    seed needs no vertex-map lookup. Unreached vertices are -1 on both
+    sides (the oracle's depth cap of 64 exceeds any plausible diameter
+    of this expander-ish bipartite graph; the engine iterates to the
+    exact fixpoint)."""
+    from distributed_pagerank_ray.pipelines.bfs import bfs_hops
+    from distributed_pagerank_ray.util import compact_for_join
+
+    g = _gate_graph(sf_dir, "lineitem", _g_edges(sf_dir), "bfsli")
+    res = bfs_hops(g, [0], directed=False)
+    joined = compact_for_join(res.dists(), 4).join(
+        compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table({"vertex": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())})
+        return pa.table({"vertex": t.column("key"), "dist": t.column("dist").cast(pa.int64())})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def _g_kcore2(sf_dir):
     """Three peel rounds toward the 2-core of the bipartite
     order↔part graph (fixed rounds so the unrolled SQL oracle matches
@@ -1549,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_kcore2_lineitem": _g_kcore2,
         "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
         "g_hits2_lineitem": _g_hits2,  # HITS hubs/authorities, SQL-checked
+        "g_bfs_parts": _g_bfs_parts,  # BSP hop distance vs recursive-CTE oracle
         # embeddings / sketches / engine-proof block (kept in the prefix)
         "e_knn": _e_knn,
         "e_knn_ivf": _e_knn_ivf,  # IVF full-probe == exact, SQL-checked
@@ -1961,6 +1991,20 @@ a2 AS (SELECT verts.v, COALESCE(a2r.x, 0) / (SELECT sum(x) FROM a2r) AS x
        FROM verts LEFT JOIN a2r ON a2r.v = verts.v)
 SELECT h2.v AS vertex, round(h2.x, 6) AS hub, round(a2.x, 6) AS auth
 FROM h2 JOIN a2 ON a2.v = h2.v
+""",
+        "g_bfs_parts": f"""
+WITH RECURSIVE e AS ({_EDGES_CTE}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+verts AS (SELECT DISTINCT src AS v FROM sym),
+seed AS (SELECT min(dst) AS v FROM e),
+r AS (
+  SELECT v, 0 AS d FROM seed
+  UNION
+  SELECT s.dst AS v, r.d + 1 AS d FROM r JOIN sym s ON s.src = r.v WHERE r.d < 64
+),
+reach AS (SELECT v, min(d) AS dist FROM r GROUP BY v)
+SELECT verts.v AS vertex, CAST(COALESCE(reach.dist, -1) AS BIGINT) AS dist
+FROM verts LEFT JOIN reach ON reach.v = verts.v
 """,
         "r_events_lag_cum": """
 SELECT event_id, user_id,

@@ -42,9 +42,12 @@ _OWN_SENTINEL = float(1 << 62)
 
 
 @ray.remote
-def _cc_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int):
+def _cc_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int, inc: float = 0.0):
     """Per-block min-label partials per dst shard (num_returns=S routes
-    each straight to its reduce task — same shape as PageRank gather)."""
+    each straight to its reduce task — same shape as PageRank gather).
+    ``inc`` is added to every gathered value before the min: 0 gives
+    min-label propagation (CC), 1 gives hop-distance relaxation (BFS —
+    pipelines/bfs.py reuses this kernel)."""
     import numpy as np
 
     src = block.column("src").to_numpy(zero_copy_only=False)
@@ -60,6 +63,8 @@ def _cc_gather_block(block, label_refs: list, n: int, shard_rows: int, S: int):
         else ray.get(label_refs[s0])
     )
     vals = labels[src - s0 * shard_rows]
+    if inc:
+        vals = vals + inc
     uniq, inv = np.unique(dst, return_inverse=True)
     mins = np.full(len(uniq), np.inf)
     np.minimum.at(mins, inv, vals)

@@ -74,3 +74,39 @@ def lpa_oracle(
             break
         labels = new
     return labels
+
+
+def bfs_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds: list[int],
+    n: int | None = None,
+    directed: bool = False,
+) -> np.ndarray:
+    """Hop distance from the seed set; -1 where unreached."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if n is None:
+        n = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1) if len(src) else 0
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        if a == b:
+            continue
+        adj[a].add(int(b))
+        if not directed:
+            adj[b].add(int(a))
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = sorted(set(int(s) for s in seeds))
+    for s in frontier:
+        dist[s] = 0
+    d = 0
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in adj[v]:
+                if dist[u] < 0:
+                    dist[u] = d + 1
+                    nxt.append(u)
+        frontier = nxt
+        d += 1
+    return dist
