@@ -511,6 +511,20 @@ def _t_ngram_dup_pairs(sf_dir):
     )
 
 
+def _t_decontam(sf_dir):
+    """Train/eval decontamination (GPT-3-style word-n-gram overlap):
+    deterministic 80/20 split on the doc-id hash, then every eval doc
+    sharing >= 1 word trigram with any train doc is returned with its
+    distinct shared-trigram count. Hash-space engine
+    (functions/decontam.py) vs a gram-STRING SQL oracle — the gate
+    also guards the 64-bit gram hashes against collisions."""
+    from distributed_pagerank_ray.functions.decontam import cross_split_contamination
+
+    return cross_split_contamination(
+        _docs(sf_dir), n=3, train_frac=0.8, num_partitions=8
+    )
+
+
 def _t_minhash_pairs(sf_dir):
     """MinHash+LSH-verified near-dup pairs. Self-gated in-query (the
     x_host_graph pattern): the verified pairs must be a SUBSET of the
@@ -1617,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_rep_stats": _t_rep_stats,
         "t_tfidf_top3": _t_tfidf_top3,
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,
+        "t_decontam": _t_decontam,  # cross-split n-gram contamination, SQL-checked
         "t_near_dedup_keep": _t_near_dedup_keep,
         "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
@@ -2211,6 +2226,21 @@ inter AS (
 SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.6
+""",
+        "t_decontam": f"""
+WITH {_WORD_GRAMS_CTE},
+split AS (
+  SELECT doc_id,
+         (((doc_id * 48271) % 100000007) * 48271) % 100000007 < 80000005 AS is_train
+  FROM documents
+),
+train_g AS (
+  SELECT DISTINCT g FROM grams JOIN split USING (doc_id) WHERE is_train
+)
+SELECT grams.doc_id, count(*) AS n_shared
+FROM grams JOIN split USING (doc_id) JOIN train_g USING (g)
+WHERE NOT is_train
+GROUP BY grams.doc_id
 """,
         "m_byte_meta": "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
         "e_dup_pairs": """

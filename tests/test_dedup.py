@@ -106,3 +106,66 @@ def test_simhash_hot_bucket_bound():
     few = [{"doc_id": i, "text": "spam " * 40} for i in range(3)]
     got2 = simhash_pairs(ray.data.from_items(few), max_hamming=0, max_bucket=None).take_all()
     assert {(r["a"], r["b"]) for r in got2} == {(0, 1), (0, 2), (1, 2)}
+
+
+# ---------------------------------------------------------------- decontam
+
+def test_cross_split_contamination_matches_brute_force():
+    """20 docs with engineered trigram overlap across the deterministic
+    80/20 split; engine output must equal a pure-Python recompute of
+    shared-distinct-trigram counts."""
+    from distributed_pagerank_ray.functions.decontam import cross_split_contamination
+    from distributed_pagerank_ray.functions.sampling import _MOD, _hash_ids
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = []
+    for i in range(20):
+        # rotating windows create controlled cross-doc trigram overlap
+        toks = [words[(i + j) % len(words)] for j in range(6)]
+        docs.append({"doc_id": i, "text": " ".join(toks)})
+    docs.append({"doc_id": 20, "text": ""})  # no grams → never contaminated
+
+    def grams(text):
+        t = text.split()
+        if not t:
+            return set()
+        if len(t) < 3:
+            return {" ".join(t)}
+        return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+
+    cut = int(0.8 * _MOD)
+    ids = np.arange(21, dtype=np.int64)
+    is_train = _hash_ids(_hash_ids(ids)) < cut
+    train_g = set().union(*(grams(d["text"]) for d, tr in zip(docs, is_train) if tr)) if is_train.any() else set()
+    want = {
+        d["doc_id"]: len(grams(d["text"]) & train_g)
+        for d, tr in zip(docs, is_train)
+        if not tr and len(grams(d["text"]) & train_g) > 0
+    }
+    assert want, "fixture must actually contain contamination"
+
+    out = cross_split_contamination(
+        ray.data.from_items(docs), n=3, train_frac=0.8, num_partitions=2, num_shards=2
+    ).take_all()
+    got = {r["doc_id"]: r["n_shared"] for r in out}
+    assert got == want
+
+
+def test_cross_split_contamination_max_df():
+    """max_df drops ubiquitous grams before matching: a gram present in
+    every doc stops counting, so contamination counts can only drop."""
+    from distributed_pagerank_ray.functions.decontam import cross_split_contamination
+
+    shared = "one two three"
+    docs = [{"doc_id": i, "text": f"{shared} filler{i} extra{i} pad{i}"} for i in range(12)]
+    exact = cross_split_contamination(
+        ray.data.from_items(docs), n=3, num_partitions=2, num_shards=2
+    ).take_all()
+    capped = cross_split_contamination(
+        ray.data.from_items(docs), n=3, num_partitions=2, num_shards=2, max_df=2
+    ).take_all()
+    e = {r["doc_id"]: r["n_shared"] for r in exact}
+    c = {r["doc_id"]: r["n_shared"] for r in capped}
+    assert set(c) <= set(e)
+    assert all(c[k] <= e[k] for k in c)
+    assert sum(c.values()) < sum(e.values())
