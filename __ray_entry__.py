@@ -1145,6 +1145,27 @@ def _g_bfs_parts(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _g_assortativity(sf_dir):
+    """Degree assortativity of the lineitem order→part graph: Pearson
+    correlation across edges between source out-degree and destination
+    in-degree (pipelines/metrics.py). Moment sums fold per batch; the
+    driver sees six floats. Pearson r is scale-invariant, so the SQL
+    twin is plain corr(x, y)."""
+    from distributed_pagerank_ray.pipelines.metrics import degree_assortativity
+
+    return degree_assortativity(_g_edges(sf_dir))
+
+
+def _g_clustering_parts(sf_dir):
+    """Global clustering coefficient C = 3·triangles / wedges on the
+    part co-occurrence graph (pipelines/metrics.py, reusing the
+    triangle engine + a count-BSP degree fold for W = Σ d(d−1)/2)."""
+    from distributed_pagerank_ray.pipelines.metrics import global_clustering
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+
+    return global_clustering(part_cooccurrence_edges(sf_dir))
+
+
 def _g_kcore2(sf_dir):
     """Three peel rounds toward the 2-core of the bipartite
     order↔part graph (fixed rounds so the unrolled SQL oracle matches
@@ -1593,6 +1614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
         "g_hits2_lineitem": _g_hits2,  # HITS hubs/authorities, SQL-checked
         "g_bfs_parts": _g_bfs_parts,  # BSP hop distance vs recursive-CTE oracle
+        "g_assortativity_lineitem": _g_assortativity,  # degree correlation, SQL-checked
+        "g_clustering_parts": _g_clustering_parts,  # 3T/W coefficient, SQL-checked
         # embeddings / sketches / engine-proof block (kept in the prefix)
         "e_knn": _e_knn,
         "e_knn_ivf": _e_knn_ivf,  # IVF full-probe == exact, SQL-checked
@@ -2020,6 +2043,32 @@ r AS (
 reach AS (SELECT v, min(d) AS dist FROM r GROUP BY v)
 SELECT verts.v AS vertex, CAST(COALESCE(reach.dist, -1) AS BIGINT) AS dist
 FROM verts LEFT JOIN reach ON reach.v = verts.v
+""",
+        "g_assortativity_lineitem": f"""
+WITH e AS ({_EDGES_CTE}),
+od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS y FROM e GROUP BY dst)
+SELECT count(*) AS m, round(corr(x, y), 6) AS assortativity
+FROM e JOIN od USING (src) JOIN idg USING (dst)
+""",
+        "g_clustering_parts": """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY v
+),
+w AS (SELECT sum(d * (d - 1) // 2) AS wedges FROM deg)
+SELECT t AS n_triangles, CAST(wedges AS BIGINT) AS n_wedges,
+       round(3.0 * t / wedges, 6) AS global_clustering
+FROM tri, w
 """,
         "r_events_lag_cum": """
 SELECT event_id, user_id,

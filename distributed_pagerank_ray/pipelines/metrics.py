@@ -1,0 +1,130 @@
+"""Whole-graph summary metrics: degree assortativity and the global
+clustering coefficient.
+
+Engine extensions beyond the reference's PageRank-only scope
+(lioia/distributed-pagerank, pkg/graph) — standard link-graph health
+metrics a web-corpus pipeline reports next to rank distributions.
+Both reduce to tiny scalar aggregates, so the scale story is the
+input-side plumbing:
+
+- assortativity: two count-BSP degree tables (no row-level groupby),
+  two Acero hash joins onto the edge stream, then per-batch moment
+  partials (n, Σx, Σy, Σxy, Σx², Σy²) folded by one multi-Sum
+  aggregate — the driver only ever sees six floats. Pearson r is
+  scale-invariant, so the population-moment formula matches SQL's
+  sample ``corr()`` exactly.
+- clustering: C = 3·triangles / wedges, with triangles from
+  pipelines/triangles.py (broadcast-CSR or join path) and wedges =
+  Σ d(d−1)/2 folded per degree-table batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..config import RunConfig
+from ..util import compact_for_join, count_i64_keys, ensure_schema
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
+
+def degree_assortativity(
+    edges: "ray.data.Dataset", num_partitions: int = 8, num_shards: int = 16
+) -> "ray.data.Dataset":
+    """One row: (m, assortativity) — Pearson correlation across edges
+    between the source's OUT-degree and the destination's IN-degree
+    (the out/in degree correlation; on a symmetrized table it is the
+    classic undirected assortativity). 6dp."""
+    P = num_partitions
+
+    def proj(col, out):
+        return edges.map_batches(
+            lambda t, c=col, o=out: pa.table({o: t.column(c)}), batch_format="pyarrow"
+        )
+
+    out_deg = count_i64_keys(proj("src", "s2"), "s2", num_shards=num_shards).map_batches(
+        lambda t: pa.table({"s2": t.column("s2"), "x": t.column("cnt")})
+        if "s2" in t.column_names
+        else pa.table({"s2": pa.array([], _I64), "x": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    in_deg = count_i64_keys(proj("dst", "d2"), "d2", num_shards=num_shards).map_batches(
+        lambda t: pa.table({"d2": t.column("d2"), "y": t.column("cnt")})
+        if "d2" in t.column_names
+        else pa.table({"d2": pa.array([], _I64), "y": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+
+    j = compact_for_join(edges, P).join(
+        compact_for_join(out_deg, P), join_type="inner", num_partitions=P,
+        on=("src",), right_on=("s2",),
+    )
+    j = compact_for_join(j, P).join(
+        compact_for_join(in_deg, P), join_type="inner", num_partitions=P,
+        on=("dst",), right_on=("d2",),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+        if "x" not in t.column_names or len(t) == 0:
+            return pa.table({c: pa.array([], _F64) for c in cols})
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = [float(len(x)), x.sum(), y.sum(), (x * y).sum(), (x * x).sum(), (y * y).sum()]
+        return pa.table({c: pa.array([v]) for c, v in zip(cols, vals)})
+
+    agg = j.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"), Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+    )
+    n, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    cov = agg["sxy"] - sx * sy / n
+    vx = agg["sxx"] - sx * sx / n
+    vy = agg["syy"] - sy * sy / n
+    r = cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+    return ray.data.from_items([{"m": int(n), "assortativity": round(r, 6)}])
+
+
+def global_clustering(
+    und_pairs: "ray.data.Dataset", run_cfg: RunConfig | None = None, num_shards: int = 16
+) -> "ray.data.Dataset":
+    """One row: (n_triangles, n_wedges, global_clustering) over a
+    CANONICAL undirected pair table (a < b, distinct, no self-loops —
+    ``triangles.canonical_undirected`` output). C = 3T / W with
+    W = Σ_v d(v)·(d(v)−1)/2; integers exact, ratio 6dp."""
+    from .triangles import triangle_count
+
+    edges = und_pairs.map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    tri = triangle_count(edges, run_cfg or RunConfig(num_partitions=8))
+
+    both = und_pairs.map_batches(
+        lambda t: pa.table({"v": t.column("a")}), batch_format="pyarrow"
+    ).union(
+        und_pairs.map_batches(lambda t: pa.table({"v": t.column("b")}), batch_format="pyarrow")
+    )
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        if "cnt" not in t.column_names or len(t) == 0:
+            return pa.table({"w": pa.array([], _I64)})
+        d = t.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())])})
+
+    wedges = int(
+        count_i64_keys(both, "v", num_shards=num_shards)
+        .map_batches(wedge_partial, batch_format="pyarrow")
+        .sum("w")
+    )
+    c = round(3.0 * tri / wedges, 6) if wedges else 0.0
+    return ray.data.from_items(
+        [{"n_triangles": int(tri), "n_wedges": wedges, "global_clustering": c}]
+    )
