@@ -187,8 +187,11 @@ def run_bench() -> dict:
 
             return ds.count() if isinstance(ds, rdm.Dataset) else len(ds)
 
+        # best of 2 like the headline: the host drifts ±2x over minutes,
+        # and these are capability numbers compared round-over-round
         t, _ = _timed(run)
-        queries[name] = round(t, 3)
+        t2, _ = _timed(run)
+        queries[name] = round(min(t, t2), 3)
 
     ray.shutdown()
     return result

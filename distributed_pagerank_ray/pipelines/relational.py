@@ -109,19 +109,48 @@ def q1_pricing(sf_dir: str) -> "ray.data.Dataset":
 
 # ---------------------------------------------------------------- q3 join+topk
 
-def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> "ray.data.Dataset":
+def _pack_order_dates_impl(*blocks: pa.Table):
+    """(sorted orderkeys, parallel epoch-us dates) built remotely from
+    the filtered-order dataset's block refs — the small-side-broadcast
+    shape (triangles._pack_degree_lookup): the driver holds only the
+    ObjectRef."""
+    blocks = [b for b in blocks if "o_orderkey" in b.column_names and len(b) > 0]
+    if not blocks:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    keys = np.concatenate([b.column("o_orderkey").to_numpy(zero_copy_only=False) for b in blocks])
+    dates = np.concatenate([b.column("o_orderdate").to_numpy(zero_copy_only=False) for b in blocks])
+    order = np.argsort(keys)
+    return keys[order], dates[order]
+
+
+_pack_order_dates = ray.remote(_pack_order_dates_impl)  # `import ray.data` binds `ray`
+
+
+def q3_top_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    k: int = 10,
+    broadcast_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
     """customer ⋈ orders ⋈ lineitem: top-k orders by revenue for one
-    market segment. Two hash joins + one groupby + deterministic
-    sort/limit (revenue desc, orderkey asc)."""
+    market segment.
+
+    The dimension side (segment customers ⋈ orders) is one hash join;
+    the FACT side is hybrid: when the filtered order set is small
+    (< ``broadcast_threshold`` rows) its (orderkey → orderdate) map is
+    packed sorted in a remote task and broadcast — the lineitem scan
+    does a per-batch searchsorted lookup, no fact shuffle at all —
+    else the original hash join runs (one segment of one TPC-H-scale
+    orders table can outgrow any single worker). Then one groupby +
+    deterministic sort/limit (revenue desc, orderkey asc)."""
     P = 8
+    from ..util import pack_sorted_keys, semi_join_filter
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment)).select(["c_custkey"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    cust = compact_for_join(cust, P)
-    orders = compact_for_join(orders, P)
-    co = orders.join(cust, join_type="inner", num_partitions=P, on=("o_custkey",), right_on=("c_custkey",))
 
     def _co(t: pa.Table) -> pa.Table:
         # o_orderdate carried as int64 epoch-us (Min aggregator + joins are
@@ -132,7 +161,18 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> "ray.d
             {"o_orderkey": t.column("o_orderkey"), "o_orderdate": t.column("o_orderdate").cast(_I64)}
         )
 
-    co = compact_for_join(co.map_batches(_co, batch_format="pyarrow"), P)
+    if cust.count() <= broadcast_threshold:
+        # dimension semi-filter: one-segment customer keys packed sorted in
+        # a remote task, orders filtered per batch — no dimension shuffle
+        cust_ref = pack_sorted_keys(cust, "c_custkey")
+        co = semi_join_filter(orders, "o_custkey", cust_ref)
+    else:
+        co = compact_for_join(orders, P).join(
+            compact_for_join(cust, P),
+            join_type="inner", num_partitions=P, on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+    co_mat = co.map_batches(_co, batch_format="pyarrow").materialize()
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         lambda t: pa.table(
@@ -145,20 +185,50 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> "ray.d
         ),
         batch_format="pyarrow",
     )
-    li = compact_for_join(li, P)
-    j = li.join(co, join_type="inner", num_partitions=P, on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def _j(t: pa.Table) -> pa.Table:
-        if "l_orderkey" not in t.column_names:
+    if co_mat.count() <= broadcast_threshold:
+        pack_ref = _pack_order_dates.remote(*co_mat.to_arrow_refs())
+
+        def lookup(t: pa.Table) -> pa.Table:
+            if "l_orderkey" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"o_orderkey": pa.array([], _I64), "o_orderdate": pa.array([], _I64), "rev": pa.array([], _F64)}
+                )
+            import ray
+
+            keys, dates = ray.get(pack_ref)
+            kk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys, kk)
+            idx_c = np.clip(idx, 0, max(len(keys) - 1, 0))
+            hit = (keys[idx_c] == kk) if len(keys) else np.zeros(len(kk), dtype=bool)
             return pa.table(
-                {"o_orderkey": pa.array([], _I64), "o_orderdate": pa.array([], _I64), "rev": pa.array([], _F64)}
+                {
+                    "o_orderkey": pa.array(kk[hit]),
+                    "o_orderdate": pa.array(dates[idx_c[hit]]),
+                    "rev": t.column("rev").filter(pa.array(hit)),
+                }
             )
-        return pa.table(
-            {"o_orderkey": t.column("l_orderkey"), "o_orderdate": t.column("o_orderdate"), "rev": t.column("rev")}
+
+        matched = li.map_batches(lookup, batch_format="pyarrow")
+    else:
+        j = compact_for_join(li, P).join(
+            compact_for_join(co_mat, P),
+            join_type="inner", num_partitions=P, on=("l_orderkey",), right_on=("o_orderkey",),
         )
 
+        def _j(t: pa.Table) -> pa.Table:
+            if "l_orderkey" not in t.column_names:
+                return pa.table(
+                    {"o_orderkey": pa.array([], _I64), "o_orderdate": pa.array([], _I64), "rev": pa.array([], _F64)}
+                )
+            return pa.table(
+                {"o_orderkey": t.column("l_orderkey"), "o_orderdate": t.column("o_orderdate"), "rev": t.column("rev")}
+            )
+
+        matched = j.map_batches(_j, batch_format="pyarrow")
+
     agg = (
-        j.map_batches(_j, batch_format="pyarrow")
+        matched
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"), Min("o_orderdate", alias_name="o_orderdate"))
     )

@@ -149,3 +149,16 @@ def test_interpolated_quantiles_vs_numpy():
         sub = vals[groups == g]
         exp = np.quantile(sub, (0.1, 0.5, 0.99))  # numpy default = linear interp
         np.testing.assert_allclose(got.loc[g].to_numpy(), exp, atol=1e-9)
+
+
+def test_q3_broadcast_equals_join_path():
+    """q3's hybrid fact-side must give identical rows on both paths:
+    broadcast (packed order-date lookup + customer semi-filter) and
+    the hash-join fallback (threshold forced to 0)."""
+    from distributed_pagerank_ray.pipelines.relational import q3_top_orders
+
+    sf = "/root/testdata/sf0.001"
+    a = q3_top_orders(sf, broadcast_threshold=5_000_000).take_all()
+    b = q3_top_orders(sf, broadcast_threshold=0).take_all()
+    assert a == b
+    assert len(a) == 10
