@@ -92,12 +92,12 @@ def _g_out_degree(sf_dir):
 
 
 def _g_in_degree_top20(sf_dir):
-    from distributed_pagerank_ray.util import count_i64_keys
+    from distributed_pagerank_ray.util import count_i64_keys, topk_rows
 
-    return (
-        count_i64_keys(_g_edges(sf_dir), "dst", count_col="in_degree")
-        .sort(["in_degree", "dst"], descending=[True, False])
-        .limit(20)
+    return topk_rows(
+        count_i64_keys(_g_edges(sf_dir), "dst", count_col="in_degree"),
+        [("in_degree", True), ("dst", False)],
+        20,
     )
 
 

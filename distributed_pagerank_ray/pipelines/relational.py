@@ -246,10 +246,13 @@ def q3_top_orders(
             }
         )
 
-    return (
-        agg.map_batches(fin, batch_format="pyarrow")
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(k)
+    # partial-top-k merge instead of a full-sort AllToAll (util.topk_rows)
+    from ..util import topk_rows
+
+    return topk_rows(
+        agg.map_batches(fin, batch_format="pyarrow"),
+        [("revenue", True), ("o_orderkey", False)],
+        k,
     )
 
 

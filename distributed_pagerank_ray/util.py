@@ -230,3 +230,49 @@ def ensure_schema(schema: dict[str, pa.DataType]):
         return pa.table(cols)
 
     return fn
+
+
+def topk_rows(ds, keys: "list[tuple[str, bool]]", k: int):
+    """Exact top-k rows by numeric sort keys WITHOUT the full-sort
+    shuffle: per-block vectorized partial top-k (each block needs only
+    its own best k), then one remote merge of the tiny partials —
+    #blocks × k rows through the object store instead of an AllToAll
+    sort of the whole dataset (each AllToAll costs seconds of fixed
+    startup here before moving a byte, and a full sort moves ALL of
+    them).
+
+    ``keys``: [(column, descending), ...] — numeric columns only
+    (ints/floats/timestamps-as-int); callers must include a unique
+    tiebreaker column for a deterministic result (the same contract a
+    sort-based top-k has). Returns a single-block Dataset.
+    """
+    import numpy as np
+
+    import ray
+    import ray.data
+
+    def _top_idx(t: pa.Table) -> "np.ndarray":
+        cols = []
+        for name, desc in reversed(keys):  # lexsort: last key is primary
+            v = t.column(name).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(v.dtype, np.number):
+                raise TypeError(f"topk_rows needs numeric keys; {name} is {v.dtype}")
+            cols.append(-v if desc else v)
+        return np.lexsort(cols)[:k]
+
+    def part(t: pa.Table) -> pa.Table:
+        if keys[0][0] not in t.column_names or len(t) == 0:
+            return t.slice(0, 0)
+        return t.take(pa.array(_top_idx(t)))
+
+    partials = ds.map_batches(part, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def merge(*blocks):
+        bl = [b for b in blocks if len(b) > 0 and keys[0][0] in b.column_names]
+        if not bl:  # all-empty input: keep whatever typed schema exists
+            return pa.concat_tables(list(blocks), promote_options="default")
+        t = pa.concat_tables(bl, promote_options="default")
+        return t.take(pa.array(_top_idx(t)))
+
+    return ray.data.from_arrow_refs([merge.remote(*partials.to_arrow_refs())])

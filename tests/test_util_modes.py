@@ -121,3 +121,32 @@ def test_sliding_window_slide_grid(tmp_path):
 
     with pytest.raises(ValueError):
         events_sliding(str(tmp_path), size_hours=3, slide_hours=2)
+
+
+def test_topk_rows_matches_full_sort():
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.util import topk_rows
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 50, 500)  # many ties -> tiebreaker must decide
+    ids = rng.permutation(500)
+    ds = ray.data.from_items(
+        [{"v": int(v), "id": int(i)} for v, i in zip(vals, ids)]
+    ).repartition(7)
+    got = topk_rows(ds, [("v", True), ("id", False)], 25).take_all()
+    want = (
+        ds.sort(["v", "id"], descending=[True, False]).limit(25).take_all()
+    )
+    assert got == want
+
+
+def test_topk_rows_k_exceeds_rows():
+    import ray.data
+
+    from distributed_pagerank_ray.util import topk_rows
+
+    ds = ray.data.from_items([{"v": i, "id": i} for i in range(5)])
+    got = topk_rows(ds, [("v", False), ("id", False)], 100).take_all()
+    assert [r["v"] for r in got] == [0, 1, 2, 3, 4]
