@@ -21,6 +21,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # --------------------------------------------------------------------------
@@ -1166,6 +1167,32 @@ def _g_clustering_parts(sf_dir):
     return global_clustering(part_cooccurrence_edges(sf_dir))
 
 
+def _g_sssp3_parts(sf_dir):
+    """Weighted shortest paths, 3 Bellman-Ford rounds, on the
+    UNDIRECTED lineitem MULTIGRAPH (every lineitem row is an edge
+    weighted by l_quantity — relaxation over parallel edges equals
+    relaxation over the min-weight simple edge, so neither side pays a
+    pair-dedup shuffle). Seed = the smallest part key. Sparse-frontier
+    join engine (pipelines/sssp.py) vs a 3-step unrolled-CTE oracle;
+    quantities are integer-valued so distances compare exactly."""
+    from distributed_pagerank_ray.pipelines.relational import _read
+    from distributed_pagerank_ray.pipelines.sssp import sssp_fixed
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    seed = int(li.min("l_partkey"))
+    edges = li.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.add(t.column("l_orderkey").cast(pa.int64()), 10_000_000),
+                "dst": t.column("l_partkey").cast(pa.int64()),
+                "w": t.column("l_quantity").cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return sssp_fixed(edges, [seed], iters=3, directed=False)
+
+
 def _g_kcore2(sf_dir):
     """Three peel rounds toward the 2-core of the bipartite
     order↔part graph (fixed rounds so the unrolled SQL oracle matches
@@ -1614,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
         "g_hits2_lineitem": _g_hits2,  # HITS hubs/authorities, SQL-checked
         "g_bfs_parts": _g_bfs_parts,  # BSP hop distance vs recursive-CTE oracle
+        "g_sssp3_parts": _g_sssp3_parts,  # weighted Bellman-Ford vs unrolled CTEs
         "g_assortativity_lineitem": _g_assortativity,  # degree correlation, SQL-checked
         "g_clustering_parts": _g_clustering_parts,  # 3T/W coefficient, SQL-checked
         # embeddings / sketches / engine-proof block (kept in the prefix)
@@ -2043,6 +2071,29 @@ r AS (
 reach AS (SELECT v, min(d) AS dist FROM r GROUP BY v)
 SELECT verts.v AS vertex, CAST(COALESCE(reach.dist, -1) AS BIGINT) AS dist
 FROM verts LEFT JOIN reach ON reach.v = verts.v
+""",
+        "g_sssp3_parts": """
+WITH ew AS (SELECT l_orderkey + 10000000 AS s, l_partkey AS d, l_quantity AS w FROM lineitem),
+sym AS (SELECT s, d, w FROM ew UNION ALL SELECT d, s, w FROM ew),
+verts AS (SELECT DISTINCT s AS v FROM sym),
+seed AS (SELECT min(l_partkey) AS v FROM lineitem),
+d0 AS (SELECT v, CASE WHEN v = (SELECT v FROM seed) THEN 0.0 ELSE 1e18 END AS x FROM verts),
+d1 AS (SELECT verts.v, LEAST(d0.x, COALESCE(r.m, 1e18)) AS x
+       FROM verts JOIN d0 ON d0.v = verts.v
+       LEFT JOIN (SELECT sym.d AS v, min(p.x + sym.w) AS m
+                  FROM sym JOIN d0 p ON p.v = sym.s WHERE p.x < 1e18 GROUP BY sym.d) r
+         ON r.v = verts.v),
+d2 AS (SELECT verts.v, LEAST(d1.x, COALESCE(r.m, 1e18)) AS x
+       FROM verts JOIN d1 ON d1.v = verts.v
+       LEFT JOIN (SELECT sym.d AS v, min(p.x + sym.w) AS m
+                  FROM sym JOIN d1 p ON p.v = sym.s WHERE p.x < 1e18 GROUP BY sym.d) r
+         ON r.v = verts.v),
+d3 AS (SELECT verts.v, LEAST(d2.x, COALESCE(r.m, 1e18)) AS x
+       FROM verts JOIN d2 ON d2.v = verts.v
+       LEFT JOIN (SELECT sym.d AS v, min(p.x + sym.w) AS m
+                  FROM sym JOIN d2 p ON p.v = sym.s WHERE p.x < 1e18 GROUP BY sym.d) r
+         ON r.v = verts.v)
+SELECT v AS vertex, CASE WHEN x >= 1e18 THEN -1.0 ELSE round(x, 4) END AS dist FROM d3
 """,
         "g_assortativity_lineitem": f"""
 WITH e AS ({_EDGES_CTE}),
