@@ -1618,6 +1618,102 @@ def _x_resumable_sink(sf_dir):
     )
 
 
+def _r_qty_price_corr(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import qty_price_corr
+
+    return qty_price_corr(sf_dir)
+
+
+def _r_top_user_by_type(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import top_user_by_type
+
+    return top_user_by_type(sf_dir)
+
+
+def _r_bloom_semi_join(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import urgent_revenue_bloom
+
+    return urgent_revenue_bloom(sf_dir)
+
+
+def _t_heavy_hitters(sf_dir):
+    """Distributed heavy hitters: exact corpus top-25 words via the
+    weighted count BSP + partial-top-k threshold, cross-checked by a
+    merged count-min sketch (cms_ok must be true — the SQL twin expects
+    it, so a broken exact path or broken sketch turns the cell red)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import top_k_words
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_k_words(ds, k=25)
+
+
+def _e_group_distinct(sf_dir):
+    """Grouped approximate distinct WITH a real oracle: exact
+    COUNT(DISTINCT user_id) per event_type (dict-encoded type + the
+    pair-distinct BSP — no row-level two-column groupby), and hll_ok =
+    per-group HLL estimate (sketches.approx_distinct_by) within ±5% of
+    the exact count for EVERY group."""
+    import ray
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sketches import approx_distinct_by
+    from distributed_pagerank_ray.util import distinct_i64_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    types = sorted(
+        {
+            r["event_type"]
+            for r in ds.map_batches(
+                lambda t: pa.table({"event_type": pa.compute.unique(t.column("event_type"))}),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+    )
+    code = {v: i for i, v in enumerate(types)}
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = np.array(
+            [code[v] for v in t.column("event_type").to_numpy(zero_copy_only=False)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"c": pa.array(c), "u": t.column("user_id").cast(pa.int64())}
+        )
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    try:
+        pairs = distinct_i64_pairs(packed, "c", "u").materialize()
+    except (ray.exceptions.RayTaskError, ValueError):
+        # ids beyond the pack bound: degrade to the hash groupby
+        pairs = packed.groupby(["c", "u"]).count().materialize()
+
+    def percode(t: pa.Table) -> pa.Table:
+        if "c" not in t.column_names or len(t) == 0:
+            return pa.table({"c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        cnt = np.bincount(
+            t.column("c").to_numpy(zero_copy_only=False), minlength=len(types)
+        ).astype(np.int64)
+        return pa.table(
+            {"c": pa.array(np.arange(len(types), dtype=np.int64)), "n": pa.array(cnt)}
+        )
+
+    parts = pairs.map_batches(percode, batch_format="pyarrow").to_pandas()
+    exact = parts.groupby("c")["n"].sum()
+    est = approx_distinct_by(ds, "event_type", "user_id")
+    rows = []
+    for v in types:
+        ex = int(exact.get(code[v], 0))
+        ok = abs(est.get(v, 0.0) - ex) <= 0.05 * max(ex, 1)
+        rows.append({"event_type": v, "n_users": ex, "hll_ok": bool(ok)})
+    import ray.data as rd
+
+    return rd.from_items(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness snapshot may record
     # only a PREFIX of this dict (round 2 recorded the first 50 of 60),
@@ -1686,7 +1782,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_near_dedup_keep": _t_near_dedup_keep,
         "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
-        # ---- entry 50 boundary: variants + pytest-covered rows-only ----
+        # round-3 operator families (each a new surface, SQL-checked)
+        "t_heavy_hitters": _t_heavy_hitters,  # weighted count BSP + CMS gate
+        "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
+        "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
+        "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
+        "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
+        # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
         "r_views_1h": _r_views_1h,  # range-count variant (temporal family gated by r_asof_view)
@@ -2381,5 +2483,37 @@ WITH q AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 10
+""",
+        "t_heavy_hitters": """
+WITH w AS (
+  SELECT parts[g.i] AS word
+  FROM (SELECT regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+)
+SELECT word, count(*) AS n, true AS cms_ok
+FROM w GROUP BY word ORDER BY n DESC, word LIMIT 25
+""",
+        "e_group_distinct": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS hll_ok "
+            "FROM events GROUP BY event_type"
+        ),
+        "r_qty_price_corr": (
+            "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) "
+            "AS corr_qty_price, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "r_bloom_semi_join": """
+SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+        "r_top_user_by_type": """
+SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id
+) WHERE rn = 1
 """,
     }

@@ -81,6 +81,187 @@ class HLL:
         return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array — cheap
+    deterministic int mixing (and a second independent hash for
+    Bloom/CMS double hashing: g_i = h + i*splitmix64(h))."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class BloomFilter:
+    """Plain Bloom filter over 64-bit key hashes, vectorized add /
+    contains via double hashing (Kirsch–Mitzenmacher: g_i = h1 + i·h2).
+    Used as a broadcast PREFILTER for semi joins whose key side is too
+    big for the exact sorted-array broadcast — false positives are
+    removed by an exact join on the survivors, so results stay exact;
+    the bloom only cuts the rows entering the shuffle."""
+
+    __slots__ = ("n_bits", "k", "bits")
+
+    def __init__(self, n_bits: int, k: int = 7, bits: np.ndarray | None = None):
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.bits = (
+            bits
+            if bits is not None
+            else np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+        )
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(len(h), k) bit positions."""
+        h1 = h.astype(np.uint64)
+        h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stride
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(self.n_bits)).astype(
+            np.int64
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "BloomFilter":
+        if len(h) == 0:
+            return self
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(self.bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership test → bool array (no false negatives)."""
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(h)
+        got = (self.bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return got.all(axis=1)
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): d rows × w
+    counters, mergeable by elementwise sum. Estimate = min over rows —
+    never undercounts, overcounts by ≤ εN w.h.p. (ε ≈ e/w). Row i's
+    hash = splitmix64 double-hash of the key hash."""
+
+    __slots__ = ("d", "w", "table")
+
+    def __init__(self, w: int = 4096, d: int = 4, table: np.ndarray | None = None):
+        self.w = int(w)
+        self.d = int(d)
+        self.table = (
+            table if table is not None else np.zeros((self.d, self.w), dtype=np.int64)
+        )
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        h1 = h.astype(np.uint64)
+        h2 = splitmix64(h1) | np.uint64(1)
+        i = np.arange(self.d, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
+        if len(h) == 0:
+            return self
+        c = (
+            np.ones(len(h), dtype=np.int64)
+            if counts is None
+            else counts.astype(np.int64)
+        )
+        cols = self._cols(h)
+        for r in range(self.d):  # d is 4-8: a fixed, tiny loop
+            np.add.at(self.table[r], cols[r], c)
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(h)
+        ests = np.stack([self.table[r][cols[r]] for r in range(self.d)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, w: int = 4096, d: int = 4) -> "CountMinSketch":
+        return cls(w, d, np.frombuffer(b, dtype=np.int64).reshape(d, w).copy())
+
+
+def approx_distinct_by(
+    ds: "ray.data.Dataset", key: str, col: str, p: int = 12
+) -> dict:
+    """Approximate COUNT(DISTINCT col) GROUP BY key → {key: estimate}.
+
+    Scale shape: each batch emits ONE (key, sketch) row per group key
+    present in it (a pandas groupby inside the batch — vectorized), a
+    repartition(8) tree-merges partials per partition, and the driver
+    merges ≤ 8×|keys| tiny rows. Assumes |distinct key| is small (an
+    enum-ish group column); the shuffle never moves row-level data,
+    only 2^p-byte registers."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        keys = (
+            pc.fill_null(pc.cast(batch.column(key), pa.string()), "None")
+            .to_numpy(zero_copy_only=False)
+        )
+        h = _hash64_ints_or_strs(batch.column(col))
+        out_k, out_s = [], []
+        for kv, idx in pd.Series(np.arange(len(keys))).groupby(keys).groups.items():
+            out_k.append(kv)
+            out_s.append(HLL(p).add_hashes(h[np.asarray(idx)]).to_bytes())
+        return pa.table(
+            {key: pa.array(out_k, pa.string()), "sketch": pa.array(out_s, pa.binary())}
+        )
+
+    def merge_partials(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key).to_numpy(zero_copy_only=False)
+        sk = batch.column("sketch").to_numpy(zero_copy_only=False)
+        acc: dict = {}
+        for kv, b in zip(ks, sk):
+            hl = HLL.from_bytes(b, p)
+            if kv in acc:
+                acc[kv].merge(hl)
+            else:
+                acc[kv] = hl
+        return pa.table(
+            {
+                key: pa.array(list(acc), pa.string()),
+                "sketch": pa.array([v.to_bytes() for v in acc.values()], pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(sketch, batch_format="pyarrow")
+    combined = partials.repartition(8).map_batches(
+        merge_partials, batch_format="pyarrow", batch_size=1 << 20
+    )
+    acc: dict = {}
+    for r in combined.take_all():
+        hl = HLL.from_bytes(r["sketch"], p)
+        if r[key] in acc:
+            acc[r[key]].merge(hl)
+        else:
+            acc[r[key]] = hl
+    return {k: v.estimate() for k, v in acc.items()}
+
+
+def _hash64_ints_or_strs(col: "pa.ChunkedArray") -> np.ndarray:
+    """64-bit hashes of an Arrow column: splitmix64 directly on integer
+    columns (no stringify), siphash on everything else."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type):
+        v = pc.fill_null(col, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        return splitmix64(v.view(np.uint64))
+    strs = pc.fill_null(pc.cast(col, pa.string()), "None").to_numpy(
+        zero_copy_only=False
+    )
+    return _hash64(strs)
+
+
 def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): one sketch row per batch, merged
     on the driver (sketches are tiny: 2^p bytes)."""

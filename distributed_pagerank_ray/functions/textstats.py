@@ -403,3 +403,118 @@ def winnow_fingerprint(text: str, k: int = 8, w: int = 16) -> int:
 def winnow_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = [winnow_fingerprint(t) for t in batch.column(text_col).to_pylist()]
     return batch.append_column("winnow_fp", pa.array(np.asarray(fps, dtype=np.int64)))
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+def top_k_words(ds: "object", k: int = 25, cms_w: int = 1 << 15, cms_d: int = 4):
+    """Corpus-wide top-k most frequent words (ties → word asc) with a
+    count-min-sketch cross-check — the distributed heavy-hitters shape:
+
+    1. ONE tokenize pass (the proven \\s+ doc_words split) emits
+       per-batch PRE-AGGREGATED (word, partial_count) rows — the
+       exchange is O(batch_vocab × batches), never O(tokens) — plus a
+       per-batch CMS partial (one 2^15×4 counter table per batch).
+    2. Exact counts: weighted count BSP over the siphashed word
+       (count_i64_keys(weight_col=...) — no row-level string groupby).
+    3. The k-th largest count is found from per-reducer-block top-k
+       partials (no full sort); every hash at/above the threshold is a
+       candidate (boundary ties included).
+    4. Candidate words are resolved from the small pre-aggregated rows
+       by a broadcast sorted-hash filter, then the driver sorts the
+       ≤ k + ties survivors (cnt desc, word asc) and cuts to k.
+    5. Self-gate: merged-CMS estimates must bound the exact counts from
+       above within εN (ε = e / cms_w) — a broken exact path or a
+       broken sketch flips ``cms_ok`` and the SQL twin turns red.
+
+    64-bit siphash collisions would merge two words' counts
+    (prob ≈ vocab² / 2^64 — negligible; documented, not silent).
+
+    Returns a pyarrow Table (word, n, cms_ok).
+    """
+    import ray
+
+    from ..util import count_i64_keys, semi_join_filter, topk_rows
+    from .dedup import hash_str_array
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        flat = parts.combine_chunks().flatten()
+        words = flat.to_numpy(zero_copy_only=False)
+        words = words[words != ""]
+        if len(words) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "h": pa.array([], pa.int64()),
+                    "pc_": pa.array([], pa.int64()),
+                    "cms": pa.array([], pa.binary()),
+                }
+            )
+        uniq, cnt = np.unique(words, return_counts=True)
+        h = hash_str_array(uniq.astype(object))
+        from .sketches import CountMinSketch
+
+        cms = CountMinSketch(cms_w, cms_d).add_hashes(h, cnt)
+        sk = [cms.to_bytes()] + [None] * (len(uniq) - 1)
+        return pa.table(
+            {
+                "word": pa.array(list(uniq), pa.string()),
+                "h": pa.array(h.view(np.int64)),
+                "pc_": pa.array(cnt.astype(np.int64)),
+                "cms": pa.array(sk, pa.binary()),
+            }
+        )
+
+    pre = ds.map_batches(partials, batch_format="pyarrow").materialize()
+
+    counts = count_i64_keys(
+        pre.select_columns(["h", "pc_"]), "h", count_col="n", weight_col="pc_"
+    )
+    top = topk_rows(counts, [("n", True), ("h", False)], k).to_pandas()
+    if len(top) == 0:
+        return pa.table(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "cms_ok": pa.array([], pa.bool_())}
+        )
+    thresh = int(top["n"].min())
+    cand = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), thresh)),
+        batch_format="pyarrow",
+    ).to_pandas()  # ≤ k + boundary ties rows
+
+    # resolve hash → word from the pre-aggregated rows (broadcast filter)
+    cand_hashes = np.sort(cand["h"].to_numpy())
+    resolved = (
+        semi_join_filter(pre.select_columns(["word", "h"]), "h", cand_hashes)
+        .to_pandas()
+        .drop_duplicates("h")
+    )
+    out = cand.merge(resolved, on="h").sort_values(
+        ["n", "word"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+    # merge CMS partials (driver: one 1 MiB table per batch, summed)
+    from .sketches import CountMinSketch
+
+    acc = CountMinSketch(cms_w, cms_d)
+    for row in pre.select_columns(["cms"]).iter_batches(
+        batch_size=1 << 10, batch_format="pyarrow"
+    ):
+        for b in row.column("cms").to_pylist():
+            if b is not None:
+                acc.merge(CountMinSketch.from_bytes(b, cms_w, cms_d))
+    total_n = int(acc.table[0].sum())
+    est = acc.estimate_hashes(out["h"].to_numpy().view(np.uint64))
+    exact = out["n"].to_numpy()
+    eps_n = max(5.0, np.e / cms_w * total_n)
+    ok = bool((est >= exact).all() and (est - exact <= eps_n).all())
+    return pa.table(
+        {
+            "word": pa.array(list(out["word"]), pa.string()),
+            "n": pa.array(exact.astype(np.int64)),
+            "cms_ok": pa.array([ok] * len(out), pa.bool_()),
+        }
+    )

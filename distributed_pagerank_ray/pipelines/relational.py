@@ -1224,3 +1224,246 @@ def org_edges(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
     )
     return nations.union(supps)
+
+
+def qty_price_corr(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group Pearson correlation corr(l_quantity, l_extendedprice)
+    BY l_returnflag — the mergeable-moments pattern done numerically
+    stably in two passes:
+
+    pass 1: grouped Mean/Count (one narrow aggregate);
+    pass 2: per-batch sums of products CENTERED on the pass-1 means
+            (broadcast as a plain dict captured by the batch fn), plus
+            first-order residual sums so the result is exact for ANY
+            centering constant:
+              Sxy = Σ(x-a)(y-b) - Sx·Sy/n,  Sxx = Σ(x-a)² - Sx²/n.
+
+    Centering kills the catastrophic cancellation of the naive
+    E[xy]-E[x]E[y] form (sums of raw products reach ~1e15 here), so the
+    6dp rounding matches DuckDB's streaming co-moment corr() exactly.
+    Partials are O(batches × groups) tiny rows — merged on the driver
+    like every sketch in this engine."""
+    from ray.data.aggregate import Mean
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    means = {
+        r["l_returnflag"]: (r["mx"], r["my"])
+        for r in ds.groupby("l_returnflag")
+        .aggregate(
+            Mean("l_quantity", alias_name="mx"),
+            Mean("l_extendedprice", alias_name="my"),
+        )
+        .take_all()
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "flag": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], _F64)
+                        for c in ("sxx", "syy", "sxy", "sx", "sy")
+                    },
+                    "n": pa.array([], _I64),
+                }
+            )
+        flags = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        a = np.array([means[f][0] for f in uniq])[inv]
+        b = np.array([means[f][1] for f in uniq])[inv]
+        cx, cy = x - a, y - b
+        k = len(uniq)
+        return pa.table(
+            {
+                "flag": pa.array(list(uniq), pa.string()),
+                "sxx": pa.array(np.bincount(inv, cx * cx, k)),
+                "syy": pa.array(np.bincount(inv, cy * cy, k)),
+                "sxy": pa.array(np.bincount(inv, cx * cy, k)),
+                "sx": pa.array(np.bincount(inv, cx, k)),
+                "sy": pa.array(np.bincount(inv, cy, k)),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("flag", sort=True).sum()
+    sxx = agg["sxx"] - agg["sx"] ** 2 / agg["n"]
+    syy = agg["syy"] - agg["sy"] ** 2 / agg["n"]
+    sxy = agg["sxy"] - agg["sx"] * agg["sy"] / agg["n"]
+    corr = (sxy / np.sqrt(sxx * syy)).round(6)
+    out = pa.table(
+        {
+            "l_returnflag": pa.array(list(agg.index), pa.string()),
+            "corr_qty_price": pa.array(corr.to_numpy(), _F64),
+            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def top_user_by_type(sf_dir: str) -> "ray.data.Dataset":
+    """Argmax per group: for each event_type, the user with the most
+    events (ties → min user_id). Scale shape: event_type is
+    dict-encoded against the (tiny, enum-ish) distinct-type list, the
+    (type, user) count runs as ONE packed-key count BSP
+    (code·2^32 + user_id — no row-level two-column groupby), each
+    reducer block emits its per-type leader, and the driver merges
+    S × |types| candidate rows. Falls back to a plain groupby when ids
+    exceed the packing bound."""
+    from ..util import count_i64_keys
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    types = sorted(
+        {
+            r["event_type"]
+            for r in ds.map_batches(
+                lambda t: pa.table(
+                    {"event_type": pc.unique(t.column("event_type"))}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+    )
+    code = {v: i for i, v in enumerate(types)}
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.min() < 0 or u.max() >= (1 << 32)):
+            raise ValueError("user_id outside packing bound [0, 2^32)")
+        c = np.array(
+            [code[v] for v in t.column("event_type").to_numpy(zero_copy_only=False)],
+            dtype=np.int64,
+        )
+        return pa.table({"k": pa.array((c << 32) + u)})
+
+    counts = count_i64_keys(ds.map_batches(pack, batch_format="pyarrow"), "k")
+
+    def leaders(t: pa.Table) -> pa.Table:
+        if "k" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], _I64),
+                    "user_id": pa.array([], _I64),
+                    "n": pa.array([], _I64),
+                }
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        n = t.column("cnt").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c": k >> 32, "user_id": k & 0xFFFFFFFF, "n": n})
+        df = df.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.drop_duplicates("c"), preserve_index=False)
+
+    cand = counts.map_batches(leaders, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+    best = cand.drop_duplicates("c").sort_values("c")
+    out = pa.table(
+        {
+            "event_type": pa.array([types[int(c)] for c in best["c"]], pa.string()),
+            "user_id": pa.array(best["user_id"].to_numpy().astype(np.int64)),
+            "n": pa.array(best["n"].to_numpy().astype(np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def urgent_revenue_bloom(sf_dir: str, bits_per_key: int = 14) -> "ray.data.Dataset":
+    """Semi-join aggregate with a BLOOM-prefiltered shuffle: revenue of
+    lineitems belonging to URGENT orders, by return flag.
+
+    Scale story (the `semi_join_filter` docstring's "a Bloom filter
+    swaps in for the exact set at larger key counts"): the urgent key
+    side is scanned with predicate pushdown, a Bloom filter over its
+    keys is BUILT IN A REMOTE TASK (driver holds only the ObjectRef)
+    and broadcast to a map_batches prefilter that drops non-matching
+    fact rows BEFORE the exact hash semi-join — so the all-to-all only
+    moves rows that (almost certainly) survive. False positives are
+    removed by the exact join; the result is exact, the bloom is purely
+    shuffle-volume reduction."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    from ..functions.sketches import BloomFilter, splitmix64
+
+    keys_ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        lambda t: pa.table({"o_orderkey": t.column("o_orderkey")}),
+        batch_format="pyarrow",
+    )
+    key_blocks = keys_ds.materialize()
+    n_keys = max(1, key_blocks.count())
+
+    @ray.remote
+    def build_bloom(*blocks):
+        bf = BloomFilter(n_bits=n_keys * bits_per_key, k=7)
+        for b in blocks:
+            v = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            bf.add_hashes(splitmix64(v.view(np.uint64)))
+        return bf.bits
+
+    bits_ref = build_bloom.remote(*key_blocks.to_arrow_refs())
+    n_bits = n_keys * bits_per_key
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bf = BloomFilter(n_bits=n_bits, k=7, bits=_ray.get(bits_ref))
+        v = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(bf.contains_hashes(splitmix64(v.view(np.uint64)))))
+
+    fact = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(prefilter, batch_format="pyarrow")
+
+    P = RunConfig().num_partitions
+    joined = compact_for_join(fact, P).join(
+        compact_for_join(key_blocks, P),
+        join_type="left_semi",
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=P,
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"l_returnflag": pa.array([], pa.string()), "r": pa.array([], _F64)}
+            )
+        r = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table({"l_returnflag": t.column("l_returnflag"), "r": r})
+
+    agg = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("r", alias_name="revenue"), Count(alias_name="n"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "revenue": pa.array([], _F64),
+                    "n": pa.array([], _I64),
+                }
+            )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "revenue": pa.array(
+                    np.round(t.column("revenue").to_numpy(zero_copy_only=False), 4)
+                ),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

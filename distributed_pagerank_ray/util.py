@@ -94,13 +94,20 @@ def distinct_i64_pairs(
     return ray.data.from_arrow_refs(refs)
 
 
-def _count_keys_block(t: pa.Table, col: str, S: int):
+def _count_keys_block(t: pa.Table, col: str, S: int, weight_col: str | None = None):
     """Gather body for count_i64_keys: per-block (key, count) partials
-    split per shard by multiplicative hash."""
+    split per shard by multiplicative hash. With ``weight_col``, counts
+    are SUMS of that int64 column instead of row counts (the combiner
+    shape for pre-aggregated (key, partial_count) inputs)."""
     if col not in t.column_names or len(t) == 0:
         return [None] * S
     v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-    u, c = np.unique(v, return_counts=True)
+    if weight_col is not None:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(v, return_inverse=True)
+        c = np.bincount(inv, weights=w.astype(np.float64), minlength=len(u)).astype(np.int64)
+    else:
+        u, c = np.unique(v, return_counts=True)
     with np.errstate(over="ignore"):
         shard = ((u.astype(np.uint64) * _HASH_K) >> np.uint64(33)).astype(np.int64) % S
     order = np.argsort(shard, kind="stable")
@@ -112,11 +119,20 @@ def _count_keys_block(t: pa.Table, col: str, S: int):
     return out
 
 
-def count_i64_keys(ds, col: str, num_shards: int = 16, count_col: str = "cnt"):
+def count_i64_keys(
+    ds,
+    col: str,
+    num_shards: int = 16,
+    count_col: str = "cnt",
+    weight_col: str | None = None,
+):
     """(key, count) per distinct int64 key — the per-shard BSP combine
     replacement for ``groupby(col).count()`` (partial counts per block,
     ``num_returns=S`` routing, merge-sum reducers). All values of one
-    key land in one reducer; size num_shards to the cluster."""
+    key land in one reducer; size num_shards to the cluster. With
+    ``weight_col`` this becomes grouped SUM(weight) — feed it per-batch
+    pre-aggregated (key, partial_count) rows to keep the exchange at
+    O(vocab × blocks) instead of O(rows)."""
     import ray
     import ray.data
 
@@ -135,7 +151,7 @@ def count_i64_keys(ds, col: str, num_shards: int = 16, count_col: str = "cnt"):
         tot = np.bincount(inv, weights=cnts.astype(np.float64), minlength=len(u)).astype(np.int64)
         return pa.table({col: pa.array(u), count_col: pa.array(tot)})
 
-    gathers = [gather.options(num_returns=S).remote(b, col, S) for b in blocks]
+    gathers = [gather.options(num_returns=S).remote(b, col, S, weight_col) for b in blocks]
     cols = [list(c) for c in zip(*gathers)]
     return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 

@@ -1,0 +1,197 @@
+"""Round-3 operator families: Bloom filter, count-min sketch, grouped
+HLL, heavy hitters, grouped Pearson corr, argmax-per-group, and the
+Bloom-prefiltered semi join — each vs a driver-side brute force."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from distributed_pagerank_ray.functions.sketches import (
+    BloomFilter,
+    CountMinSketch,
+    approx_distinct_by,
+    splitmix64,
+)
+from distributed_pagerank_ray.functions.textstats import top_k_words
+from distributed_pagerank_ray.pipelines.relational import (
+    qty_price_corr,
+    top_user_by_type,
+    urgent_revenue_bloom,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_splitmix64_deterministic_and_mixing():
+    v = np.arange(1000, dtype=np.uint64)
+    h1, h2 = splitmix64(v), splitmix64(v)
+    assert (h1 == h2).all()
+    assert len(np.unique(h1)) == 1000  # bijective on distinct inputs
+    # consecutive inputs land far apart (avalanche)
+    assert np.abs(np.diff(h1.astype(np.float64))).min() > 1e6
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 40, 30000).astype(np.uint64))
+    other = rng.integers(1 << 41, 1 << 42, 30000).astype(np.uint64)
+    bf = BloomFilter(n_bits=len(keys) * 14, k=7).add_hashes(splitmix64(keys))
+    assert bf.contains_hashes(splitmix64(keys)).all()
+    assert bf.contains_hashes(splitmix64(other)).mean() < 0.005
+    assert len(bf.contains_hashes(np.zeros(0, dtype=np.uint64))) == 0
+
+
+def test_cms_never_undercounts_and_merge_equals_single():
+    rng = np.random.default_rng(3)
+    items = rng.integers(0, 700, 80000).astype(np.uint64)
+    h = splitmix64(items)
+    one = CountMinSketch(w=8192, d=4).add_hashes(h)
+    merged = (
+        CountMinSketch(w=8192, d=4)
+        .add_hashes(h[:30000])
+        .merge(CountMinSketch(w=8192, d=4).add_hashes(h[30000:]))
+    )
+    assert (one.table == merged.table).all()
+    # round-trip
+    rt = CountMinSketch.from_bytes(one.to_bytes(), 8192, 4)
+    assert (rt.table == one.table).all()
+    uniq, cnt = np.unique(items, return_counts=True)
+    est = one.estimate_hashes(splitmix64(uniq))
+    assert (est >= cnt).all()
+    assert (est - cnt).max() <= np.e / 8192 * len(items) * 3
+
+
+def test_weighted_count_bsp_matches_unweighted():
+    from distributed_pagerank_ray.util import count_i64_keys
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 50, 5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+    plain = count_i64_keys(ds, "k").to_pandas().set_index("k")["cnt"]
+    # pre-aggregated (key, partial) rows: same totals via weight_col
+    pre = []
+    for chunk in np.array_split(keys, 16):
+        u, c = np.unique(chunk, return_counts=True)
+        pre.append(pa.table({"k": u, "w": c.astype(np.int64)}))
+    ds2 = ray.data.from_arrow(pre)
+    weighted = (
+        count_i64_keys(ds2, "k", weight_col="w").to_pandas().set_index("k")["cnt"]
+    )
+    assert plain.sort_index().equals(weighted.sort_index())
+
+
+def test_grouped_hll_accuracy():
+    rng = np.random.default_rng(5)
+    n = 40000
+    grp = rng.choice(["a", "b", "c"], n)
+    # distinct cardinalities differ by group
+    val = np.where(grp == "a", rng.integers(0, 500, n), rng.integers(0, 8000, n))
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(list(grp)), "v": pa.array(val.astype(np.int64))})
+    ).repartition(8)
+    est = approx_distinct_by(ds, "g", "v")
+    exact = pd.DataFrame({"g": grp, "v": val}).groupby("g")["v"].nunique()
+    for g in ["a", "b", "c"]:
+        assert abs(est[g] - exact[g]) <= 0.05 * exact[g], (g, est[g], exact[g])
+
+
+def test_top_k_words_matches_brute_force():
+    texts = (
+        ["alpha beta beta gamma"] * 10
+        + ["beta gamma\tgamma  delta"] * 7
+        + ["", "   ", None, "zeta alpha"]
+    )
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    got = top_k_words(ds, k=4).to_pandas()
+    allw = []
+    for t in texts:
+        allw += [w for w in (t or "").split() if w]
+    want = (
+        pd.Series(allw)
+        .value_counts()
+        .rename_axis("word")
+        .reset_index(name="n")
+        .sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(4)
+        .reset_index(drop=True)
+    )
+    assert list(got["word"]) == list(want["word"])
+    assert list(got["n"]) == list(want["n"])
+    assert got["cms_ok"].all()
+
+
+def test_top_k_words_empty_corpus():
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["", "  ", None], pa.string())}))
+    got = top_k_words(ds, k=5).to_pandas()
+    assert len(got) == 0
+
+
+def test_qty_price_corr_matches_duckdb():
+    got = qty_price_corr(SF).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+        f"count(*) AS n FROM '{SF}/lineitem.parquet' GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    assert list(got["l_returnflag"]) == list(want["l_returnflag"])
+    assert np.allclose(got["corr_qty_price"], want["corr_qty_price"], atol=1e-9)
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_top_user_by_type_matches_pandas():
+    got = top_user_by_type(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    cnt = ev.groupby(["event_type", "user_id"]).size().reset_index(name="n")
+    want = (
+        cnt.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+        .drop_duplicates("event_type")
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[["event_type", "user_id", "n"]].astype(got.dtypes.to_dict()))
+
+
+def test_bloom_semi_join_exact():
+    got = (
+        urgent_revenue_bloom(SF)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT l_returnflag, round(sum(l_extendedprice*(1-l_discount)), 4) AS revenue, "
+        f"count(*) AS n FROM '{SF}/lineitem.parquet' WHERE l_orderkey IN "
+        f"(SELECT o_orderkey FROM '{SF}/orders.parquet' WHERE o_orderpriority='1-URGENT') "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    assert list(got["l_returnflag"]) == list(want["l_returnflag"])
+    assert np.allclose(got["revenue"], want["revenue"], atol=1e-6)
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_bloom_prefilter_cuts_rows():
+    """The bloom stage must actually filter: with a tiny key side, the
+    prefiltered fact stream is a small fraction of the input."""
+    import pyarrow.dataset as pads
+
+    from distributed_pagerank_ray.functions.sketches import BloomFilter
+
+    keys = (
+        pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+        .query("o_orderpriority == '1-URGENT'")["o_orderkey"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    bf = BloomFilter(n_bits=len(keys) * 14, k=7).add_hashes(splitmix64(keys.view(np.uint64)))
+    fact = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])[
+        "l_orderkey"
+    ].to_numpy().astype(np.int64)
+    mask = bf.contains_hashes(splitmix64(fact.view(np.uint64)))
+    truth = np.isin(fact, keys)
+    assert (mask | ~truth).all()  # no false negatives
+    # false-positive rows ≤ 2% of the non-matching stream
+    fp = (mask & ~truth).sum() / max(1, (~truth).sum())
+    assert fp < 0.02
