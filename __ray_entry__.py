@@ -1714,6 +1714,15 @@ def _e_group_distinct(sf_dir):
     return rd.from_items(rows)
 
 
+def _t_word_entropy(sf_dir):
+    """Per-doc Shannon entropy of the word distribution (bits) — a
+    repetition/quality signal; docs with zero words emit no row (the
+    SQL twin joins the same tokenizer CTE)."""
+    from distributed_pagerank_ray.functions.textstats import word_entropy_batch
+
+    return _docs(sf_dir).map_batches(word_entropy_batch, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness snapshot may record
     # only a PREFIX of this dict (round 2 recorded the first 50 of 60),
@@ -1788,6 +1797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
+        "t_word_entropy": _t_word_entropy,  # per-doc word-distribution entropy
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2515,5 +2525,17 @@ SELECT event_type, user_id, n FROM (
          row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn
   FROM events GROUP BY event_type, user_id
 ) WHERE rn = 1
+""",
+        "t_word_entropy": """
+WITH w AS (
+  SELECT doc_id, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+tot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id)
+SELECT wc.doc_id, round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS word_entropy
+FROM wc JOIN tot USING (doc_id) GROUP BY wc.doc_id
 """,
     }

@@ -180,6 +180,9 @@ def run_bench() -> dict:
         "e_knn",
         "g_out_degree",
         "g_triangles_parts",
+        "t_heavy_hitters",
+        "r_bloom_semi_join",
+        "t_word_entropy",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

@@ -195,3 +195,27 @@ def test_bloom_prefilter_cuts_rows():
     # false-positive rows ≤ 2% of the non-matching stream
     fp = (mask & ~truth).sum() / max(1, (~truth).sum())
     assert fp < 0.02
+
+
+def test_word_entropy_matches_brute_force():
+    from distributed_pagerank_ray.functions.textstats import word_entropy_batch
+
+    texts = ["a a a a", "a b c d", "x x y", "", "  ", None, "solo"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    got = word_entropy_batch(t).to_pandas().set_index("doc_id")["word_entropy"]
+    import math
+
+    def ent(s):
+        ws = [w for w in (s or "").split() if w]
+        if not ws:
+            return None
+        n = len(ws)
+        return round(-sum((c / n) * math.log2(c / n) for c in pd.Series(ws).value_counts()), 6)
+
+    want = {i: ent(s) for i, s in enumerate(texts) if ent(s) is not None}
+    assert set(got.index) == set(want)
+    for i, v in want.items():
+        assert abs(got[i] - v) < 1e-9, (i, got[i], v)
+    assert got[0] == 0.0 and got[1] == 2.0
