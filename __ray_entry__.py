@@ -1714,6 +1714,36 @@ def _e_group_distinct(sf_dir):
     return rd.from_items(rows)
 
 
+def _g_harmonic_org(sf_dir):
+    """Harmonic centrality (Σ 1/d over all other vertices) on the org
+    graph — EXACT via all-landmarks matrix BFS on the per-shard BSP
+    engine (pipelines/centrality.py; landmark sampling is the
+    documented scale path), vs an unrolled shortest-path SQL oracle
+    (org diameter ≤ 4: supplier-nation-region-nation-supplier)."""
+    from distributed_pagerank_ray.pipelines.centrality import harmonic_centrality
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+    from distributed_pagerank_ray.util import compact_for_join
+
+    g = _gate_graph(sf_dir, "org", org_edges(sf_dir), "harmorg")
+    res = harmonic_centrality(g, directed=False)
+    joined = compact_for_join(res, 4).join(
+        compact_for_join(g.vertex_map(), 4),
+        join_type="inner",
+        num_partitions=4,
+        on=("id",),
+        right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table(
+                {"id": pa.array([], pa.int64()), "harmonic": pa.array([], pa.float64())}
+            )
+        return pa.table({"id": t.column("key"), "harmonic": t.column("harmonic")})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def _t_word_entropy(sf_dir):
     """Per-doc Shannon entropy of the word distribution (bits) — a
     repetition/quality signal; docs with zero words emit no row (the
@@ -1798,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
         "t_word_entropy": _t_word_entropy,  # per-doc word-distribution entropy
+        "g_harmonic_org": _g_harmonic_org,  # landmark-BFS harmonic centrality
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2537,5 +2568,23 @@ wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
 tot AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id)
 SELECT wc.doc_id, round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS word_entropy
 FROM wc JOIN tot USING (doc_id) GROUP BY wc.doc_id
+""",
+        "g_harmonic_org": """
+WITH e0 AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+p1 AS (SELECT src AS s, dst AS v, 1 AS d FROM sym),
+p2 AS (SELECT p1.s, sym.dst AS v, 2 AS d FROM p1 JOIN sym ON sym.src = p1.v),
+p3 AS (SELECT p2.s, sym.dst AS v, 3 AS d FROM p2 JOIN sym ON sym.src = p2.v),
+p4 AS (SELECT p3.s, sym.dst AS v, 4 AS d FROM p3 JOIN sym ON sym.src = p3.v),
+allp AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+),
+sp AS (SELECT s, v, min(d) AS d FROM allp WHERE s != v GROUP BY s, v)
+SELECT v AS id, round(sum(1.0 / d), 6) AS harmonic FROM sp GROUP BY v
 """,
     }
