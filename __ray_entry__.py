@@ -1744,6 +1744,12 @@ def _g_harmonic_org(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _r_orders_cube(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import orders_cube
+
+    return orders_cube(sf_dir)
+
+
 def _t_word_entropy(sf_dir):
     """Per-doc Shannon entropy of the word distribution (bits) — a
     repetition/quality signal; docs with zero words emit no row (the
@@ -1829,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
         "t_word_entropy": _t_word_entropy,  # per-doc word-distribution entropy
         "g_harmonic_org": _g_harmonic_org,  # landmark-BFS harmonic centrality
+        "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2586,5 +2593,11 @@ allp AS (
 ),
 sp AS (SELECT s, v, min(d) AS d FROM allp WHERE s != v GROUP BY s, v)
 SELECT v AS id, round(sum(1.0 / d), 6) AS harmonic FROM sp GROUP BY v
+""",
+        "r_orders_cube": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
     }

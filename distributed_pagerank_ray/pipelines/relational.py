@@ -378,6 +378,60 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     return fine.union(ray.data.from_arrow(coarse)).map_batches(fin, batch_format="pyarrow")
 
 
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """CUBE-style aggregation: all four grouping sets of
+    (priority, status) — (p,s), (p), (s), () — with 'ALL' sentinels
+    (same hash-safe stand-in as orders_rollup).
+
+    Scale shape identical to ROLLUP's: ONE grouped aggregate over the
+    fact table at the finest level; every coarser grouping set
+    re-aggregates that tiny result on the driver (|p|×|s| rows) — the
+    input is scanned exactly once however many grouping sets CUBE
+    expands to."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    fine = (
+        ds.groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .map_batches(
+            ensure_schema(
+                {
+                    "o_orderpriority": pa.string(),
+                    "o_orderstatus": pa.string(),
+                    "n_orders": _I64,
+                    "revenue": _F64,
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    fdf = fine.to_pandas()
+    levels = [fdf]
+    for keep in (["o_orderpriority"], ["o_orderstatus"], []):
+        agg = (
+            fdf.groupby(keep, as_index=False)[["n_orders", "revenue"]].sum()
+            if keep
+            else pd.DataFrame(
+                {"n_orders": [fdf["n_orders"].sum()], "revenue": [fdf["revenue"].sum()]}
+            )
+        )
+        for c in ("o_orderpriority", "o_orderstatus"):
+            if c not in keep:
+                agg[c] = "ALL"
+        levels.append(agg)
+    out = pd.concat(levels, ignore_index=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array(list(out["o_orderpriority"]), pa.string()),
+                "o_orderstatus": pa.array(list(out["o_orderstatus"]), pa.string()),
+                "n_orders": pa.array(out["n_orders"].to_numpy().astype(np.int64)),
+                "revenue": pa.array(_round4(out["revenue"].to_numpy().astype(np.float64))),
+            }
+        )
+    )
+
+
 def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.data.Dataset":
     """INTERSECT: part keys shipped in BOTH years — two filtered
     distinct key sets (count BSP) intersected by a vectorized

@@ -219,3 +219,55 @@ def test_word_entropy_matches_brute_force():
     for i, v in want.items():
         assert abs(got[i] - v) < 1e-9, (i, got[i], v)
     assert got[0] == 0.0 and got[1] == 2.0
+
+
+def test_orders_cube_matches_duckdb():
+    from distributed_pagerank_ray.pipelines.relational import orders_cube
+
+    got = (
+        orders_cube(SF)
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT coalesce(o_orderpriority,'ALL') AS o_orderpriority, "
+            "coalesce(o_orderstatus,'ALL') AS o_orderstatus, count(*) AS n_orders, "
+            f"round(sum(o_totalprice),4) AS revenue FROM '{SF}/orders.parquet' "
+            "GROUP BY CUBE (o_orderpriority, o_orderstatus)"
+        )
+        .df()
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["o_orderstatus"]) == list(want["o_orderstatus"])
+    assert list(got["n_orders"]) == list(want["n_orders"])
+    assert np.allclose(got["revenue"], want["revenue"], atol=1e-4)
+
+
+def test_count_bsp_skew_safe():
+    """A 99%-hot key must not melt a reducer: per-block pre-aggregation
+    bounds any reducer's input at O(blocks) partials per key, so the
+    BSP count finishes fast and exactly even under extreme skew."""
+    import time
+
+    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs
+
+    n = 500_000
+    keys = np.zeros(n, dtype=np.int64)  # hot key 0
+    keys[: n // 100] = np.arange(n // 100)  # 1% long tail
+    ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(16)
+    t0 = time.time()
+    got = count_i64_keys(ds, "k").to_pandas().set_index("k")["cnt"]
+    dt = time.time() - t0
+    assert got[0] == n - n // 100 + 1
+    assert got.sum() == n
+    assert dt < 30, f"skewed count took {dt:.1f}s"
+    # pair-distinct under skew: one hot src against many dsts
+    src = np.zeros(n, dtype=np.int64)
+    dst = np.arange(n, dtype=np.int64) % 1000
+    ds2 = ray.data.from_arrow(pa.table({"a": src, "b": dst})).repartition(16)
+    pairs = distinct_i64_pairs(ds2, "a", "b").to_pandas()
+    assert len(pairs) == 1000
