@@ -1744,6 +1744,15 @@ def _g_harmonic_org(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _t_surprisal(sf_dir):
+    """Per-doc mean unigram surprisal (corpus-statistics quality
+    signal): one tokenize pass, weighted count BSP for corpus word
+    frequencies, int64 hash join back, per-doc pre-aggregated mean."""
+    from distributed_pagerank_ray.functions.textstats import unigram_surprisal
+
+    return unigram_surprisal(_docs(sf_dir))
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -1836,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_word_entropy": _t_word_entropy,  # per-doc word-distribution entropy
         "g_harmonic_org": _g_harmonic_org,  # landmark-BFS harmonic centrality
         "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
+        "t_surprisal": _t_surprisal,  # corpus unigram surprisal per doc
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2599,5 +2609,18 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
        count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+        "t_surprisal": """
+WITH w AS (
+  SELECT doc_id, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+tot AS (SELECT count(*) AS nn FROM w)
+SELECT w.doc_id,
+       round(avg(-log2(cnt.n * 1.0 / (SELECT nn FROM tot))), 6) AS surprisal
+FROM w JOIN cnt USING (word) GROUP BY w.doc_id
 """,
     }

@@ -551,3 +551,120 @@ def word_entropy_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "word_entropy": pa.array(np.round(ent.to_numpy(), 6)),
         }
     )
+
+
+def unigram_surprisal(ds: "object", num_partitions: int = 8):
+    """Per-document mean unigram surprisal (bits/word): for each word
+    occurrence w, -log2(count(w)/N) with counts/N over the WHOLE
+    corpus; averaged per doc. Low = stereotyped/common text, high =
+    rare-token-heavy — the corpus-statistics quality signal a training
+    pipeline uses alongside entropy/repetition.
+
+    Scale shape (one tokenize pass):
+    1. explode docs → (doc_id, word_hash) rows (strings dropped at the
+       batch boundary — only 8-byte hashes shuffle);
+    2. corpus counts = per-batch pre-aggregated partials → the weighted
+       count BSP (O(vocab × blocks) exchange, never O(tokens));
+    3. one int64-keyed hash join (word rows ⋈ counts) — Acero;
+    4. per-doc sums pre-aggregated per batch, then one small grouped
+       sum over the (docs × blocks)-bounded partials.
+
+    Deterministic; 64-bit siphash collisions would merge two words'
+    counts (prob ≈ vocab²/2^64 — documented, negligible; the SQL twin
+    compares by word STRING so a collision would turn the gate red
+    rather than pass silently).
+
+    Returns a Dataset (doc_id, surprisal) — docs with no words emit no
+    row (mirrored by the oracle)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import compact_for_join, count_i64_keys
+    from .dedup import hash_str_array
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lengths)
+        keep = flat != ""
+        words = flat[keep]
+        h = hash_str_array(words) if len(words) else np.zeros(0, dtype=np.uint64)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[keep]), "h": pa.array(h.view(np.int64))}
+        )
+
+    words = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def pre(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("h").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"h": pa.array(u), "pc_": pa.array(c.astype(np.int64))})
+
+    counts = count_i64_keys(
+        words.map_batches(pre, batch_format="pyarrow"), "h", count_col="n", weight_col="pc_"
+    ).materialize()
+    total_n = int(
+        counts.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([int(t.column("n").to_numpy(zero_copy_only=False).sum())])}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+        or 0
+    )
+    if total_n == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "surprisal": pa.array([], pa.float64())})
+        )
+
+    joined = compact_for_join(words, num_partitions).join(
+        compact_for_join(counts, num_partitions),
+        join_type="inner",
+        on=("h",),
+        right_on=("h",),
+        num_partitions=num_partitions,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nw": pa.array([], pa.int64()),
+                }
+            )
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = -np.log2(n / total_n)
+        u, inv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u),
+                "s": pa.array(np.bincount(inv, s, len(u))),
+                "nw": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("nw", alias_name="nw"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "surprisal": pa.array([], pa.float64())}
+            )
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        nw = t.column("nw").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "surprisal": pa.array(np.round(s / nw, 6)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

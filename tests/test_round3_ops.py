@@ -271,3 +271,34 @@ def test_count_bsp_skew_safe():
     ds2 = ray.data.from_arrow(pa.table({"a": src, "b": dst})).repartition(16)
     pairs = distinct_i64_pairs(ds2, "a", "b").to_pandas()
     assert len(pairs) == 1000
+
+
+def test_unigram_surprisal_matches_brute_force():
+    from distributed_pagerank_ray.functions.textstats import unigram_surprisal
+
+    texts = ["a a b", "b c", "a", "", None, "d d d d"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = unigram_surprisal(ds).to_pandas().set_index("doc_id")["surprisal"]
+    allw = [w for s in texts for w in (s or "").split() if w]
+    n_total = len(allw)
+    cnt = pd.Series(allw).value_counts()
+    import math
+
+    want = {}
+    for i, s in enumerate(texts):
+        ws = [w for w in (s or "").split() if w]
+        if ws:
+            want[i] = round(sum(-math.log2(cnt[w] / n_total) for w in ws) / len(ws), 6)
+    assert set(got.index) == set(want)
+    for i, v in want.items():
+        assert abs(got[i] - v) < 1e-9, (i, got[i], v)
+
+
+def test_unigram_surprisal_empty_corpus():
+    from distributed_pagerank_ray.functions.textstats import unigram_surprisal
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["", None], pa.string())})
+    assert len(unigram_surprisal(ray.data.from_arrow(t)).to_pandas()) == 0
