@@ -1676,10 +1676,11 @@ def _e_group_distinct(sf_dir):
     code = {v: i for i, v in enumerate(types)}
 
     def pack(t: pa.Table) -> pa.Table:
-        c = np.array(
-            [code[v] for v in t.column("event_type").to_numpy(zero_copy_only=False)],
-            dtype=np.int64,
-        )
+        import pandas as pd
+
+        c = pd.Categorical(
+            t.column("event_type").to_numpy(zero_copy_only=False), categories=types
+        ).codes.astype(np.int64)
         return pa.table(
             {"c": pa.array(c), "u": t.column("user_id").cast(pa.int64())}
         )

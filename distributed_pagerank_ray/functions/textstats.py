@@ -499,13 +499,25 @@ def top_k_words(ds: "object", k: int = 25, cms_w: int = 1 << 15, cms_d: int = 4)
     # merge CMS partials (driver: one 1 MiB table per batch, summed)
     from .sketches import CountMinSketch
 
+    # merge CMS partials REMOTELY (one per-block merge stage → ≤ 1 row
+    # per block reaches the driver; at web scale the pre rows are
+    # vocab × blocks and a driver-side scan over them would be the
+    # slowest stage of the query)
+    def merge_cms(t: pa.Table) -> pa.Table:
+        part = None
+        for b in t.column("cms").drop_null().to_pylist():
+            c = CountMinSketch.from_bytes(b, cms_w, cms_d)
+            part = c if part is None else part.merge(c)
+        sk = [] if part is None else [part.to_bytes()]
+        return pa.table({"cms": pa.array(sk, pa.binary())})
+
     acc = CountMinSketch(cms_w, cms_d)
-    for row in pre.select_columns(["cms"]).iter_batches(
-        batch_size=1 << 10, batch_format="pyarrow"
+    for row in (
+        pre.select_columns(["cms"])
+        .map_batches(merge_cms, batch_format="pyarrow", batch_size=1 << 16)
+        .take_all()
     ):
-        for b in row.column("cms").to_pylist():
-            if b is not None:
-                acc.merge(CountMinSketch.from_bytes(b, cms_w, cms_d))
+        acc.merge(CountMinSketch.from_bytes(row["cms"], cms_w, cms_d))
     total_n = int(acc.table[0].sum())
     est = acc.estimate_hashes(out["h"].to_numpy().view(np.uint64))
     exact = out["n"].to_numpy()

@@ -1381,16 +1381,15 @@ def top_user_by_type(sf_dir: str) -> "ray.data.Dataset":
             ).take_all()
         }
     )
-    code = {v: i for i, v in enumerate(types)}
-
     def pack(t: pa.Table) -> pa.Table:
         u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if len(u) and (u.min() < 0 or u.max() >= (1 << 32)):
             raise ValueError("user_id outside packing bound [0, 2^32)")
-        c = np.array(
-            [code[v] for v in t.column("event_type").to_numpy(zero_copy_only=False)],
-            dtype=np.int64,
-        )
+        # C-level dictionary encode against the fixed type list — no
+        # per-row Python dict lookups in the hot path
+        c = pd.Categorical(
+            t.column("event_type").to_numpy(zero_copy_only=False), categories=types
+        ).codes.astype(np.int64)
         return pa.table({"k": pa.array((c << 32) + u)})
 
     counts = count_i64_keys(ds.map_batches(pack, batch_format="pyarrow"), "k")
@@ -1453,16 +1452,30 @@ def urgent_revenue_bloom(sf_dir: str, bits_per_key: int = 14) -> "ray.data.Datas
     key_blocks = keys_ds.materialize()
     n_keys = max(1, key_blocks.count())
 
+    n_bits = n_keys * bits_per_key
+
     @ray.remote
-    def build_bloom(*blocks):
-        bf = BloomFilter(n_bits=n_keys * bits_per_key, k=7)
-        for b in blocks:
-            v = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-            bf.add_hashes(splitmix64(v.view(np.uint64)))
+    def bloom_block(b):
+        bf = BloomFilter(n_bits=n_bits, k=7)
+        v = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bf.add_hashes(splitmix64(v.view(np.uint64)))
         return bf.bits
 
-    bits_ref = build_bloom.remote(*key_blocks.to_arrow_refs())
-    n_bits = n_keys * bits_per_key
+    @ray.remote
+    def or_merge(*parts):
+        out = parts[0].copy()
+        for p in parts[1:]:
+            np.bitwise_or(out, p, out=out)
+        return out
+
+    # parallel per-block builds, tree OR-merge (never serial over the
+    # whole key side; the bitmap itself bounds at n_keys·bits/8 bytes —
+    # beyond ~10^8 keys partition the join instead of growing the bloom)
+    from ..util import tree_combine_refs
+
+    partials = [bloom_block.remote(b) for b in key_blocks.to_arrow_refs()]
+    partials = tree_combine_refs(partials, or_merge, 8)
+    bits_ref = partials[0] if len(partials) == 1 else or_merge.remote(*partials)
 
     def prefilter(t: pa.Table) -> pa.Table:
         import ray as _ray
