@@ -1754,6 +1754,16 @@ def _t_surprisal(sf_dir):
     return unigram_surprisal(_docs(sf_dir))
 
 
+def _t_prune_words(sf_dir):
+    """C4/CCNet-style vocabulary pruning: rewrite each doc dropping
+    every word whose document frequency exceeds 40% of the corpus
+    (df counts via distinct-per-doc partials + weighted count BSP; hot
+    set broadcast; Arrow binary_join reassembly)."""
+    from distributed_pagerank_ray.functions.textstats import prune_frequent_words
+
+    return prune_frequent_words(_docs(sf_dir), max_df_frac=0.4)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -1847,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_harmonic_org": _g_harmonic_org,  # landmark-BFS harmonic centrality
         "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
         "t_surprisal": _t_surprisal,  # corpus unigram surprisal per doc
+        "t_prune_words": _t_prune_words,  # df-thresholded vocabulary pruning rewrite
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2623,5 +2634,19 @@ tot AS (SELECT count(*) AS nn FROM w)
 SELECT w.doc_id,
        round(avg(-log2(cnt.n * 1.0 / (SELECT nn FROM tot))), 6) AS surprisal
 FROM w JOIN cnt USING (word) GROUP BY w.doc_id
+""",
+        "t_prune_words": """
+WITH w AS (
+  SELECT doc_id, g.i AS word_no, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+hot AS (SELECT word FROM df WHERE df > 0.4 * (SELECT count(*) FROM documents)),
+kept AS (SELECT doc_id, word_no, word FROM w WHERE word NOT IN (SELECT word FROM hot))
+SELECT d.doc_id, coalesce(string_agg(kept.word, ' ' ORDER BY kept.word_no), '') AS text_pruned
+FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
+GROUP BY d.doc_id
 """,
     }

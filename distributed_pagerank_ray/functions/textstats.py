@@ -680,3 +680,87 @@ def unigram_surprisal(ds: "object", num_partitions: int = 8):
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
+    """Vocabulary-pruned text rewrite: drop every word whose DOCUMENT
+    FREQUENCY exceeds ``max_df_frac`` of the corpus (the C4/CCNet-style
+    stopword/boilerplate pruning step), rebuilding each document's text
+    from the surviving words in order.
+
+    Scale shape:
+    1. df counts: each doc lives in one row, so per-batch DISTINCT
+       (doc, word-hash) partials are globally exact; a weighted count
+       BSP sums them — O(vocab × blocks) exchange;
+    2. the hot set (df > threshold) is by construction SMALL (words
+       frequent across documents — stopwords/boilerplate) and
+       broadcasts as one sorted hash array;
+    3. one rewrite pass: explode, drop hot words with a searchsorted
+       mask, reassemble per doc via Arrow ``binary_join`` on a rebuilt
+       ListArray — no per-row Python string joins.
+
+    Returns (doc_id, text_pruned) for EVERY doc ('' when everything was
+    pruned or the doc was empty)."""
+    import ray
+    import ray.data
+
+    from ..util import count_i64_keys
+    from .dedup import hash_str_array
+
+    n_docs = ds.count()
+    thresh = max_df_frac * n_docs
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        keep = flat != ""
+        words, doc_idx = flat[keep], doc_idx[keep]
+        if len(words) == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "pc_": pa.array([], pa.int64())})
+        h = hash_str_array(words).view(np.int64)
+        pairs = np.unique(np.stack([doc_idx, h]), axis=1)  # distinct per doc
+        u, c = np.unique(pairs[1], return_counts=True)
+        return pa.table({"h": pa.array(u), "pc_": pa.array(c.astype(np.int64))})
+
+    df = count_i64_keys(
+        ds.map_batches(df_partial, batch_format="pyarrow"), "h", count_col="df", weight_col="pc_"
+    )
+    hot = df.map_batches(
+        lambda t: t.filter(pc.greater(t.column("df"), thresh)).select(["h"]),
+        batch_format="pyarrow",
+    )
+    hot_arr = np.sort(
+        np.concatenate(
+            [b.column("h").to_numpy(zero_copy_only=False) for b in hot.iter_batches(batch_format="pyarrow")]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    hot_ref = ray.put(hot_arr)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        keep = flat != ""
+        if keep.any() and len(hs):
+            h = np.zeros(len(flat), dtype=np.int64)
+            h[keep] = hash_str_array(flat[keep]).view(np.int64)
+            pos = np.searchsorted(hs, h)
+            pos[pos >= len(hs)] = len(hs) - 1
+            keep &= ~(hs[pos] == h)
+        words, doc_idx = flat[keep], doc_idx[keep]
+        # rebuild one ListArray of kept words per doc → vectorized join
+        counts = np.bincount(doc_idx, minlength=len(t))
+        offsets = np.zeros(len(t) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets), pa.array(words, pa.string()))
+        joined = pc.binary_join(la, " ")
+        return pa.table({"doc_id": t.column("doc_id"), "text_pruned": joined})
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

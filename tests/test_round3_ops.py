@@ -302,3 +302,33 @@ def test_unigram_surprisal_empty_corpus():
 
     t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["", None], pa.string())})
     assert len(unigram_surprisal(ray.data.from_arrow(t)).to_pandas()) == 0
+
+
+def test_prune_frequent_words_matches_brute_force():
+    from distributed_pagerank_ray.functions.textstats import prune_frequent_words
+
+    texts = ["a b c", "a d", "a b e", "", None, "f f a"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    # df: a=4 docs, b=2, f=1 ... threshold 0.5*6=3 → only 'a' pruned
+    got = (
+        prune_frequent_words(ds, max_df_frac=0.5)
+        .to_pandas()
+        .set_index("doc_id")["text_pruned"]
+    )
+    want = {0: "b c", 1: "d", 2: "b e", 3: "", 4: "", 5: "f f"}
+    assert dict(got) == want
+
+
+def test_prune_frequent_words_verifies_actual_pruning():
+    """The sf gate would pass even with a never-firing threshold; this
+    asserts the hot set is non-empty on the real sf0.001 documents."""
+    from distributed_pagerank_ray.functions.textstats import prune_frequent_words
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = prune_frequent_words(docs, max_df_frac=0.4).to_pandas()
+    orig = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    merged = got.merge(orig, on="doc_id")
+    assert (merged["text_pruned"].str.len() < merged["text"].fillna("").str.len()).any()
