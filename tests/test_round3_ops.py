@@ -332,3 +332,17 @@ def test_prune_frequent_words_verifies_actual_pruning():
     orig = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     merged = got.merge(orig, on="doc_id")
     assert (merged["text_pruned"].str.len() < merged["text"].fillna("").str.len()).any()
+
+
+def test_unigram_surprisal_join_path_equals_broadcast_path():
+    from distributed_pagerank_ray.functions.textstats import unigram_surprisal
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = unigram_surprisal(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        unigram_surprisal(docs, broadcast_vocab=0)  # force the join path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
