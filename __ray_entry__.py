@@ -1764,6 +1764,48 @@ def _t_prune_words(sf_dir):
     return prune_frequent_words(_docs(sf_dir), max_df_frac=0.4)
 
 
+def _t_corpus_prep(sf_dir):
+    """The composed training-corpus preparation pipeline, end to end in
+    ONE lazy Dataset chain: language filter (en) → quality filter
+    (≥100 chars, punct ≤10%) → exact dedup keep-min → deterministic
+    90/5/5 split. Every stage is an already-gated operator; this query
+    gates their COMPOSITION against one SQL oracle."""
+    import pyarrow.compute as pc
+
+    from distributed_pagerank_ray.functions.dedup import exact_dedup_groups
+    from distributed_pagerank_ray.functions.sampling import deterministic_split
+    from distributed_pagerank_ray.functions.textstats import quality_batch
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        keep = pc.and_(
+            pc.equal(pc.fill_null(q.column("lang"), ""), "en"),
+            pc.and_(
+                pc.greater_equal(q.column("n_chars_utf8"), 100),
+                pc.less_equal(
+                    pc.multiply(q.column("n_punct"), pa.scalar(10)),
+                    q.column("n_chars_utf8"),
+                ),
+            ),
+        )
+        q = q.filter(keep)
+        return pa.table({"doc_id": q.column("doc_id"), "text": q.column("text")})
+
+    kept = docs.map_batches(filt, batch_format="pyarrow")
+    reps = exact_dedup_groups(kept).map_batches(
+        lambda t: t.select(["doc_id"]) if "doc_id" in t.column_names
+        else pa.table({"doc_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return deterministic_split(reps, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -1858,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
         "t_surprisal": _t_surprisal,  # corpus unigram surprisal per doc
         "t_prune_words": _t_prune_words,  # df-thresholded vocabulary pruning rewrite
+        "t_corpus_prep": _t_corpus_prep,  # composed lang->quality->dedup->split pipeline
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2648,5 +2691,22 @@ kept AS (SELECT doc_id, word_no, word FROM w WHERE word NOT IN (SELECT word FROM
 SELECT d.doc_id, coalesce(string_agg(kept.word, ' ' ORDER BY kept.word_no), '') AS text_pruned
 FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
 GROUP BY d.doc_id
+""",
+        # thresholds mirror deterministic_split: cuts = cumsum(int(f * 100000007))
+        # for fractions (0.9, 0.05) -> [90000006, 95000006]
+        "t_corpus_prep": """
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE COALESCE(lang, '') = 'en'
+    AND length(text) >= 100
+    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 10
+        <= length(text)
+),
+reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text)
+SELECT doc_id,
+       CASE WHEN (doc_id * 48271) % 100000007 < 90000006 THEN 'train'
+            WHEN (doc_id * 48271) % 100000007 < 95000006 THEN 'val'
+            ELSE 'test' END AS split
+FROM reps
 """,
     }
