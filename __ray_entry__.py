@@ -1806,6 +1806,52 @@ def _t_corpus_prep(sf_dir):
     return deterministic_split(reps, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
 
 
+def _t_pii_redact(sf_dir):
+    """PII redaction gate. The synthetic corpus is digit-free, so the
+    query plants one email / IPv4 / phone per row, derived
+    deterministically from doc_id IDENTICALLY in the SQL oracle —
+    the redaction itself (counts + rewritten text) is what's gated."""
+    import pyarrow.compute as pc
+
+    from distributed_pagerank_ray.functions.textstats import redact_pii_batch
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            " contact user",
+            pa.array(ids.astype("U")),
+            "@mail.example.com or 10.0.",
+            pa.array((ids % 256).astype("U")),
+            ".1 tel 555-010-",
+            pc.utf8_lpad(pa.array((ids % 10000).astype("U")), 4, "0"),
+            "",  # separator
+        )
+        red = redact_pii_batch(pa.table({"doc_id": t.column("doc_id"), "text": aug}))
+        return red.select(["doc_id", "n_email", "n_ip", "n_phone", "text_redacted"])
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _e_rand_proj(sf_dir):
+    """JL random-sign projection of the 64-d embeddings to 8 dims; the
+    deterministic quadratic-hash sign matrix makes it SQL-checkable."""
+    from distributed_pagerank_ray.functions.similarity import random_sign_projection
+
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return random_sign_projection(emb, k=8)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -1901,6 +1947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_surprisal": _t_surprisal,  # corpus unigram surprisal per doc
         "t_prune_words": _t_prune_words,  # df-thresholded vocabulary pruning rewrite
         "t_corpus_prep": _t_corpus_prep,  # composed lang->quality->dedup->split pipeline
+        "t_pii_redact": _t_pii_redact,  # email/IP/phone masking, RE2 both engines
+        "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2708,5 +2756,58 @@ SELECT doc_id,
             WHEN (doc_id * 48271) % 100000007 < 95000006 THEN 'val'
             ELSE 'test' END AS split
 FROM reps
+""",
+        # patterns/order mirror textstats.PII_PATTERNS; both engines run RE2
+        "t_pii_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.1 tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_ip,
+       CAST(len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+       regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+FROM s2
+""",
+        # sign formula mirrors similarity.sign_matrix (quadratic int hash)
+        "e_rand_proj": """
+WITH e AS (
+  SELECT vec_id, g.j AS j, CAST(embedding[g.j + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS g(j)
+),
+sg AS (
+  SELECT j, c,
+         CASE WHEN (((h1 * h1) % 100000007) // 4096) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (
+    SELECT j, c,
+           ((j*131 + c + 7) * (j*131 + c + 7) + (j*131 + c + 7) * 48271) % 100000007 AS h1
+    FROM (SELECT DISTINCT j FROM e) CROSS JOIN (SELECT UNNEST(range(8)) AS c)
+  )
+)
+SELECT e.vec_id,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 0) / sqrt(8), 6) AS p0,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 1) / sqrt(8), 6) AS p1,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 2) / sqrt(8), 6) AS p2,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 3) / sqrt(8), 6) AS p3,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 4) / sqrt(8), 6) AS p4,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 5) / sqrt(8), 6) AS p5,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 6) / sqrt(8), 6) AS p6,
+       round(sum(e.v * sg.sgn) FILTER (sg.c = 7) / sqrt(8), 6) AS p7
+FROM e JOIN sg USING (j)
+GROUP BY e.vec_id
 """,
     }

@@ -59,6 +59,39 @@ def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_norm", t)
 
 
+# ---------------------------------------------------------------- PII redaction
+
+# Applied IN ORDER, each pattern counted on the text as left by the
+# previous replacement — the order is part of the operator's contract
+# (and of the SQL oracle). RE2 syntax only: pyarrow and DuckDB both
+# compile these with RE2, so one pattern string serves both engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII redaction for training corpora: mask emails, IPv4 addresses
+    and phone numbers with typed placeholder tokens, fully vectorized
+    (RE2 kernels — no Python loop over rows).
+
+    Appends ``n_email`` / ``n_ip`` / ``n_phone`` (non-overlapping match
+    counts, each counted after the previous pattern's replacement) and
+    ``text_redacted``. The original column is untouched. The reference
+    engine has no string surface at all (SURVEY §2.5); this is a
+    standard web-corpus preparation stage.
+    """
+    t = pc.fill_null(batch.column(text_col), "")
+    out = batch
+    for name, pat, repl in PII_PATTERNS:
+        n = pc.count_substring_regex(t, pat)
+        out = out.append_column(f"n_{name}", pc.cast(n, pa.int64()))
+        t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+    return out.append_column("text_redacted", t)
+
+
 # ---------------------------------------------------------------- quality
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

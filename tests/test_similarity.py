@@ -101,3 +101,43 @@ def test_on_driver_embeddings_table():
         rows.sort(key=lambda r: r["rnk"])
         assert rows[0]["neighbor_id"] == first[j]["vec_id"]
         assert abs(rows[0]["sim"] - 1.0) < 1e-9
+
+
+def test_random_sign_projection():
+    from distributed_pagerank_ray.functions.similarity import (
+        random_sign_projection,
+        sign_matrix,
+    )
+
+    # sign matrix: ±1 only, full rank, decorrelated columns
+    S = sign_matrix(64, 8)
+    assert set(np.unique(S)) == {-1.0, 1.0}
+    assert np.linalg.matrix_rank(S) == 8
+    off = np.abs(np.corrcoef(S.T) - np.eye(8)).max()
+    assert off < 0.5, off
+
+    rng = np.random.RandomState(7)
+    E = rng.randn(200, 64)
+    items = [
+        {"vec_id": i, "embedding": E[i].astype(np.float32).tolist()}
+        for i in range(len(E))
+    ]
+    ds = ray.data.from_items(items)
+    out = (
+        random_sign_projection(ds, k=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    P = out[[f"p{c}" for c in range(8)]].to_numpy()
+    # JL property: projection preserves squared norms in expectation
+    ratio = (P**2).sum() / (E.astype(np.float32).astype(np.float64) ** 2).sum()
+    assert 0.8 < ratio < 1.2, ratio
+    # deterministic: a re-run is bit-identical
+    out2 = (
+        random_sign_projection(ds, k=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(P, out2[[f"p{c}" for c in range(8)]].to_numpy())

@@ -144,3 +144,34 @@ def test_tfidf_top_terms():
         for r in out.itertuples()
     }
     assert got == want
+
+
+def test_redact_pii():
+    from distributed_pagerank_ray.functions.textstats import redact_pii_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "mail bob.smith+x@sub.example.co.uk now",
+                "server at 10.0.255.1 and 8.8.8.8 up",
+                "call 555-123-4567 or 555 987 6543",
+                "version 1234.1.1.1 is not an ip",
+                None,
+                "a@b.io via 1.2.3.4 tel 111-222-3333",
+            ],
+        }
+    )
+    out = redact_pii_batch(t)
+    assert out.column("n_email").to_pylist() == [1, 0, 0, 0, 0, 1]
+    assert out.column("n_ip").to_pylist() == [0, 2, 0, 0, 0, 1]
+    assert out.column("n_phone").to_pylist() == [0, 0, 2, 0, 0, 1]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "server at <IP> and <IP> up"
+    assert red[2] == "call <PHONE> or <PHONE>"
+    assert red[3] == "version 1234.1.1.1 is not an ip"  # \b blocks the match
+    assert red[4] == ""
+    assert red[5] == "<EMAIL> via <IP> tel <PHONE>"
+    # original column untouched
+    assert out.column("text").to_pylist() == t.column("text").to_pylist()
