@@ -1852,6 +1852,40 @@ def _e_rand_proj(sf_dir):
     return random_sign_projection(emb, k=8)
 
 
+def _g_walks_org(sf_dir):
+    """Deterministic random walks (3 steps, one walk per vertex) on the
+    symmetrized org graph; the quadratic next-hop hash lets a SQL
+    oracle replay every step join-by-join."""
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+    from distributed_pagerank_ray.pipelines.walks import random_walks
+
+    e = org_edges(sf_dir)
+    sym = e.union(
+        e.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+            batch_format="pyarrow",
+        )
+    )
+    return random_walks(sym, length=3, num_partitions=4, num_shards=2)
+
+
+def _g_twohop_org(sf_dir):
+    """Friends-of-friends: distinct <=2-hop neighborhood size per vertex
+    on the symmetrized org graph (relay self-join + distinct-pair BSP +
+    count BSP — no row-level two-column groupby)."""
+    from distributed_pagerank_ray.pipelines.metrics import two_hop_counts
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+
+    e = org_edges(sf_dir)
+    sym = e.union(
+        e.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+            batch_format="pyarrow",
+        )
+    )
+    return two_hop_counts(sym, num_partitions=4, num_shards=4)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -1949,6 +1983,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_corpus_prep": _t_corpus_prep,  # composed lang->quality->dedup->split pipeline
         "t_pii_redact": _t_pii_redact,  # email/IP/phone masking, RE2 both engines
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
+        "g_walks_org": _g_walks_org,  # deterministic random-walk sampling
+        "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2023,6 +2059,43 @@ def _lpa_org_sql(iters: int = 5) -> str:
         )
     parts.append(f"\nSELECT id, label AS community FROM r{iters}")
     return "".join(parts)
+
+
+def _walks_sql(length: int = 3) -> str:
+    """SQL replay of pipelines/walks.py on the symmetrized org graph:
+    one argmin-hash join per step (same quadratic hash, ties by dst)."""
+    steps = []
+    prev = "w0"
+    for st in range(1, length + 1):
+        steps.append(
+            f"""s{st} AS (
+  SELECT walk, v FROM (
+    SELECT walk, v, row_number() OVER (PARTITION BY walk ORDER BY h, v) AS rn
+    FROM (SELECT walk, v, (x * x + x * 48271) % 100000007 AS h
+          FROM (SELECT w.walk AS walk, s.dst AS v,
+                       (w.v * 131 + s.dst * 977 + {st} * 7 + 1) % 100000007 AS x
+                FROM {prev} w JOIN sym s ON s.src = w.v)))
+  WHERE rn = 1
+)"""
+        )
+        prev = f"s{st}"
+    selects = ["SELECT walk, CAST(0 AS BIGINT) AS step, walk AS v FROM w0"] + [
+        f"SELECT walk, CAST({st} AS BIGINT) AS step, v FROM s{st}"
+        for st in range(1, length + 1)
+    ]
+    return (
+        """WITH e AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), w0 AS (SELECT DISTINCT src AS walk, src AS v FROM sym),
+"""
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
 
 
 def _lang_id_sql() -> str:
@@ -2809,5 +2882,20 @@ SELECT e.vec_id,
        round(sum(e.v * sg.sgn) FILTER (sg.c = 7) / sqrt(8), 6) AS p7
 FROM e JOIN sg USING (j)
 GROUP BY e.vec_id
+""",
+        "g_walks_org": _walks_sql(3),
+        "g_twohop_org": """
+WITH e AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), two AS (
+  SELECT a.src AS a, b.dst AS b FROM sym a JOIN sym b ON a.dst = b.src
+  UNION
+  SELECT src, dst FROM sym
+)
+SELECT a AS id, CAST(count(*) AS BIGINT) AS n2 FROM two WHERE a != b GROUP BY a
 """,
     }

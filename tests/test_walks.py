@@ -1,0 +1,102 @@
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from distributed_pagerank_ray.pipelines.walks import random_walks, step_hash
+
+
+def _brute(edges, length):
+    """Driver-side replay of the walk contract."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    rows = set()
+    for start in sorted(adj):
+        cur = start
+        rows.add((start, 0, start))
+        for st in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            d = np.array(sorted(nbrs), dtype=np.int64)
+            h = step_hash(np.full(len(d), cur, dtype=np.int64), d, st)
+            cur = int(d[np.lexsort((d, h))[0]])
+            rows.add((start, st, cur))
+    return rows
+
+
+def test_random_walks_match_brute_force():
+    rng = np.random.RandomState(3)
+    edges = {(int(rng.randint(0, 40)), int(rng.randint(0, 40))) for _ in range(150)}
+    edges = [(s, d) for s, d in edges if s != d]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["walk"], r["step"], r["v"])
+        for r in random_walks(ds, length=4, num_partitions=4, num_shards=2).take_all()
+    }
+    assert got == _brute(edges, 4)
+
+
+def test_random_walks_dead_end_stops():
+    # 0 -> 1 -> 2, and 2 has no out-edges: walk from 0 has steps 0..2 only
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([0, 1], pa.int64()), "dst": pa.array([1, 2], pa.int64())})
+    )
+    got = {
+        (r["walk"], r["step"], r["v"])
+        for r in random_walks(ds, length=5, num_partitions=2, num_shards=2).take_all()
+    }
+    assert got == {(0, 0, 0), (0, 1, 1), (0, 2, 2), (1, 0, 1), (1, 1, 2)}
+
+
+def test_random_walks_id_bound():
+    import pytest
+    import ray.exceptions
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([0], pa.int64()), "dst": pa.array([1 << 31], pa.int64())}
+        )
+    )
+    with pytest.raises((ray.exceptions.RayTaskError, ValueError)):
+        random_walks(ds, length=1, num_partitions=2, num_shards=2).take_all()
+
+
+def test_two_hop_counts_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import two_hop_counts
+
+    rng = np.random.RandomState(11)
+    edges = {(int(rng.randint(0, 30)), int(rng.randint(0, 30))) for _ in range(90)}
+    edges = [(s, d) for s, d in edges if s != d]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = {}
+    for v in adj:
+        reach = set(adj[v])
+        for m in adj[v]:
+            reach |= adj.get(m, set())
+        reach.discard(v)
+        if reach:
+            want[v] = len(reach)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["id"]: r["n2"]
+        for r in two_hop_counts(ds, num_partitions=4, num_shards=2).take_all()
+    }
+    assert got == want
