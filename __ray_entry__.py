@@ -1886,6 +1886,23 @@ def _g_twohop_org(sf_dir):
     return two_hop_counts(sym, num_partitions=4, num_shards=4)
 
 
+def _g_walk_pairs_org(sf_dir):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walk corpus — walks composed straight into pair extraction."""
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+    from distributed_pagerank_ray.pipelines.walks import random_walks, skipgram_pairs
+
+    e = org_edges(sf_dir)
+    sym = e.union(
+        e.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")}),
+            batch_format="pyarrow",
+        )
+    )
+    walks = random_walks(sym, length=3, num_partitions=4, num_shards=2)
+    return skipgram_pairs(walks, window=2, num_partitions=4, num_shards=2)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -1985,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
         "g_walks_org": _g_walks_org,  # deterministic random-walk sampling
         "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
+        "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2897,5 +2915,13 @@ WITH e AS (
   SELECT src, dst FROM sym
 )
 SELECT a AS id, CAST(count(*) AS BIGINT) AS n2 FROM two WHERE a != b GROUP BY a
+""",
+        "g_walk_pairs_org": f"""
+WITH w AS (
+{_walks_sql(3)}
+)
+SELECT least(x.v, y.v) AS a, greatest(x.v, y.v) AS b, CAST(count(*) AS BIGINT) AS n
+FROM w x JOIN w y ON x.walk = y.walk AND y.step > x.step AND y.step <= x.step + 2
+GROUP BY 1, 2
 """,
     }

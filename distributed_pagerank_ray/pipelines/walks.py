@@ -23,7 +23,9 @@ Scale shape, per step:
 - vectorized hash + per-batch pre-argmin, so the argmin shuffle moves
   at most (distinct walks per batch × blocks) candidate rows, never the
   V × avg_degree joined table,
-- a (walk → min packed) groupby whose groups shrink to one row each.
+- the per-shard BSP argmin (``util.min_i64_by_key``): per-block partial
+  mins, ``num_returns=S`` routing, merge-min reducers — the same
+  combine shape as the rank gather, no row-level groupby anywhere.
 Frontier and output are O(V · L); dead-end walks simply stop (inner
 join drops them — documented, matches the oracle's inner join).
 """
@@ -34,9 +36,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
-from ..util import compact_for_join, count_i64_keys, ensure_schema
+from ..util import compact_for_join, count_i64_keys, min_i64_by_key
 
 _I64 = pa.int64()
 _M = 100_000_007
@@ -142,12 +143,12 @@ def random_walks(
             first[1:] = ws[1:] != ws[:-1]
             return pa.table({"walk": pa.array(ws[first]), "pk": pa.array(ps[first])})
 
-        frontier = (
-            j.map_batches(choose, batch_format="pyarrow")
-            .groupby("walk")
-            .aggregate(Min("pk", alias_name="pk"))
-            .map_batches(ensure_schema({"walk": _I64, "pk": _I64}), batch_format="pyarrow")
-            .map_batches(
+        frontier = min_i64_by_key(
+            j.map_batches(choose, batch_format="pyarrow"),
+            "walk",
+            "pk",
+            num_shards=num_shards,
+        ).map_batches(
                 lambda t: pa.table(
                     {
                         "walk": t.column("walk"),
@@ -160,6 +161,81 @@ def random_walks(
                 else pa.table({"walk": pa.array([], _I64), "v": pa.array([], _I64)}),
                 batch_format="pyarrow",
             )
-        )
         out = out.union(stamped(frontier, step))
     return out
+
+
+def skipgram_pairs(
+    walks: "ray.data.Dataset",
+    window: int = 2,
+    num_partitions: int = 16,
+    num_shards: int = 8,
+) -> "ray.data.Dataset":
+    """Skip-gram training pairs from a walk corpus: for every walk and
+    step pair (i, j) with 0 < j − i ≤ ``window``, count the unordered
+    vertex pair — the (center, context) extraction that turns walks
+    into graph-embedding training data (word2vec over walks).
+
+    Scale shape: ONE self-join on walk id (walks are short, so the
+    join fan-out per walk is ≤ L², bounded), vectorized window filter
+    and pair packing per batch, then the packed count BSP — never a
+    two-column row groupby. Vertex ids must be < 2^31 (packed key).
+    """
+    left = walks.map_batches(
+        lambda t: pa.table(
+            {"walk": t.column("walk"), "i": t.column("step"), "a": t.column("v")}
+        )
+        if "walk" in t.column_names
+        else pa.table(
+            {"walk": pa.array([], _I64), "i": pa.array([], _I64), "a": pa.array([], _I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    right = walks.map_batches(
+        lambda t: pa.table(
+            {"walk2": t.column("walk"), "j": t.column("step"), "b": t.column("v")}
+        )
+        if "walk" in t.column_names
+        else pa.table(
+            {"walk2": pa.array([], _I64), "j": pa.array([], _I64), "b": pa.array([], _I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(left, num_partitions).join(
+        compact_for_join(right, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("walk",),
+        right_on=("walk2",),
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"k": pa.array([], _I64)})
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        jj = t.column("j").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = (jj > i) & (jj - i <= window)
+        a, b = a[m], b[m]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if len(lo) and (lo.min() < 0 or hi.max() >= _SHIFT):
+            raise ValueError("vertex ids outside [0, 2^31) packing bound")
+        return pa.table({"k": pa.array(lo * _SHIFT + hi)})
+
+    return count_i64_keys(
+        j.map_batches(pack, batch_format="pyarrow"), "k", num_shards=num_shards, count_col="n"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": pa.array(t.column("k").to_numpy(zero_copy_only=False) // _SHIFT),
+                "b": pa.array(t.column("k").to_numpy(zero_copy_only=False) & _MASK),
+                "n": t.column("n"),
+            }
+        )
+        if "k" in t.column_names
+        else pa.table(
+            {"a": pa.array([], _I64), "b": pa.array([], _I64), "n": pa.array([], _I64)}
+        ),
+        batch_format="pyarrow",
+    )

@@ -156,6 +156,63 @@ def count_i64_keys(
     return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 
 
+def _min_by_key_block(t: pa.Table, key_col: str, val_col: str, S: int):
+    """Gather body for min_i64_by_key: per-block (key, min val) partials
+    split per shard by multiplicative hash."""
+    if key_col not in t.column_names or len(t) == 0:
+        return [None] * S
+    k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((v, k))
+    k, v = k[order], v[order]
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = k[1:] != k[:-1]
+    k, v = k[first], v[first]
+    with np.errstate(over="ignore"):
+        shard = ((k.astype(np.uint64) * _HASH_K) >> np.uint64(33)).astype(np.int64) % S
+    order = np.argsort(shard, kind="stable")
+    k, v, shard = k[order], v[order], shard[order]
+    out: list = [None] * S
+    for s in np.unique(shard):
+        lo, hi = np.searchsorted(shard, [s, s + 1])
+        out[int(s)] = (k[lo:hi], v[lo:hi])
+    return out
+
+
+def min_i64_by_key(ds, key_col: str, val_col: str, num_shards: int = 16):
+    """(key, min(val)) per distinct int64 key — the per-shard BSP
+    combine replacement for ``groupby(key).min(val)`` (the argmin
+    shuffle of the walk engine: pack (priority, payload) into val and
+    the min IS the argmin). Same shape as ``count_i64_keys``: per-block
+    partial mins, ``num_returns=S`` routing, merge-min reducers — the
+    exchange is O(distinct keys × blocks), never O(rows)."""
+    import ray
+    import ray.data
+
+    S = max(2, num_shards)
+    gather = ray.remote(_min_by_key_block)
+    blocks = ds.materialize().to_arrow_refs()
+
+    @ray.remote
+    def reduce(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), val_col: pa.array([], pa.int64())}
+            )
+        keys = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        return pa.table({key_col: pa.array(keys[first]), val_col: pa.array(vals[first])})
+
+    gathers = [gather.options(num_returns=S).remote(b, key_col, val_col, S) for b in blocks]
+    cols = [list(c) for c in zip(*gathers)]
+    return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
+
+
 def compact_for_join(ds, num_partitions: int):
     """Compact a Dataset so Dataset.join can consume it.
 

@@ -100,3 +100,29 @@ def test_two_hop_counts_brute_force():
         for r in two_hop_counts(ds, num_partitions=4, num_shards=2).take_all()
     }
     assert got == want
+
+
+def test_skipgram_pairs_window():
+    from distributed_pagerank_ray.pipelines.walks import skipgram_pairs
+
+    # walk 7: 1 -> 2 -> 3 -> 1 ; walk 9: 5 -> 6
+    rows = [
+        (7, 0, 1), (7, 1, 2), (7, 2, 3), (7, 3, 1),
+        (9, 0, 5), (9, 1, 6),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk": pa.array([r[0] for r in rows], pa.int64()),
+                "step": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in skipgram_pairs(ds, window=2, num_partitions=2, num_shards=2).take_all()
+    }
+    # window 2 over walk 7: (0,1)(0,2)(1,2)(1,3)(2,3) -> pairs
+    # {1,2},{1,3},{2,3},{2,1},{3,1}; walk 9: {5,6}
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 1, (5, 6): 1}
