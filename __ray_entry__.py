@@ -1903,6 +1903,55 @@ def _g_walk_pairs_org(sf_dir):
     return skipgram_pairs(walks, window=2, num_partitions=4, num_shards=2)
 
 
+def _t_url_norm(sf_dir):
+    """URL canonicalization gate: messy URLs (mixed-case scheme/host,
+    default ports, fragments) planted deterministically from doc_id
+    identically in the SQL oracle; the normalization is what's gated."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.urls import normalize_url_batch
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        scheme = np.array(["HTTP", "https", "HtTpS"], dtype=object)[ids % 3]
+        port = np.array([":80", ":443", ":8080", ""], dtype=object)[ids % 4]
+        frag = np.where(
+            ids % 2 == 0, np.char.add("#Sec", ids.astype("U")), ""
+        ).astype(object)
+        import pyarrow.compute as pc
+
+        url = pc.binary_join_element_wise(
+            pa.array(scheme, pa.string()),
+            "://WWW.Example",
+            pa.array((ids % 50).astype("U")),
+            ".COM",
+            pa.array(port, pa.string()),
+            "/Path/",
+            pa.array(ids.astype("U")),
+            "?q=",
+            pa.array((ids % 7).astype("U")),
+            pa.array(frag, pa.string()),
+            "",  # separator
+        )
+        out = normalize_url_batch(pa.table({"doc_id": t.column("doc_id"), "url": url}))
+        return out.select(["doc_id", "url_norm", "host"])
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _g_sparsify_lineitem(sf_dir):
+    """Degree-capped deterministic edge sampling on the lineitem graph
+    (each order keeps ~2 hash-chosen part edges)."""
+    from distributed_pagerank_ray.pipelines.metrics import sparsify_edges
+    from distributed_pagerank_ray.pipelines.relational import lineitem_edges
+
+    return sparsify_edges(lineitem_edges(sf_dir), k=2, num_partitions=4, num_shards=4)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2003,6 +2052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_walks_org": _g_walks_org,  # deterministic random-walk sampling
         "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
         "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
+        "t_url_norm": _t_url_norm,  # URL canonicalization, RE2 both engines
+        "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2923,5 +2974,35 @@ WITH w AS (
 SELECT least(x.v, y.v) AS a, greatest(x.v, y.v) AS b, CAST(count(*) AS BIGINT) AS n
 FROM w x JOIN w y ON x.walk = y.walk AND y.step > x.step AND y.step <= x.step + 2
 GROUP BY 1, 2
+""",
+        # URL construction + regexes mirror _t_url_norm / functions/urls.py
+        "t_url_norm": r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTpS' END)
+    || '://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+    || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
+    || '/Path/' || CAST(doc_id AS VARCHAR) || '?q=' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '#Sec' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 1)) AS scheme,
+    lower(regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 2), ':(80|443)$', '')) AS host,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)', 3) AS rest
+  FROM u
+)
+SELECT doc_id, scheme || '://' || host || rest AS url_norm, host FROM p
+""",
+        # hash/rule mirror metrics.sparsify_edges (k=2)
+        "g_sparsify_lineitem": f"""
+WITH e AS ({_EDGES_CTE}),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+SELECT src, dst FROM (
+  SELECT e.src, e.dst, d.deg,
+         (e.src * 131 + e.dst * 977 + 5) % 100000007 AS x
+  FROM e JOIN d USING (src))
+WHERE ((x * x + x * 48271) % 100000007) * deg < 2 * 100000007
 """,
     }

@@ -1,0 +1,48 @@
+"""URL normalization for web-crawl link tables.
+
+The reference consumes pre-cleaned integer edge lists
+(pkg/graph/graph.go:35-60); a real Common-Crawl pipeline must first
+canonicalize URLs so that the SAME page never mints two vertex ids.
+Normalization contract (applied only to absolute URLs with a scheme;
+anything else passes through unchanged):
+
+- scheme and host lowercased,
+- default ports ``:80`` / ``:443`` stripped from the host,
+- fragment (``#...``) dropped,
+- path/query preserved byte-for-byte.
+
+Fully vectorized: one RE2 ``extract_regex`` + Arrow string kernels per
+batch — no Python loop over rows — and the exact same regexes run in
+the DuckDB oracle (both engines compile RE2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>[^#]*)"
+)
+
+
+def normalize_url_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "url_norm"
+) -> pa.Table:
+    """Appends ``out_col`` (canonical URL) and ``host`` (lowercased,
+    port-stripped registrable host — the graph partition key)."""
+    u = pc.fill_null(batch.column(url_col), "")
+    parts = pc.extract_regex(u, _URL_RE)
+    matched = pc.is_valid(parts)
+    scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "scheme"), ""))
+    host = pc.utf8_lower(
+        pc.replace_substring_regex(
+            pc.fill_null(pc.struct_field(parts, "host"), ""),
+            pattern=r":(80|443)$",
+            replacement="",
+        )
+    )
+    rest = pc.fill_null(pc.struct_field(parts, "rest"), "")
+    norm = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    out = batch.append_column(out_col, pc.if_else(matched, norm, u))
+    return out.append_column("host", pc.if_else(matched, host, pa.scalar("", pa.string())))

@@ -214,3 +214,64 @@ def two_hop_counts(
         else pa.table({"id": pa.array([], _I64), "n2": pa.array([], _I64)}),
         batch_format="pyarrow",
     )
+
+
+def sparsify_edges(
+    edges: "ray.data.Dataset",
+    k: int = 8,
+    num_partitions: int = 8,
+    num_shards: int = 16,
+) -> "ray.data.Dataset":
+    """Degree-capped deterministic edge sampling (graph sparsifier):
+    keep edge (s, d) iff  h(s, d) · outdeg(s) < k · 100000007 — i.e.
+    each source keeps ~k of its out-edges, chosen by hash, so hub
+    fan-outs are bounded while low-degree vertices keep everything
+    (h uniform on [0, M) ⇒ P(keep) = min(1, k/deg)). Deterministic:
+    the same edges survive every run/engine, and the rule is a pure
+    int64 expression a SQL oracle evaluates verbatim.
+
+    Scale shape: degrees via the count BSP, ONE hash join of the
+    degree table onto the edge stream (same src partitioning the
+    engine reuses), then a pure per-batch filter. The standard
+    pre-step before quadratic-ish analytics (triangles, co-occurrence)
+    on hub-skewed web graphs.
+    """
+    e = edges.map_batches(
+        lambda t: pa.table(
+            {"src": t.column("src").cast(_I64), "dst": t.column("dst").cast(_I64)}
+        )
+        if "src" in t.column_names
+        else pa.table({"src": pa.array([], _I64), "dst": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    deg = count_i64_keys(
+        e.map_batches(
+            lambda t: pa.table({"s2": t.column("src")})
+            if "src" in t.column_names
+            else pa.table({"s2": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        ),
+        "s2",
+        num_shards=num_shards,
+        count_col="deg",
+    )
+    j = compact_for_join(e, num_partitions).join(
+        compact_for_join(deg, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("s2",),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return pa.table({"src": pa.array([], _I64), "dst": pa.array([], _I64)})
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (s * 131 + d * 977 + 5) % 100_000_007
+        h = (x * x + x * 48271) % 100_000_007
+        m = h * dg < k * 100_000_007
+        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
+
+    return j.map_batches(keep, batch_format="pyarrow")

@@ -175,3 +175,37 @@ def test_redact_pii():
     assert red[5] == "<EMAIL> via <IP> tel <PHONE>"
     # original column untouched
     assert out.column("text").to_pylist() == t.column("text").to_pylist()
+
+
+def test_normalize_url_batch():
+    from distributed_pagerank_ray.functions.urls import normalize_url_batch
+
+    t = pa.table(
+        {
+            "url": [
+                "HTTP://WWW.Foo.COM:80/Path/X?q=1#frag",
+                "https://a.b.c:443/",
+                "HtTpS://Host.IO:8080/P?x=Y#z",
+                "relative/path/no-scheme",
+                "ftp://MIXED.Case.Org/File",
+                None,
+            ]
+        }
+    )
+    out = normalize_url_batch(t)
+    assert out.column("url_norm").to_pylist() == [
+        "http://www.foo.com/Path/X?q=1",
+        "https://a.b.c/",
+        "https://host.io:8080/P?x=Y",
+        "relative/path/no-scheme",
+        "ftp://mixed.case.org/File",
+        "",
+    ]
+    assert out.column("host").to_pylist() == [
+        "www.foo.com",
+        "a.b.c",
+        "host.io:8080",
+        "",
+        "mixed.case.org",
+        "",
+    ]

@@ -126,3 +126,33 @@ def test_skipgram_pairs_window():
     # window 2 over walk 7: (0,1)(0,2)(1,2)(1,3)(2,3) -> pairs
     # {1,2},{1,3},{2,3},{2,1},{3,1}; walk 9: {5,6}
     assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 1, (5, 6): 1}
+
+
+def test_sparsify_edges_caps_degree():
+    from distributed_pagerank_ray.pipelines.metrics import sparsify_edges
+
+    # hub 0 with 500 out-edges, plus low-degree vertices keeping all
+    edges = [(0, d) for d in range(1, 501)] + [(7, 1), (7, 2), (9, 3)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    kept = [
+        (r["src"], r["dst"])
+        for r in sparsify_edges(ds, k=8, num_partitions=2, num_shards=2).take_all()
+    ]
+    hub = [e for e in kept if e[0] == 0]
+    # E[kept] = k = 8; binomial(500, 8/500) stays well under 30
+    assert 1 <= len(hub) <= 30, len(hub)
+    # low-degree sources (deg <= k) keep every edge
+    assert {e for e in kept if e[0] != 0} == {(7, 1), (7, 2), (9, 3)}
+    # deterministic
+    kept2 = [
+        (r["src"], r["dst"])
+        for r in sparsify_edges(ds, k=8, num_partitions=2, num_shards=2).take_all()
+    ]
+    assert sorted(kept) == sorted(kept2)
