@@ -1576,6 +1576,100 @@ def _x_host_graph(sf_dir):
     return ray.data.from_arrow(pa.Table.from_pandas(got, preserve_index=False))
 
 
+def _x_incremental_update(sf_dir):
+    """Incremental graph update in the gate (rows-only: versioned
+    filesystem artifact): build a base graph from ~2/3 of the org
+    links, update_graph() the rest in, and verify the updated version
+    matches a full rebuild — same n/m, same per-URL degree+dangling,
+    same per-URL edge set — with ids allowed to differ (append vs
+    re-sort). Raises on any violation; returns summary check rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph, update_graph
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+
+    def as_links(ds):
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src_url": pc.binary_join_element_wise(
+                        "v", pc.cast(t.column("src"), pa.string()), ""
+                    ),
+                    "dst_url": pc.binary_join_element_wise(
+                        "v", pc.cast(t.column("dst"), pa.string()), ""
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    e = org_edges(sf_dir).materialize()
+    part_a = e.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                (
+                    t.column("src").to_numpy(zero_copy_only=False)
+                    + t.column("dst").to_numpy(zero_copy_only=False)
+                )
+                % 3
+                != 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    part_b = e.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                (
+                    t.column("src").to_numpy(zero_copy_only=False)
+                    + t.column("dst").to_numpy(zero_copy_only=False)
+                )
+                % 3
+                == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    base = tempfile.mkdtemp(prefix="dpr_incgate_base_")
+    inc = tempfile.mkdtemp(prefix="dpr_incgate_inc_")
+    full = tempfile.mkdtemp(prefix="dpr_incgate_full_")
+    g0 = build_graph(as_links(part_a), base)
+    g1 = update_graph(base, as_links(part_b), inc)
+    gf = build_graph(as_links(e), full)
+
+    def url_state(run_dir, g):
+        vmap = pq.read_table(f"{run_dir}/graph/vertex_map").to_pydict()
+        id2url = dict(zip(vmap["id"], vmap["key"]))
+        verts = g.vertices().to_pandas()
+        degs = {
+            id2url[r.id]: (int(r.out_degree), float(r.dangling))
+            for r in verts.itertuples()
+        }
+        ed = g.edges().to_pandas()
+        edges = {(id2url[s], id2url[d]) for s, d in zip(ed["src"], ed["dst"])}
+        return degs, edges
+
+    d1, e1 = url_state(inc, g1)
+    df, ef = url_state(full, gf)
+    if not (g1.n == gf.n and g1.m == gf.m and g1.m_lines == gf.m_lines):
+        raise AssertionError(f"meta mismatch: {(g1.n, g1.m, g1.m_lines)} vs {(gf.n, gf.m, gf.m_lines)}")
+    if d1 != df:
+        raise AssertionError("per-URL degree/dangling mismatch")
+    if e1 != ef:
+        raise AssertionError("per-URL edge-set mismatch")
+    if g0.n >= g1.n:
+        raise AssertionError("update added no vertices — gate input degenerate")
+    return pa.table(
+        {
+            "check": ["n", "m", "m_lines", "base_n", "new_vertices"],
+            "value": pa.array(
+                [g1.n, g1.m, g1.m_lines, g0.n, g1.n - g0.n], pa.int64()
+            ),
+        }
+    )
+
+
 def _x_resumable_sink(sf_dir):
     """Resumable partitioned sink in the gate (rows-only: output is a
     filesystem artifact): write events partitioned by event_type,
@@ -2003,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_extract_corpus": _x_extract_corpus,  # rows-only + in-query byte-identity gate
         "x_host_graph": _x_host_graph,  # rows-only + in-query DuckDB self-gate
         "x_resumable_sink": _x_resumable_sink,  # rows-only + in-query resume assertion
+        "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,

@@ -425,3 +425,248 @@ def build_graph(
     with open(done, "w") as fh:
         json.dump(_done_payload(n, m, m_lines, shard_rows, semantics), fh)
     return GraphTables(run_dir, n, m, m_lines, shard_rows, semantics)
+
+
+# ------------------------------------------------------------------ update
+
+@ray.remote
+def _partial_shards(p: dict) -> list:
+    return sorted(p.keys())
+
+
+@ray.remote
+def _update_vertex_shard(
+    s: int,
+    shard_rows: int,
+    new_n: int,
+    old_part: str | None,
+    out_dir: str,
+    *partials,
+) -> int:
+    """Rewrite ONE vertex shard for an incremental update: old degrees
+    (if the shard existed) + new-edge deltas + newly-minted ids, with
+    inv_out/dangling recomputed and e refreshed to 1/new_n."""
+    import pyarrow.parquet as pq
+
+    lo = s * shard_rows
+    size = min(shard_rows, new_n - lo)
+    deg = np.zeros(size, dtype=np.int64)
+    if old_part is not None and os.path.exists(old_part):
+        old = pq.read_table(old_part, columns=["out_degree"])
+        od = old.column("out_degree").to_numpy(zero_copy_only=False)
+        deg[: len(od)] = od
+    for p in partials:
+        if s in p:
+            local, counts = p[s]
+            deg[local] += counts
+    inv = np.zeros(size)
+    nz = deg > 0
+    inv[nz] = 1.0 / deg[nz]
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
+            "out_degree": pa.array(deg),
+            "inv_out": pa.array(inv),
+            "dangling": pa.array((~nz).astype(np.float64)),
+            "e": pa.array(np.full(size, 1.0 / new_n)),
+        }
+    )
+    shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
+    os.makedirs(shard_dir, exist_ok=True)
+    tmp = os.path.join(shard_dir, f"part.parquet.tmp{os.getpid()}")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(shard_dir, "part.parquet"))
+    return size
+
+
+def _link_files(src_dir: str, dst_dir: str, prefix: str) -> None:
+    """Hardlink every file of src_dir into dst_dir under a prefixed
+    name (no copy — an update shares untouched bytes with its base).
+    Idempotent: existing links are kept."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        p = os.path.join(src_dir, name)
+        if not os.path.isfile(p):
+            continue
+        try:
+            os.link(p, os.path.join(dst_dir, prefix + name))
+        except FileExistsError:
+            pass
+
+
+def update_graph(
+    old_run_dir: str,
+    new_links: "ray.data.Dataset",
+    out_run_dir: str,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    run_cfg: RunConfig | None = None,
+    check_duplicates: bool = True,
+) -> GraphTables:
+    """Incremental graph update: merge a NEW batch of links (a fresh
+    crawl increment) into an already-built graph WITHOUT rebuilding it.
+
+    Produces a new graph version under ``out_run_dir`` whose tables are
+    semantically identical to a full ``build_graph`` over the
+    concatenated input (same per-URL degrees/dangling flags/edge set —
+    id ASSIGNMENT differs: new URLs get ids old_n.., while a rebuild
+    re-sorts; per-URL results of downstream algorithms match, asserted
+    in tests/test_update_graph.py). The old version is untouched and
+    stays queryable — updates are versions, not mutations.
+
+    Cost profile (the point of the operator, vs O(total) rebuild):
+    - mint only the NEW keys (anti-join against the old vertex_map),
+    - dedup-check only the NEW edges (one anti-join vs old edges;
+      skippable via ``check_duplicates=False`` when the crawler
+      guarantees disjoint increments — then the update never reads the
+      old edge table at all),
+    - rewrite only vertex shards TOUCHED by new sources or new ids;
+      untouched shards and all old edge/vertex_map files are
+      hardlinked, sharing bytes with the base version.
+
+    Note: the stored ``e`` column of untouched shards keeps its
+    build-time 1/n_old — documented advisory; the uniform-E PageRank
+    path derives 1/n from ``_DONE.json`` at query time, and custom-E
+    runs pass ``e_vector`` explicitly.
+    """
+    run_cfg = run_cfg or RunConfig()
+    P = run_cfg.num_partitions
+
+    old_done = os.path.join(old_run_dir, "graph", "_DONE.json")
+    with open(old_done) as fh:
+        old_meta = json.load(fh)
+    old = _tables_from_done(old_run_dir, old_meta, run_cfg.shard_rows, GraphSemantics())
+    semantics, shard_rows = old.semantics, old.shard_rows
+
+    graph_dir = os.path.join(out_run_dir, "graph")
+    done = os.path.join(graph_dir, "_DONE.json")
+    if os.path.exists(done):
+        with open(done) as fh:
+            meta = json.load(fh)
+        return _tables_from_done(out_run_dir, meta, shard_rows, semantics)
+    os.makedirs(graph_dir, exist_ok=True)
+
+    links = new_links.select_columns([src_col, dst_col]).materialize()
+
+    def _as_key(colname):
+        return lambda t: pa.table({"key": t.column(colname)})
+
+    keys = links.map_batches(_as_key(src_col), batch_format="pyarrow").union(
+        links.map_batches(_as_key(dst_col), batch_format="pyarrow")
+    )
+    old_vmap_path = os.path.join(old_run_dir, "graph", "vertex_map")
+    old_keys = ray.data.read_parquet(old_vmap_path).map_batches(
+        lambda t: pa.table({"key2": t.column("key")}), batch_format="pyarrow"
+    )
+    fresh_keys = compact_for_join(_distinct(keys, "key"), P).join(
+        compact_for_join(old_keys, P),
+        join_type="left_anti",
+        num_partitions=P,
+        on=("key",),
+        right_on=("key2",),
+    )
+    vmap_new, k_new = mint_dense_ids(fresh_keys, "key")
+    old_n = old.n
+    new_n = old_n + k_new
+    vmap_new = vmap_new.map_batches(
+        lambda t: pa.table(
+            {
+                "key": t.column("key"),
+                "id": pa.array(
+                    t.column("id").to_numpy(zero_copy_only=False) + old_n
+                ),
+            }
+        )
+        if "key" in t.column_names
+        else pa.table({"key": pa.array([], pa.string()), "id": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    vmap_dir = os.path.join(graph_dir, "vertex_map")
+    if k_new:
+        vmap_new.write_parquet(vmap_dir)
+    _link_files(old_vmap_path, vmap_dir, "base_")
+    vmap_all = ray.data.read_parquet(vmap_dir)
+
+    new_raw = _join_ids(links, src_col, vmap_all, "src", P)
+    new_raw = _join_ids(new_raw, dst_col, vmap_all, "dst", P).materialize()
+    m_lines_new = new_raw.count()
+
+    from ray.exceptions import RayTaskError
+
+    from ..util import distinct_i64_pairs, ensure_schema
+
+    if semantics.dedup_in_links or semantics.outdegree_mode != "line_count":
+        try:
+            new_distinct = distinct_i64_pairs(new_raw, "src", "dst").materialize()
+        except (RayTaskError, ValueError):
+            new_distinct = (
+                new_raw.groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])
+                .map_batches(
+                    ensure_schema({"src": pa.int64(), "dst": pa.int64()}),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+    else:
+        new_distinct = new_raw
+
+    if semantics.dedup_in_links and check_duplicates:
+        old_edges = ray.data.read_parquet(old.edges_path, columns=["src", "dst"]).map_batches(
+            lambda t: pa.table({"src2": t.column("src"), "dst2": t.column("dst")}),
+            batch_format="pyarrow",
+        )
+        truly_new = compact_for_join(new_distinct, P).join(
+            compact_for_join(old_edges, P),
+            join_type="left_anti",
+            num_partitions=P,
+            on=("src", "dst"),
+            right_on=("src2", "dst2"),
+        )
+    else:
+        truly_new = new_distinct if semantics.dedup_in_links else new_raw
+    truly_new = truly_new.sort("src").materialize()
+    m_delta = truly_new.count()
+
+    edges_dir = os.path.join(graph_dir, "edges")
+    if m_delta:
+        truly_new.write_parquet(edges_dir)
+    _link_files(old.edges_path, edges_dir, "base_")
+
+    # vertex shards: rewrite the delta-touched + id-extended set only
+    deg_input = new_raw if semantics.outdegree_mode == "line_count" else truly_new
+    blocks = deg_input.to_arrow_refs()
+    partial_refs = [_degree_partials.remote(b, shard_rows, new_n) for b in blocks]
+    touched = set()
+    for ks in ray.get([_partial_shards.remote(p) for p in partial_refs]):
+        touched.update(ks)
+    S_new = max(1, -(-new_n // shard_rows))
+    touched.update(range(old_n // shard_rows, S_new))  # shards gaining new ids
+    old_vdir = os.path.join(old_run_dir, "graph", "vertices")
+    vdir = os.path.join(graph_dir, "vertices")
+    os.makedirs(vdir, exist_ok=True)
+    ray.get(
+        [
+            _update_vertex_shard.remote(
+                s,
+                shard_rows,
+                new_n,
+                os.path.join(old_vdir, f"{SHARD_COL}={s}", "part.parquet"),
+                vdir,
+                *partial_refs,
+            )
+            for s in sorted(touched)
+        ]
+    )
+    for s in range(S_new):
+        if s in touched:
+            continue
+        _link_files(os.path.join(old_vdir, f"{SHARD_COL}={s}"), os.path.join(vdir, f"{SHARD_COL}={s}"), "")
+
+    with open(done, "w") as fh:
+        json.dump(
+            _done_payload(new_n, old.m + m_delta, old.m_lines + m_lines_new, shard_rows, semantics),
+            fh,
+        )
+    return GraphTables(out_run_dir, new_n, old.m + m_delta, old.m_lines + m_lines_new, shard_rows, semantics)
