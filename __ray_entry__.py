@@ -2046,6 +2046,61 @@ def _g_sparsify_lineitem(sf_dir):
     return sparsify_edges(lineitem_edges(sf_dir), k=2, num_partitions=4, num_shards=4)
 
 
+def _r_strat_sample(sf_dir):
+    """Stratified sampling: exact l_quantity decile buckets, then 20
+    deterministic hash-sampled rows per bucket."""
+    from distributed_pagerank_ray.pipelines.relational import stratified_qty_sample
+
+    return stratified_qty_sample(sf_dir, per_bucket=20)
+
+
+def _r_events_zscore(sf_dir):
+    """Per-group z-score normalization (feature scaling): value
+    standardized by its event_type's mean / sample std. Two passes —
+    the 5-row (mean, std) table is the only driver-held state,
+    broadcast into a per-batch vectorized transform."""
+    import ray.data
+    from ray.data.aggregate import Mean, Std
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    stats = (
+        ds.groupby("event_type")
+        .aggregate(Mean("value", alias_name="m"), Std("value", alias_name="s"))
+        .to_pandas()
+        .dropna(subset=["event_type"])
+    )
+    mean_of = dict(zip(stats["event_type"], stats["m"]))
+    std_of = dict(zip(stats["event_type"], stats["s"]))
+
+    def f(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(t) == 0 or "event_id" not in t.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        ms = pd.Series(types).map(mean_of).to_numpy(dtype=np.float64)
+        ss = pd.Series(types).map(std_of).to_numpy(dtype=np.float64)
+        z = np.round((v - ms) / ss, 4)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2149,6 +2204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
         "t_url_norm": _t_url_norm,  # URL canonicalization, RE2 both engines
         "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
+        "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
+        "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3099,5 +3156,23 @@ SELECT src, dst FROM (
          (e.src * 131 + e.dst * 977 + 5) % 100000007 AS x
   FROM e JOIN d USING (src))
 WHERE ((x * x + x * 48271) % 100000007) * deg < 2 * 100000007
+""",
+        # buckets/cuts/hash mirror relational.stratified_qty_sample
+        "r_strat_sample": """
+WITH li AS (SELECT l_orderkey * 8 + l_linenumber AS rid, l_quantity FROM lineitem),
+c AS (SELECT quantile_disc(l_quantity,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM li)
+SELECT bucket, rid, l_quantity FROM (
+  SELECT li.rid, li.l_quantity,
+         CAST(len(list_filter(c.cuts, x -> li.l_quantity > x)) AS BIGINT) AS bucket
+  FROM li, c)
+QUALIFY row_number() OVER (
+  PARTITION BY bucket ORDER BY (rid * 48271) % 100000007, rid) <= 20
+""",
+        "r_events_zscore": """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
 """,
     }

@@ -1534,3 +1534,56 @@ def urgent_revenue_bloom(sf_dir: str, bits_per_key: int = 14) -> "ray.data.Datas
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def stratified_qty_sample(sf_dir: str, per_bucket: int = 20) -> "ray.data.Dataset":
+    """Stratified (curriculum-style) sampling: exact decile buckets of
+    ``l_quantity``, then a deterministic hash-sample of ``per_bucket``
+    rows per bucket — the balanced-by-difficulty sampling a training
+    pipeline runs over a length/score column.
+
+    Two passes, both already-gated machinery composed:
+    1. exact decile cuts via the grouped-quantile histogram combiner
+       (bounded-cardinality column; the 9-float cut list is the ONLY
+       thing the driver holds and broadcasts),
+    2. per-batch bucket assignment (searchsorted against the broadcast
+       cuts — bucket = #cuts strictly below the value, matching the
+       oracle's ``v > cut`` count), then the partial-prune per-group
+       deterministic sampler (id-hash order, ties by id).
+    """
+    from ..functions.quantiles import grouped_discrete_quantiles
+    from ..functions.sampling import deterministic_sample_per_group
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        lambda t: pa.table(
+            {
+                "rid": pc.add(
+                    pc.multiply(t.column("l_orderkey").cast(_I64), 8),
+                    t.column("l_linenumber").cast(_I64),
+                ),
+                "l_quantity": t.column("l_quantity"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    qs = tuple(q / 10 for q in range(1, 10))
+    with_g = li.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    cuts_tbl = grouped_discrete_quantiles(with_g, "_g", "l_quantity", qs=qs).to_pandas()
+    cuts = np.array([cuts_tbl[f"q{int(q * 100)}"].iloc[0] for q in qs], dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(cuts, v, side="left")  # = #cuts strictly < v
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    return deterministic_sample_per_group(
+        li.map_batches(assign, batch_format="pyarrow"),
+        "bucket",
+        "rid",
+        per_bucket,
+        {"bucket": _I64, "rid": _I64, "l_quantity": pa.float64()},
+    )
