@@ -2101,6 +2101,12 @@ def _r_events_zscore(sf_dir):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _r_events_cume(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import events_cume_dist
+
+    return events_cume_dist(sf_dir)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2206,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
         "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
+        "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3173,6 +3180,11 @@ QUALIFY row_number() OVER (
 SELECT event_id, event_type,
        round((value - avg(value) OVER (PARTITION BY event_type))
              / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
+""",
+        "r_events_cume": """
+SELECT event_id, event_type,
+       round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cd
 FROM events
 """,
     }

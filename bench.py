@@ -183,6 +183,10 @@ def run_bench() -> dict:
         "t_heavy_hitters",
         "r_bloom_semi_join",
         "t_word_entropy",
+        "t_pii_redact",
+        "e_rand_proj",
+        "r_events_zscore",
+        "g_sparsify_lineitem",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

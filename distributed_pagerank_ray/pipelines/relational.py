@@ -1587,3 +1587,74 @@ def stratified_qty_sample(sf_dir: str, per_bucket: int = 20) -> "ray.data.Datase
         per_bucket,
         {"bucket": _I64, "rid": _I64, "l_quantity": pa.float64()},
     )
+
+
+def events_cume_dist(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group cumulative distribution (SQL ``cume_dist() OVER
+    (PARTITION BY event_type ORDER BY value)``): fraction of the
+    group's rows with value <= this row's value. Chosen over
+    percent_rank because it is TIE-STABLE — a pure function of the
+    value multiset, so it's deterministic across engines.
+
+    Two passes on the quantile-combiner shape: per-(group, value)
+    histogram partials → one small grouped sum → the merged histogram
+    (bounded-cardinality assumption, same as the quantile operators)
+    becomes a broadcast searchsorted table; pass 2 is a vectorized
+    per-batch lookup. No per-group sort of the full table."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_numpy(zero_copy_only=False),
+                "v": t.column("value").to_numpy(zero_copy_only=False),
+            }
+        )
+        c = df.groupby(["g", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "g": pa.array(c["g"]),
+                "v": pa.array(c["v"].astype(np.float64)),
+                "n": pa.array(c["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .dropna(subset=["g"])
+        .sort_values(["g", "v"], kind="stable")
+    )
+    lookup: dict = {}
+    for g, sub in hist.groupby("g", sort=False):
+        vals = sub["v"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(sub["n"].to_numpy(dtype=np.int64))
+        lookup[g] = (vals, cum / cum[-1])
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "event_id" not in t.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], _I64),
+                    "event_type": pa.array([], pa.string()),
+                    "cd": pa.array([], _F64),
+                }
+            )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        cd = np.empty(len(v))
+        for g in pd.unique(types):
+            m = types == g
+            vals, frac = lookup[g]
+            cd[m] = frac[np.searchsorted(vals, v[m], side="left")]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cd": pa.array(np.round(cd, 6), _F64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

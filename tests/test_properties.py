@@ -132,3 +132,65 @@ def test_bsp_distinct_and_count_match_pandas(pairs, shards):
     assert got_pairs == sorted(set(pairs))
     exp = pd.Series([p[0] for p in pairs]).value_counts().to_dict()
     assert dict(zip(counts["a"], counts["cnt"])) == exp
+
+
+@given(
+    st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=50),
+    st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=50),
+    st.integers(1, 100),
+)
+def test_step_hash_range_and_determinism(cur, dst, step):
+    from distributed_pagerank_ray.pipelines.walks import step_hash
+
+    n = min(len(cur), len(dst))
+    c = np.array(cur[:n], dtype=np.int64)
+    d = np.array(dst[:n], dtype=np.int64)
+    h = step_hash(c, d, step)
+    assert (h >= 0).all() and (h < 100_000_007).all()
+    assert np.array_equal(h, step_hash(c, d, step))
+    # int64-exactness: recompute through Python bigints
+    for i in range(n):
+        x = (int(c[i]) * 131 + int(d[i]) * 977 + step * 7 + 1) % 100_000_007
+        assert h[i] == (x * x + x * 48271) % 100_000_007
+
+
+@given(st.integers(1, 256), st.integers(1, 32))
+@settings(max_examples=50)
+def test_sign_matrix_pure(d, k):
+    from distributed_pagerank_ray.functions.similarity import sign_matrix
+
+    S = sign_matrix(d, k)
+    assert S.shape == (d, k)
+    assert set(np.unique(S)) <= {-1.0, 1.0}
+    assert np.array_equal(S, sign_matrix(d, k))
+
+
+@given(TEXT)
+@settings(max_examples=200)
+def test_url_normalization_idempotent(s):
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.urls import normalize_url_batch
+
+    once = normalize_url_batch(pa.table({"url": [s]})).column("url_norm").to_pylist()[0]
+    twice = (
+        normalize_url_batch(pa.table({"url": [once]})).column("url_norm").to_pylist()[0]
+    )
+    assert twice == once
+
+
+@given(TEXT)
+@settings(max_examples=200)
+def test_pii_redaction_idempotent_and_clean(s):
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.textstats import redact_pii_batch
+
+    out = redact_pii_batch(pa.table({"text": [s]}))
+    red = out.column("text_redacted").to_pylist()[0]
+    again = redact_pii_batch(pa.table({"text": [red]}))
+    # a redacted text has no remaining matches and is a fixed point
+    assert again.column("text_redacted").to_pylist()[0] == red
+    assert again.column("n_email").to_pylist()[0] == 0
+    assert again.column("n_ip").to_pylist()[0] == 0
+    assert again.column("n_phone").to_pylist()[0] == 0
