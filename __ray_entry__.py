@@ -2107,6 +2107,13 @@ def _r_events_cume(sf_dir):
     return events_cume_dist(sf_dir)
 
 
+def _t_word_pmi(sf_dir):
+    """Windowed word co-occurrence PMI (phrase-mining statistics)."""
+    from distributed_pagerank_ray.functions.textstats import word_pair_pmi
+
+    return word_pair_pmi(_docs(sf_dir), window=2, min_count=5)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2213,6 +2220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "t_word_pmi": _t_word_pmi,  # windowed co-occurrence PMI phrase mining
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3186,5 +3194,29 @@ FROM events
 SELECT event_id, event_type,
        round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cd
 FROM events
+""",
+        # tokenizer/window/formula mirror textstats.word_pair_pmi
+        "t_word_pmi": r"""
+WITH w AS (
+  SELECT doc_id, g.i AS word_no, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+pr AS (
+  SELECT least(a.word, b.word) AS a, greatest(a.word, b.word) AS b, count(*) AS n
+  FROM w a JOIN w b
+    ON a.doc_id = b.doc_id AND b.word_no > a.word_no AND b.word_no <= a.word_no + 2
+  GROUP BY 1, 2
+),
+wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+tot AS (SELECT (SELECT count(*) FROM w) AS nw, (SELECT sum(n) FROM pr) AS np)
+SELECT pr.a, pr.b, CAST(pr.n AS BIGINT) AS n,
+       round(log2((pr.n * 1.0 / tot.np) / ((ca.c * 1.0 / tot.nw) * (cb.c * 1.0 / tot.nw))), 6) AS pmi
+FROM pr
+JOIN wc ca ON ca.word = pr.a
+JOIN wc cb ON cb.word = pr.b
+CROSS JOIN tot
+WHERE pr.n >= 5
 """,
     }

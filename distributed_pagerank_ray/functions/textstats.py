@@ -857,3 +857,142 @@ def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
         return pa.table({"doc_id": t.column("doc_id"), "text_pruned": joined})
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def word_pair_pmi(
+    ds: "object",
+    window: int = 2,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+) -> "object":
+    """Windowed word co-occurrence PMI (word2phrase-style phrase
+    mining): for unordered word pairs co-occurring within ``window``
+    positions, pmi = log2( p(a,b) / (p(a)·p(b)) ), over pairs with
+    n(a,b) ≥ min_count.
+
+    Scale shape: vectorized whitespace explode, ONE self-join on doc
+    id (fan-out ≤ window·words per doc), per-batch pair-count partials
+    where words are order-preserving dictionary-encoded so the min/max
+    pair canonicalization runs on int codes, then one grouped sum whose
+    key space is vocab-bounded (the same documented assumption as the
+    heavy-hitters and quantile combiners) and a final driver gather of
+    that vocab-bounded table to attach totals. ASCII corpora only for
+    exact SQL tie parity (Python codepoint order == DuckDB binary
+    collation there).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import compact_for_join, ensure_schema
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column(text_col), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten()
+        doc_ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), lengths)
+        ordinals = (
+            np.concatenate([np.arange(1, n + 1) for n in lengths])
+            if len(t)
+            else np.zeros(0, dtype=np.int64)
+        )
+        w = flat.to_numpy(zero_copy_only=False)
+        keep = w != ""
+        return pa.table(
+            {
+                "doc": pa.array(doc_ids[keep]),
+                "pos": pa.array(ordinals[keep]),
+                "w": pa.array(w[keep], pa.string()),
+            }
+        )
+
+    words = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    left = words.map_batches(
+        lambda t: pa.table({"doc": t.column("doc"), "i": t.column("pos"), "a": t.column("w")})
+        if "doc" in t.column_names
+        else pa.table({"doc": pa.array([], pa.int64()), "i": pa.array([], pa.int64()), "a": pa.array([], pa.string())}),
+        batch_format="pyarrow",
+    )
+    right = words.map_batches(
+        lambda t: pa.table({"doc2": t.column("doc"), "j": t.column("pos"), "b": t.column("w")})
+        if "doc" in t.column_names
+        else pa.table({"doc2": pa.array([], pa.int64()), "j": pa.array([], pa.int64()), "b": pa.array([], pa.string())}),
+        batch_format="pyarrow",
+    )
+    joined = compact_for_join(left, num_partitions).join(
+        compact_for_join(right, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc",),
+        right_on=("doc2",),
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        j = t.column("j").to_numpy(zero_copy_only=False)
+        m = (j > i) & (j - i <= window)
+        a = t.column("a").to_numpy(zero_copy_only=False)[m]
+        b = t.column("b").to_numpy(zero_copy_only=False)[m]
+        # order-preserving dictionary encode: min/max on int codes
+        cats = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(cats, a)
+        cb = np.searchsorted(cats, b)
+        lo = np.minimum(ca, cb)
+        hi = np.maximum(ca, cb)
+        df = pd.DataFrame({"lo": lo, "hi": hi}).groupby(["lo", "hi"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "a": pa.array(cats[df["lo"].to_numpy()], pa.string()),
+                "b": pa.array(cats[df["hi"].to_numpy()], pa.string()),
+                "n": pa.array(df["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    pairs = (
+        joined.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .dropna(subset=["a"])
+    )
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "w" not in t.column_names:
+            return pa.table({"w": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        vc = pd.Series(t.column("w").to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {"w": pa.array(vc.index.to_numpy(), pa.string()), "c": pa.array(vc.to_numpy(dtype=np.int64))}
+        )
+
+    wc = (
+        words.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .dropna(subset=["w"])
+    )
+    count_of = dict(zip(wc["w"], wc["c"]))
+    n_words = float(wc["c"].sum())
+    n_pairs = float(pairs["n"].sum())
+
+    kept = pairs[pairs["n"] >= min_count].copy()
+    ca = kept["a"].map(count_of).to_numpy(dtype=np.float64)
+    cb = kept["b"].map(count_of).to_numpy(dtype=np.float64)
+    n = kept["n"].to_numpy(dtype=np.float64)
+    pmi = np.round(np.log2((n / n_pairs) / ((ca / n_words) * (cb / n_words))), 6)
+    out = pa.table(
+        {
+            "a": pa.array(kept["a"].to_numpy(), pa.string()),
+            "b": pa.array(kept["b"].to_numpy(), pa.string()),
+            "n": pa.array(kept["n"].to_numpy(dtype=np.int64)),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(out)

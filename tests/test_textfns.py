@@ -209,3 +209,42 @@ def test_normalize_url_batch():
         "mixed.case.org",
         "",
     ]
+
+
+def test_word_pair_pmi_brute_force():
+    import math
+
+    from distributed_pagerank_ray.functions.textstats import word_pair_pmi
+
+    docs = [
+        {"doc_id": 0, "text": "a b a b a b c"},
+        {"doc_id": 1, "text": "b a b a x y"},
+        {"doc_id": 2, "text": "a b a b"},
+    ]
+    # brute force
+    from collections import Counter
+
+    wc: Counter = Counter()
+    prc: Counter = Counter()
+    for d in docs:
+        ws = [w for w in d["text"].split() if w]
+        wc.update(ws)
+        for i in range(len(ws)):
+            for j in range(i + 1, min(i + 3, len(ws))):
+                prc[tuple(sorted((ws[i], ws[j])))] += 1
+    nw = sum(wc.values())
+    np_ = sum(prc.values())
+    want = {}
+    for (a, b), n in prc.items():
+        if n >= 2:
+            want[(a, b)] = (
+                n,
+                round(math.log2((n / np_) / ((wc[a] / nw) * (wc[b] / nw))), 6),
+            )
+
+    ds = ray.data.from_items(docs)
+    got = {
+        (r["a"], r["b"]): (r["n"], r["pmi"])
+        for r in word_pair_pmi(ds, window=2, min_count=2, num_partitions=2).take_all()
+    }
+    assert got == want
