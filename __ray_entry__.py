@@ -2114,6 +2114,82 @@ def _t_word_pmi(sf_dir):
     return word_pair_pmi(_docs(sf_dir), window=2, min_count=5)
 
 
+def _e_label_centroids(sf_dir):
+    """Per-label embedding centroids (mean pooling): mergeable
+    (sum-vector, count) partials per batch; only labels × d floats ever
+    leave a task. Output one row per (label, dimension) so the SQL
+    twin is a plain grouped average over the exploded column."""
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from distributed_pagerank_ray.functions.similarity import _batch_matrix
+
+        if len(t) == 0 or "label" not in t.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        E = _batch_matrix(t, "embedding")
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = E.shape[1]
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, E)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "c": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    grouped = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "j"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .map_batches(
+            ensure_schema(
+                {"label": pa.int64(), "j": pa.int64(), "s": pa.float64(), "c": pa.int64()}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "label" not in t.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.float64()),
+                }
+            )
+        m = np.round(
+            t.column("s").to_numpy(zero_copy_only=False)
+            / t.column("c").to_numpy(zero_copy_only=False),
+            6,
+        )
+        return pa.table(
+            {"label": t.column("label"), "j": t.column("j"), "m": pa.array(m, pa.float64())}
+        )
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2221,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
         "t_word_pmi": _t_word_pmi,  # windowed co-occurrence PMI phrase mining
+        "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3218,5 +3295,13 @@ JOIN wc ca ON ca.word = pr.a
 JOIN wc cb ON cb.word = pr.b
 CROSS JOIN tot
 WHERE pr.n >= 5
+""",
+        "e_label_centroids": """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, g.j AS j,
+         CAST(embedding[g.j + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS g(j)
+)
+SELECT label, j, round(avg(v), 6) AS m FROM e GROUP BY label, j
 """,
     }
