@@ -2190,6 +2190,12 @@ def _e_label_centroids(sf_dir):
     return grouped.map_batches(finish, batch_format="pyarrow")
 
 
+def _r_hourly_users(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import hourly_distinct_users
+
+    return hourly_distinct_users(sf_dir)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2298,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
         "t_word_pmi": _t_word_pmi,  # windowed co-occurrence PMI phrase mining
         "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
+        "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3303,5 +3310,10 @@ WITH e AS (
   FROM embeddings, UNNEST(range(len(embedding))) AS g(j)
 )
 SELECT label, j, round(avg(v), 6) AS m FROM e GROUP BY label, j
+""",
+        "r_hourly_users": """
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
 """,
     }

@@ -1658,3 +1658,45 @@ def events_cume_dist(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hourly_distinct_users(sf_dir: str, num_shards: int = 8) -> "ray.data.Dataset":
+    """Windowed DISTINCT counting: distinct users per tumbling hour —
+    the shape behind DAU/HAU-style reach metrics. The (hour, user)
+    dedup runs on the distinct-pair BSP (hour index packs with the
+    user id; both < 2^31), then the per-hour count BSP — no row-level
+    two-column groupby, no per-window set on the driver."""
+    from ..util import count_i64_keys, distinct_i64_pairs
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hrs = (
+            pc.floor_temporal(t.column("ts"), unit="hour")
+            .cast(pa.int64())  # µs since epoch
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000  # hour index: fits [0, 2^31) for any real ts
+        )
+        return pa.table(
+            {"h": pa.array(hrs), "u": t.column("user_id").cast(_I64)}
+        )
+
+    pairs = distinct_i64_pairs(
+        ds.map_batches(bucket, batch_format="pyarrow"), "h", "u", num_shards=num_shards
+    )
+    counts = count_i64_keys(pairs, "h", num_shards=num_shards, count_col="n_users")
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "h" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n_users": pa.array([], _I64),
+                }
+            )
+        ts = (t.column("h").to_numpy(zero_copy_only=False) * 3_600_000_000).astype(
+            "datetime64[us]"
+        )
+        return pa.table({"window_start": pa.array(ts), "n_users": t.column("n_users")})
+
+    return counts.map_batches(fin, batch_format="pyarrow")
