@@ -538,12 +538,27 @@ def update_graph(
     old = _tables_from_done(old_run_dir, old_meta, run_cfg.shard_rows, GraphSemantics())
     semantics, shard_rows = old.semantics, old.shard_rows
 
+    old_vmap_path = os.path.join(old_run_dir, "graph", "vertex_map")
+    if not os.path.isdir(old_vmap_path):
+        raise ValueError(
+            "update_graph needs a minted base graph (vertex_map missing — "
+            "dense fast-path builds have no url→id map to extend)"
+        )
+
     graph_dir = os.path.join(out_run_dir, "graph")
     done = os.path.join(graph_dir, "_DONE.json")
     if os.path.exists(done):
         with open(done) as fh:
             meta = json.load(fh)
         return _tables_from_done(out_run_dir, meta, shard_rows, semantics)
+    if os.path.isdir(graph_dir):
+        # a crashed half-run left partial files; a rerun re-derives
+        # everything, and appending would DOUBLE vertex_map/edge rows —
+        # restart from a clean version dir (the _DONE guard above keeps
+        # completed versions immutable)
+        import shutil
+
+        shutil.rmtree(graph_dir)
     os.makedirs(graph_dir, exist_ok=True)
 
     links = new_links.select_columns([src_col, dst_col]).materialize()
@@ -554,7 +569,6 @@ def update_graph(
     keys = links.map_batches(_as_key(src_col), batch_format="pyarrow").union(
         links.map_batches(_as_key(dst_col), batch_format="pyarrow")
     )
-    old_vmap_path = os.path.join(old_run_dir, "graph", "vertex_map")
     old_keys = ray.data.read_parquet(old_vmap_path).map_batches(
         lambda t: pa.table({"key2": t.column("key")}), batch_format="pyarrow"
     )

@@ -109,3 +109,31 @@ def test_update_is_idempotent_and_versioned():
         base, _links([("u/x", "u/y"), ("u/y", "u/x")]), upd3, check_duplicates=False
     )
     assert g3.n == g0.n + 2 and g3.m == g0.m + 2
+
+
+def test_update_rerun_after_partial_crash_is_clean():
+    import os
+
+    base = tempfile.mkdtemp(prefix="dpr_upd3_base_")
+    upd = tempfile.mkdtemp(prefix="dpr_upd3_inc_")
+    build_graph(_links(BATCH_A), base)
+    # simulate a crashed half-run: partial files, no _DONE
+    gd = os.path.join(upd, "graph")
+    os.makedirs(os.path.join(gd, "vertex_map"))
+    with open(os.path.join(gd, "vertex_map", "stale.parquet"), "w") as fh:
+        fh.write("junk")
+    g1 = update_graph(base, _links(BATCH_B), upd)
+    full = tempfile.mkdtemp(prefix="dpr_upd3_full_")
+    gf = build_graph(_links(BATCH_A + BATCH_B), full)
+    assert (g1.n, g1.m) == (gf.n, gf.m)
+    assert _url_edges(upd, g1) == _url_edges(full, gf)
+    # a base without any vertex_map is rejected with a clear error
+    import shutil
+
+    import pytest
+
+    broken = tempfile.mkdtemp(prefix="dpr_upd3_broken_")
+    shutil.copytree(os.path.join(base, "graph"), os.path.join(broken, "graph"))
+    shutil.rmtree(os.path.join(broken, "graph", "vertex_map"))
+    with pytest.raises(ValueError, match="vertex_map"):
+        update_graph(broken, _links(BATCH_B), tempfile.mkdtemp(prefix="dpr_upd3_x_"))
