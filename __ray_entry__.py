@@ -2196,6 +2196,22 @@ def _r_hourly_users(sf_dir):
     return hourly_distinct_users(sf_dir)
 
 
+def _t_pack_seqs(sf_dir):
+    """Token-budget sequence packing over doc_id order — the
+    distributed prefix-scan primitive (two-pass, O(blocks) driver
+    state) feeding LLM training-shard layout."""
+    from distributed_pagerank_ray.functions.sampling import pack_sequences
+    from distributed_pagerank_ray.functions.textstats import token_count_batch
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: token_count_batch(t.select(["doc_id", "text"])).select(
+            ["doc_id", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(docs, budget=500)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2305,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_word_pmi": _t_word_pmi,  # windowed co-occurrence PMI phrase mining
         "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
+        "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3315,5 +3332,18 @@ SELECT label, j, round(avg(v), 6) AS m FROM e GROUP BY label, j
 SELECT date_trunc('hour', ts) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
+""",
+        # tokenizer matches t_token_counts; seq = prev-cumsum // budget (pure int)
+        "t_pack_seqs": """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500 AS seq_id
+FROM t
 """,
     }

@@ -111,3 +111,66 @@ def deterministic_sample_per_group(
         .map_groups(final, batch_format="pandas")
         .map_batches(ensure_schema(out_schema), batch_format="pyarrow")
     )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> "ray.data.Dataset":
+    """Sequential token-budget packing: documents in ``id_col`` order
+    are laid head-to-tail and each is assigned to the training sequence
+    its FIRST token lands in — ``seq_id = prev_cumsum // budget``. The
+    deterministic, SQL-exact (pure int) cousin of context-window
+    packing for LLM training shards.
+
+    The engine primitive underneath is a DISTRIBUTED PREFIX SCAN, the
+    same two-pass shape as ``graphbuild.mint_dense_ids``: sort by id,
+    (pass 1) per-block (first_id, block_sum) — one tiny row per block
+    to the driver — prefix offsets computed there, (pass 2) per-block
+    vectorized cumsum + offset. O(blocks) driver state, never O(rows).
+    """
+    sorted_ds = ds.sort(id_col).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "first": t.column(id_col).slice(0, 1).cast(pa.int64()),
+                "s": pa.array(
+                    [int(t.column(tokens_col).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    meta = sorted_ds.map_batches(block_meta, batch_size=None, batch_format="pyarrow").take_all()
+    meta.sort(key=lambda m: m["first"])
+    offsets: dict = {}
+    acc = 0
+    for m in meta:
+        offsets[m["first"]] = acc
+        acc += m["s"]
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    tokens_col: pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                }
+            )
+        n = t.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = offsets[int(t.column(id_col)[0].as_py())] + np.cumsum(n) - n
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                tokens_col: pa.array(n),
+                "seq_id": pa.array(prev // budget),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_size=None, batch_format="pyarrow")

@@ -85,3 +85,26 @@ def test_deterministic_split_partitions_and_fractions():
     assert 0.77 < frac["train"] < 0.83 and 0.08 < frac["val"] < 0.12 and 0.08 < frac["test"] < 0.12
     with pytest.raises(ValueError):
         deterministic_split(ds, "event_id", {"a": 0.5, "b": 0.4})
+
+
+def test_pack_sequences_multiblock_prefix_scan():
+    import numpy as np
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.sampling import pack_sequences
+
+    rng = np.random.RandomState(5)
+    n = 1000
+    toks = rng.randint(1, 90, n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "n_tokens": pa.array(toks)})
+    ).repartition(7)  # force the multi-block offset path
+    got = (
+        pack_sequences(ds, budget=256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    prev = np.cumsum(toks) - toks
+    assert np.array_equal(got["seq_id"].to_numpy(), prev // 256)
+    assert np.array_equal(got["n_tokens"].to_numpy(), toks)
