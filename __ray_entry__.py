@@ -2212,6 +2212,87 @@ def _t_pack_seqs(sf_dir):
     return pack_sequences(docs, budget=500)
 
 
+def _r_table_stats(sf_dir):
+    """ANALYZE-style column statistics over events' numeric columns:
+    row count, null count, min, max (per-batch partials folded by one
+    tiny aggregate) and EXACT distinct-value counts via the count BSP
+    over each column's int64 bit pattern (distinct doubles == distinct
+    bit patterns, NaN-free column). One stats row per column — the
+    planner-facing metadata an engine collects before join ordering."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from distributed_pagerank_ray.util import count_i64_keys, ensure_schema
+
+    cols = ["event_id", "user_id", "value"]
+    # one narrow read shared by the fold and the three NDV passes
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"col": [], "n": [], "n_null": [], "vmin": [], "vmax": []}
+        for c in cols:
+            a = t.column(c)
+            v = a.to_numpy(zero_copy_only=False).astype(np.float64)
+            nn = int(pa.compute.count(a, mode="only_null").as_py())
+            ok = v[~np.isnan(v)] if nn else v
+            rows["col"].append(c)
+            rows["n"].append(len(a))
+            rows["n_null"].append(nn)
+            rows["vmin"].append(float(ok.min()) if len(ok) else np.inf)
+            rows["vmax"].append(float(ok.max()) if len(ok) else -np.inf)
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "vmin": pa.array(rows["vmin"], pa.float64()),
+                "vmax": pa.array(rows["vmax"], pa.float64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+        )
+        .to_pandas()
+        .dropna(subset=["col"])
+    )
+
+    ndv = {}
+    for c in cols:
+        bits = ds.map_batches(
+            lambda t, _c=c: pa.table(
+                {
+                    "k": pa.array(
+                        t.column(_c)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        .view(np.int64)
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ndv[c] = count_i64_keys(bits, "k", num_shards=4).count()
+
+    folded = folded.sort_values("col")
+    return pa.table(
+        {
+            "col": pa.array(folded["col"], pa.string()),
+            "n": pa.array(folded["n"].to_numpy(dtype=np.int64)),
+            "n_null": pa.array(folded["n_null"].to_numpy(dtype=np.int64)),
+            "vmin": pa.array(np.round(folded["vmin"].to_numpy(dtype=np.float64), 6)),
+            "vmax": pa.array(np.round(folded["vmax"].to_numpy(dtype=np.float64), 6)),
+            "ndv": pa.array([ndv[c] for c in folded["col"]], pa.int64()),
+        }
+    )
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2322,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan
+        "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3345,5 +3427,25 @@ SELECT doc_id, n_tokens,
        (SUM(n_tokens) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500 AS seq_id
 FROM t
+""",
+        "r_table_stats": """
+SELECT 'event_id' AS col, count(*) AS n,
+       count(*) - count(event_id) AS n_null,
+       round(CAST(min(event_id) AS DOUBLE), 6) AS vmin,
+       round(CAST(max(event_id) AS DOUBLE), 6) AS vmax,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS ndv
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       round(CAST(min(user_id) AS DOUBLE), 6),
+       round(CAST(max(user_id) AS DOUBLE), 6),
+       CAST(count(DISTINCT user_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       round(CAST(min(value) AS DOUBLE), 6),
+       round(CAST(max(value) AS DOUBLE), 6),
+       CAST(count(DISTINCT value) AS BIGINT)
+FROM events
 """,
     }
