@@ -1670,6 +1670,49 @@ def _x_incremental_update(sf_dir):
     )
 
 
+def _x_compact(sf_dir):
+    """Small-file compaction in the gate (rows-only: filesystem
+    artifact): spray events across 16 small files, compact, verify the
+    row multiset is IDENTICAL (sorted content hash) and the file count
+    dropped to 1. Raises on any violation."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from distributed_pagerank_ray.sources.sink import compact_parquet_dir
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = tempfile.mkdtemp(prefix="dpr_compactgate_") + "/files"
+    src.repartition(16).write_parquet(out)
+
+    def content_hash(p):
+        t = pq.read_table(p).to_pandas().sort_values("event_id").reset_index(drop=True)
+        return hashlib.md5(t.to_csv(index=False).encode()).hexdigest(), len(t)
+
+    before_hash, before_rows = content_hash(out)
+    stats = compact_parquet_dir(out, target_rows_per_file=10_000_000)
+    after_hash, after_rows = content_hash(out)
+    if (before_hash, before_rows) != (after_hash, after_rows):
+        raise AssertionError("compaction changed content")
+    if stats["files_after"] >= stats["files_before"] or stats["files_after"] != 1:
+        raise AssertionError(f"compaction did not reduce files: {stats}")
+    if os.path.exists(out + ".old") or os.path.exists(out + ".compact.tmp"):
+        raise AssertionError("compaction left temp dirs behind")
+    return pa.table(
+        {
+            "check": ["files_before", "files_after", "rows"],
+            "value": pa.array(
+                [stats["files_before"], stats["files_after"], stats["rows"]], pa.int64()
+            ),
+        }
+    )
+
+
 def _x_resumable_sink(sf_dir):
     """Resumable partitioned sink in the gate (rows-only: output is a
     filesystem artifact): write events partitioned by event_type,
@@ -2345,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_host_graph": _x_host_graph,  # rows-only + in-query DuckDB self-gate
         "x_resumable_sink": _x_resumable_sink,  # rows-only + in-query resume assertion
         "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
+        "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,

@@ -106,3 +106,39 @@ def resumable_write_parquet(
         return pa.table({col: pa.array([value]), "n_rows": pa.array([len(t)], pa.int64())})
 
     return ds.groupby(partition_col).map_groups(write_group, batch_format="pyarrow")
+
+
+def compact_parquet_dir(
+    path: str, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """Small-file compaction: rewrite a flat Parquet directory (the
+    kind an append-style writer — e.g. repeated ``update_graph``
+    increments hardlinking ``base_*`` files next to deltas — grows one
+    file at a time) into ``ceil(rows / target_rows_per_file)`` files.
+
+    Content-preserving (same multiset of rows; row order is not part
+    of the contract) and crash-safe without in-place writes: the
+    compacted copy lands in ``<path>.compact.tmp``, then two renames
+    swing it live (``<path>`` → ``<path>.old`` → removed). A crash
+    between the renames leaves ``<path>.old`` intact — ``recover``
+    semantics: if ``path`` is missing but ``<path>.old`` exists,
+    rename it back. Returns {files_before, files_after, rows}.
+    """
+    import ray.data
+
+    files_before = sum(
+        1 for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    ds = ray.data.read_parquet(path).materialize()
+    rows = ds.count()
+    n_files = max(1, -(-rows // target_rows_per_file))
+    tmp = path + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.repartition(n_files).write_parquet(tmp)
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
