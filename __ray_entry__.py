@@ -1713,6 +1713,52 @@ def _x_compact(sf_dir):
     )
 
 
+def _x_line_dedup(sf_dir):
+    """Boilerplate-line removal over the REAL extracted-text corpus
+    (rows-only: corpus isn't a DuckDB view). In-query gate: an exact
+    driver-side brute force over the same 64 pages must match the
+    engine's rebuilt text byte-for-byte; raises on any diff. Returns
+    (url, n_lines_kept)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import prune_frequent_lines
+    from distributed_pagerank_ray.sources.corpus import corpus_dir
+
+    cdir = corpus_dir("tiny")
+    pages = ray.data.read_parquet(f"{cdir}/pages.parquet", columns=["url", "text"])
+    got = {
+        r["url"]: r["text_pruned"]
+        for r in prune_frequent_lines(pages, min_df=2, id_col="url").take_all()
+    }
+
+    gold = pq.read_table(f"{cdir}/pages.parquet", columns=["url", "text"]).to_pydict()
+    df: Counter = Counter()
+    for x in gold["text"]:
+        df.update(set(x.split("\n")))
+    want = {}
+    for u, x in zip(gold["url"], gold["text"]):
+        kept = [l for l in x.split("\n") if l != "" and df[l] < 2]
+        want[u] = "\n".join(kept)
+    if got != want:
+        bad = [u for u in want if got.get(u) != want[u]][:3]
+        raise AssertionError(f"line-dedup mismatch on {len(bad)}+ pages, e.g. {bad}")
+    if not any(len(want[u]) < len(x) for u, x in zip(gold["url"], gold["text"])):
+        raise AssertionError("gate degenerate: no page lost a line")
+    out = sorted(
+        (u, len(v.split("\n")) if v else 0) for u, v in got.items()
+    )
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in out], pa.string()),
+            "n_lines_kept": pa.array([n for _, n in out], pa.int64()),
+        }
+    )
+
+
 def _x_resumable_sink(sf_dir):
     """Resumable partitioned sink in the gate (rows-only: output is a
     filesystem artifact): write events partitioned by event_type,
@@ -2389,6 +2435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_resumable_sink": _x_resumable_sink,  # rows-only + in-query resume assertion
         "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
         "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
+        "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
         # relational surface (SURVEY §2.5)
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,

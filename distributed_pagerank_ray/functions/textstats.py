@@ -779,20 +779,53 @@ def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
     """Vocabulary-pruned text rewrite: drop every word whose DOCUMENT
     FREQUENCY exceeds ``max_df_frac`` of the corpus (the C4/CCNet-style
     stopword/boilerplate pruning step), rebuilding each document's text
-    from the surviving words in order.
+    from the surviving words in order. See ``_prune_frequent_units``
+    for the scale shape; ``prune_frequent_lines`` is the line-level
+    sibling (RefinedWeb-style boilerplate removal)."""
+    n_docs = ds.count()
+    thresh = max_df_frac * n_docs
+    return _prune_frequent_units(
+        ds, split_pattern=r"\s+", join_str=" ", df_cut=thresh, inclusive=False,
+        out_col="text_pruned",
+    )
 
-    Scale shape:
+
+def prune_frequent_lines(
+    ds: "object", min_df: int = 2, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Boilerplate LINE removal (RefinedWeb/CCNet-style): drop every
+    line occurring in ``min_df`` or more documents (nav bars, footers,
+    cookie banners), rebuilding each document from its surviving
+    non-empty lines. Same hybrid shape as the word-level pruner."""
+    return _prune_frequent_units(
+        ds, split_pattern=r"\n", join_str="\n", df_cut=float(min_df),
+        inclusive=True, out_col="text_pruned", id_col=id_col, text_col=text_col,
+    )
+
+
+def _prune_frequent_units(
+    ds: "object",
+    split_pattern: str,
+    join_str: str,
+    df_cut: float,
+    inclusive: bool,
+    out_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Shared document-frequency pruning core (words or lines):
+
     1. df counts: each doc lives in one row, so per-batch DISTINCT
-       (doc, word-hash) partials are globally exact; a weighted count
+       (doc, unit-hash) partials are globally exact; a weighted count
        BSP sums them — O(vocab × blocks) exchange;
-    2. the hot set (df > threshold) is by construction SMALL (words
+    2. the hot set (df over the cut) is by construction SMALL (units
        frequent across documents — stopwords/boilerplate) and
        broadcasts as one sorted hash array;
-    3. one rewrite pass: explode, drop hot words with a searchsorted
+    3. one rewrite pass: explode, drop hot units with a searchsorted
        mask, reassemble per doc via Arrow ``binary_join`` on a rebuilt
        ListArray — no per-row Python string joins.
 
-    Returns (doc_id, text_pruned) for EVERY doc ('' when everything was
+    Returns (id_col, out_col) for EVERY doc ('' when everything was
     pruned or the doc was empty)."""
     import ray
     import ray.data
@@ -800,12 +833,11 @@ def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
     from ..util import count_i64_keys
     from .dedup import hash_str_array
 
-    n_docs = ds.count()
-    thresh = max_df_frac * n_docs
+    thresh = df_cut
 
     def df_partial(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t.column("text"), "")
-        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        text = pc.fill_null(t.column(text_col), "")
+        parts = pc.split_pattern_regex(text, pattern=split_pattern)
         lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
@@ -821,8 +853,9 @@ def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
     df = count_i64_keys(
         ds.map_batches(df_partial, batch_format="pyarrow"), "h", count_col="df", weight_col="pc_"
     )
+    cmp = pc.greater_equal if inclusive else pc.greater
     hot = df.map_batches(
-        lambda t: t.filter(pc.greater(t.column("df"), thresh)).select(["h"]),
+        lambda t: t.filter(cmp(t.column("df"), thresh)).select(["h"]),
         batch_format="pyarrow",
     )
     hot_arr = np.sort(
@@ -835,8 +868,8 @@ def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
 
     def rewrite(t: pa.Table) -> pa.Table:
         hs = ray.get(hot_ref)
-        text = pc.fill_null(t.column("text"), "")
-        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        text = pc.fill_null(t.column(text_col), "")
+        parts = pc.split_pattern_regex(text, pattern=split_pattern)
         lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
@@ -853,8 +886,8 @@ def prune_frequent_words(ds: "object", max_df_frac: float = 0.4):
         offsets = np.zeros(len(t) + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:])
         la = pa.ListArray.from_arrays(pa.array(offsets), pa.array(words, pa.string()))
-        joined = pc.binary_join(la, " ")
-        return pa.table({"doc_id": t.column("doc_id"), "text_pruned": joined})
+        joined = pc.binary_join(la, join_str)
+        return pa.table({id_col: t.column(id_col), out_col: joined})
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
 

@@ -248,3 +248,24 @@ def test_word_pair_pmi_brute_force():
         for r in word_pair_pmi(ds, window=2, min_count=2, num_partitions=2).take_all()
     }
     assert got == want
+
+
+def test_prune_frequent_lines():
+    from distributed_pagerank_ray.functions.textstats import prune_frequent_lines
+
+    docs = [
+        {"doc_id": 0, "text": "keep me\ncookie banner\nunique zero"},
+        {"doc_id": 1, "text": "cookie banner\nunique one\n\nfooter"},
+        {"doc_id": 2, "text": "footer\nunique two\ncookie banner"},
+        {"doc_id": 3, "text": ""},
+    ]
+    got = {
+        r["doc_id"]: r["text_pruned"]
+        for r in prune_frequent_lines(ray.data.from_items(docs), min_df=2).take_all()
+    }
+    assert got == {
+        0: "keep me\nunique zero",
+        1: "unique one",  # empty line dropped too (df of '' is 1 here but blank units always go)
+        2: "unique two",
+        3: "",
+    }
