@@ -131,7 +131,10 @@ def global_clustering(
 
 
 def two_hop_counts(
-    edges: "ray.data.Dataset", num_partitions: int = 8, num_shards: int = 16
+    edges: "ray.data.Dataset",
+    num_partitions: int = 8,
+    num_shards: int = 16,
+    max_relay_degree: int | None = None,
 ) -> "ray.data.Dataset":
     """Distinct ≤2-hop neighborhood size per vertex (friends-of-friends):
     n2(v) = |{u ≠ v : dist(v, u) ≤ 2 following edge direction}|.
@@ -141,10 +144,14 @@ def two_hop_counts(
     (sorted-unique packed keys routed per shard — not a two-column row
     groupby, ~20 s/M rows on this Ray version), then the count BSP per
     source. Falls back to the plain groupby pair-distinct when vertex
-    ids exceed the [0, 2^31) packing bound. Hub relays fan out
-    quadratically by nature of the metric — at web scale cap or sample
-    hub neighbor lists upstream (same max_bucket posture as the LSH
-    candidate generators).
+    ids exceed the [0, 2^31) packing bound.
+
+    Hub relays fan out quadratically by nature of the metric;
+    ``max_relay_degree`` bounds it (the LSH ``max_bucket`` posture):
+    relays with out-degree above the cap contribute NO 2-hop pairs
+    (their 1-hop edges still count). ``None`` = exact/unbounded —
+    at web scale set the cap (or sparsify upstream) so one celebrity
+    hub can't emit |in|×|out| pairs.
     """
     from ray.exceptions import RayTaskError
 
@@ -166,6 +173,42 @@ def two_hop_counts(
         else pa.table({"m2": pa.array([], _I64), "b": pa.array([], _I64)}),
         batch_format="pyarrow",
     )
+    if max_relay_degree is not None:
+        # drop hub relays BEFORE the join: their |in|×|out| pair fan-out
+        # is the one quadratic term in this metric
+        deg = count_i64_keys(
+            right.map_batches(
+                lambda t: pa.table({"m2": t.column("m2")})
+                if "m2" in t.column_names
+                else pa.table({"m2": pa.array([], _I64)}),
+                batch_format="pyarrow",
+            ),
+            "m2",
+            num_shards=num_shards,
+            count_col="_deg",
+        )
+        ok = deg.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t.column("_deg").to_numpy(zero_copy_only=False) <= max_relay_degree
+                )
+            ).select(["m2"])
+            if "m2" in t.column_names and len(t)
+            else pa.table({"m2": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: pa.table({"m3": t.column("m2")})
+            if "m2" in t.column_names
+            else pa.table({"m3": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        )
+        right = compact_for_join(right, num_partitions).join(
+            compact_for_join(ok, num_partitions),
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("m2",),
+            right_on=("m3",),
+        )
     two = compact_for_join(e, num_partitions).join(
         compact_for_join(right, num_partitions),
         join_type="inner",

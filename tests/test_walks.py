@@ -156,3 +156,36 @@ def test_sparsify_edges_caps_degree():
         for r in sparsify_edges(ds, k=8, num_partitions=2, num_shards=2).take_all()
     ]
     assert sorted(kept) == sorted(kept2)
+
+
+def test_two_hop_relay_cap():
+    from distributed_pagerank_ray.pipelines.metrics import two_hop_counts
+
+    # hub 100 relays 0..9 -> 200..209; plus a quiet chain 1->2->3
+    edges = [(i, 100) for i in range(10)] + [(100, 200 + i) for i in range(10)]
+    edges += [(1, 2), (2, 3)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    )
+    # unbounded: source 0 reaches {100} + 10 hub targets = 11
+    exact = {
+        r["id"]: r["n2"]
+        for r in two_hop_counts(ds, num_partitions=2, num_shards=2).take_all()
+    }
+    assert exact[0] == 11
+    assert exact[1] == 13  # {100,2} + hub's 10 + {3}
+    # capped at 5: the hub (deg 10) contributes no 2-hop pairs
+    capped = {
+        r["id"]: r["n2"]
+        for r in two_hop_counts(
+            ds, num_partitions=2, num_shards=2, max_relay_degree=5
+        ).take_all()
+    }
+    assert capped[0] == 1  # only the 1-hop edge to the hub survives
+    assert capped[1] == 3  # {100, 2, 3} - quiet relay 2 (deg 1) unaffected
+    assert capped[2] == 2  # {100, 3} (2 -> 100 exists too; hub pairs dropped)
