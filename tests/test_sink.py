@@ -77,3 +77,29 @@ def test_noop_when_all_done(tmp_path):
     resumable_write_parquet(_ds(), out, "day").to_pandas()
     res = resumable_write_parquet(_ds(), out, "day").to_pandas()
     assert len(res) == 0
+
+
+def test_compact_parquet_dir_preserves_content():
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.sources.sink import compact_parquet_dir
+
+    out = tempfile.mkdtemp(prefix="dpr_compact_") + "/files"
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+    ray.data.from_arrow(t).repartition(9).write_parquet(out)
+    before = sorted(
+        r["k"] for r in ray.data.read_parquet(out).take_all()
+    )
+    stats = compact_parquet_dir(out, target_rows_per_file=2000)
+    assert stats["rows"] == 5000
+    assert stats["files_after"] == 3 and stats["files_before"] >= 9
+    after = sorted(r["k"] for r in ray.data.read_parquet(out).take_all())
+    assert after == before
+    assert not os.path.exists(out + ".old") and not os.path.exists(out + ".compact.tmp")
+    # compacting an already-compact dir is a no-op in file count
+    stats2 = compact_parquet_dir(out, target_rows_per_file=2000)
+    assert stats2["files_after"] == 3 and stats2["rows"] == 5000
