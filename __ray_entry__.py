@@ -2382,6 +2382,12 @@ def _r_table_stats(sf_dir):
     )
 
 
+def _r_event_transitions(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2495,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
+        "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3538,5 +3545,14 @@ SELECT 'value', count(*), count(*) - count(value),
        round(CAST(max(value) AS DOUBLE), 6),
        CAST(count(DISTINCT value) AS BIGINT)
 FROM events
+""",
+        "r_event_transitions": """
+WITH x AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev, event_type AS cur, count(*) AS n
+FROM x WHERE prev IS NOT NULL GROUP BY prev, cur
 """,
     }

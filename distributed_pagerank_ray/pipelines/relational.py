@@ -1700,3 +1700,62 @@ def hourly_distinct_users(sf_dir: str, num_shards: int = 8) -> "ray.data.Dataset
         return pa.table({"window_start": pa.array(ts), "n_users": t.column("n_users")})
 
     return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
+    """Markov transition counts: (previous event_type → event_type)
+    over each user's time-ordered event stream — the funnel/propensity
+    matrix behind product analytics.
+
+    Same hash-bucketed plan as the other ordered-window operators
+    (~``num_buckets`` coarse pandas groups, ONE (user, ts, id) sort per
+    bucket), then a vectorized shift-compare per bucket emitting tiny
+    (prev, cur, n) partials; the global fold is a |types|² groupby."""
+    from ray.data.aggregate import Sum
+
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"prev": [], "cur": [], "n": []})
+        same_user = uid[1:] == uid[:-1]
+        prev, cur = et[:-1][same_user], et[1:][same_user]
+        c = (
+            pd.DataFrame({"prev": prev, "cur": cur})
+            .groupby(["prev", "cur"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return c
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    return (
+        partials.groupby(["prev", "cur"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            ensure_schema({"prev": pa.string(), "cur": pa.string(), "n": _I64}),
+            batch_format="pyarrow",
+        )
+    )
