@@ -2388,6 +2388,39 @@ def _r_event_transitions(sf_dir):
     return event_transitions(sf_dir)
 
 
+def _m_ppm_decode(sf_dir):
+    """REAL image decode gate: deterministic binary PPM payloads built
+    from doc_id (gradient channels), decoded by the actor-pool PPM
+    stage; the SQL oracle computes the expected dims/channel means
+    ANALYTICALLY from the same generation formula — the engine must
+    actually parse the bytes to match."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_ppm, encode_ppm
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = 8 + int(i) % 8, 4 + int(i) % 4
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[:, :, 0] = ((int(i) + x) % 256)[None, :]
+            rgb[:, :, 1] = ((int(i) * 7 + y) % 256)[:, None]
+            rgb[:, :, 2] = (int(i) * 13) % 256
+            payloads.append(encode_ppm(rgb))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_ppm(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2502,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
+        "m_ppm_decode": _m_ppm_decode,  # REAL image decode vs analytic oracle
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3554,5 +3588,17 @@ WITH x AS (
 )
 SELECT prev, event_type AS cur, count(*) AS n
 FROM x WHERE prev IS NOT NULL GROUP BY prev, cur
+""",
+        # analytic expectation of the PPM generation formula in _m_ppm_decode
+        "m_ppm_decode": """
+SELECT doc_id,
+       8 + doc_id % 8 AS width,
+       4 + doc_id % 4 AS height,
+       round((SELECT avg((doc_id + g.x) % 256)
+              FROM UNNEST(range(8 + doc_id % 8)) AS g(x)), 6) AS mean_r,
+       round((SELECT avg((doc_id * 7 + g.y) % 256)
+              FROM UNNEST(range(4 + doc_id % 4)) AS g(y)), 6) AS mean_g,
+       round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS mean_b
+FROM documents
 """,
     }

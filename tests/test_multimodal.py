@@ -69,3 +69,33 @@ def test_actor_pool_decode_on_dataset():
         batch_size=2,
     ).take_all()
     assert len(out) == 3 and all(r["channels"] == 3 for r in out)
+
+
+def test_ppm_decode_roundtrip_and_malformed():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import PpmDecode, encode_ppm
+
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for h, w in [(1, 1), (5, 7), (16, 9)]]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array([encode_ppm(i) for i in imgs], pa.binary()),
+        }
+    )
+    out = PpmDecode()(t)
+    assert out.column("width").to_pylist() == [1, 7, 9]
+    assert out.column("height").to_pylist() == [1, 5, 16]
+    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+        got = out.column(name).to_pylist()
+        want = [round(float(i.reshape(-1, 3)[:, c].mean()), 6) for i in imgs]
+        assert got == want
+    with pytest.raises(ValueError):
+        PpmDecode()(pa.table({"payload": pa.array([b"JFIF garbage"], pa.binary())}))
+    with pytest.raises(ValueError):
+        PpmDecode()(  # truncated pixel data
+            pa.table({"payload": pa.array([b"P6\n4 4\n255\nxx"], pa.binary())})
+        )
