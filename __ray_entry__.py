@@ -2203,11 +2203,9 @@ def _t_word_pmi(sf_dir):
     return word_pair_pmi(_docs(sf_dir), window=2, min_count=5)
 
 
-def _e_label_centroids(sf_dir):
-    """Per-label embedding centroids (mean pooling): mergeable
-    (sum-vector, count) partials per batch; only labels × d floats ever
-    leave a task. Output one row per (label, dimension) so the SQL
-    twin is a plain grouped average over the exploded column."""
+def _label_centroid_sums(sf_dir):
+    """Shared grouped (label, j, sum, count) Dataset for the centroid
+    queries — mergeable per-batch partials + one grouped fold."""
     import ray.data
 
     emb = ray.data.read_parquet(
@@ -2258,6 +2256,14 @@ def _e_label_centroids(sf_dir):
         )
     )
 
+    return grouped
+
+
+def _e_label_centroids(sf_dir):
+    """Per-label embedding centroids (mean pooling): only labels × d
+    floats ever leave a task; one row per (label, dimension) so the
+    SQL twin is a plain grouped average over the exploded column."""
+
     def finish(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "label" not in t.column_names:
             return pa.table(
@@ -2276,7 +2282,38 @@ def _e_label_centroids(sf_dir):
             {"label": t.column("label"), "j": t.column("j"), "m": pa.array(m, pa.float64())}
         )
 
-    return grouped.map_batches(finish, batch_format="pyarrow")
+    return _label_centroid_sums(sf_dir).map_batches(finish, batch_format="pyarrow")
+
+
+def _e_label_sims(sf_dir):
+    """Pairwise cosine similarity between label centroids — the
+    cluster-confusability report. The labels × d sum table is tiny by
+    construction (the documented bounded-label contract), so the final
+    pairwise step gathers it and runs one numpy normalize + matmul."""
+    t = (
+        _label_centroid_sums(sf_dir)
+        .to_pandas()
+        .dropna(subset=["label"])
+        .sort_values(["label", "j"], kind="stable")
+    )
+    labels = t["label"].unique()
+    d = t["j"].nunique()
+    M = (t["s"].to_numpy(dtype=np.float64) / t["c"].to_numpy(dtype=np.float64)).reshape(
+        len(labels), d
+    )
+    # same float structure as the SQL oracle: dot / (sqrt(na2)*sqrt(nb2))
+    # (normalize-then-dot takes a different rounding path)
+    D = M @ M.T
+    n2 = np.einsum("ij,ij->i", M, M)
+    ii, jj = np.triu_indices(len(labels), k=1)
+    sim = D[ii, jj] / (np.sqrt(n2[ii]) * np.sqrt(n2[jj]))
+    return pa.table(
+        {
+            "a": pa.array(labels[ii].astype(np.int64)),
+            "b": pa.array(labels[jj].astype(np.int64)),
+            "sim": pa.array(np.round(sim, 6), pa.float64()),
+        }
+    )
 
 
 def _r_hourly_users(sf_dir):
@@ -2421,6 +2458,57 @@ def _m_ppm_decode(sf_dir):
     return decode_ppm(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _g_powerlaw_lineitem(sf_dir):
+    """Power-law exponent (Clauset-style discrete MLE with xmin=2) of
+    the lineitem-graph out-degree distribution:
+    alpha = 1 + n / sum(ln(deg / (xmin - 0.5))) over deg >= xmin.
+    Degrees via the count BSP; the MLE folds as (n, sum-ln) partials —
+    two scalars per batch, one tiny aggregate."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from distributed_pagerank_ray.pipelines.relational import lineitem_edges
+    from distributed_pagerank_ray.util import count_i64_keys
+
+    deg = count_i64_keys(
+        lineitem_edges(sf_dir).map_batches(
+            lambda t: pa.table({"src": t.column("src")})
+            if "src" in t.column_names
+            else pa.table({"src": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "src",
+        num_shards=4,
+        count_col="deg",
+    )
+    XMIN = 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "deg" not in t.column_names:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}
+            )
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= XMIN]
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "s": pa.array([float(np.log(d / (XMIN - 0.5)).sum())], pa.float64()),
+            }
+        )
+
+    tot = deg.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s")
+    )
+    alpha = 1.0 + tot["n"] / tot["s"]
+    return pa.table(
+        {
+            "n_tail": pa.array([int(tot["n"])], pa.int64()),
+            "alpha": pa.array([round(float(alpha), 6)], pa.float64()),
+        }
+    )
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2536,6 +2624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         "m_ppm_decode": _m_ppm_decode,  # REAL image decode vs analytic oracle
+        "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
+        "e_label_sims": _e_label_sims,  # pairwise centroid cosine
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3600,5 +3690,26 @@ SELECT doc_id,
               FROM UNNEST(range(4 + doc_id % 4)) AS g(y)), 6) AS mean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS mean_b
 FROM documents
+""",
+        "g_powerlaw_lineitem": f"""
+WITH e AS ({_EDGES_CTE}),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+tail AS (SELECT CAST(deg AS DOUBLE) AS deg FROM d WHERE deg >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       round(1.0 + count(*) / sum(ln(deg / 1.5)), 6) AS alpha
+FROM tail
+""",
+        "e_label_sims": """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, g.j AS j,
+         CAST(embedding[g.j + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS g(j)
+),
+c AS (SELECT label, j, avg(v) AS m FROM e GROUP BY label, j)
+SELECT a, b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim FROM (
+  SELECT x.label AS a, y.label AS b,
+         sum(x.m * y.m) AS dot, sum(x.m * x.m) AS na2, sum(y.m * y.m) AS nb2
+  FROM c x JOIN c y ON x.j = y.j AND x.label < y.label
+  GROUP BY 1, 2)
 """,
     }
