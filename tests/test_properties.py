@@ -194,3 +194,36 @@ def test_pii_redaction_idempotent_and_clean(s):
     assert again.column("n_email").to_pylist()[0] == 0
     assert again.column("n_ip").to_pylist()[0] == 0
     assert again.column("n_phone").to_pylist()[0] == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**31 - 1),
+            st.integers(-(2**62), 2**62),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=10, deadline=None)
+def test_bsp_min_by_key_matches_pandas(rows, shards):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from distributed_pagerank_ray.util import min_i64_by_key
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    got = (
+        min_i64_by_key(ray.data.from_arrow(t).repartition(3), "k", "v", num_shards=shards)
+        .to_pandas()
+    )
+    exp = pd.DataFrame(rows, columns=["k", "v"]).groupby("k")["v"].min().to_dict()
+    assert dict(zip(got["k"], got["v"])) == exp
