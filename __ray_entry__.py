@@ -2509,6 +2509,62 @@ def _g_powerlaw_lineitem(sf_dir):
     )
 
 
+def _r_events_mad(sf_dir):
+    """Robust dispersion: per-group median absolute deviation, both
+    medians exact/discrete (DuckDB quantile_disc semantics). Two
+    passes of the grouped-quantile histogram combiner; the 5-row
+    median table broadcasts into the second pass's deviation map."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    med = grouped_discrete_quantiles(
+        ds, "event_type", "value", qs=(0.5,), q_names=("md",)
+    ).to_pandas()
+    md_of = dict(zip(med["event_type"], med["md"]))
+
+    def dev(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(t) == 0 or "event_type" not in t.column_names:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "adev": pa.array([], pa.float64())}
+            )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        md = pd.Series(types).map(md_of).to_numpy(dtype=np.float64)
+        return pa.table(
+            {"event_type": pa.array(types), "adev": pa.array(np.abs(v - md))}
+        )
+
+    mad = grouped_discrete_quantiles(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        "event_type",
+        "adev",
+        qs=(0.5,),
+        q_names=("mad",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "event_type" not in t.column_names:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()), "mad": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "mad": pa.array(
+                    np.round(t.column("mad").to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return mad.map_batches(fin, batch_format="pyarrow")
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2626,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_ppm_decode": _m_ppm_decode,  # REAL image decode vs analytic oracle
         "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
         "e_label_sims": _e_label_sims,  # pairwise centroid cosine
+        "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3711,5 +3768,14 @@ SELECT a, b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS sim FROM (
          sum(x.m * y.m) AS dot, sum(x.m * x.m) AS na2, sum(y.m * y.m) AS nb2
   FROM c x JOIN c y ON x.j = y.j AND x.label < y.label
   GROUP BY 1, 2)
+""",
+        "r_events_mad": """
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS md
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, round(quantile_disc(abs(e.value - m.md), 0.5), 6) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
 """,
     }
