@@ -2565,6 +2565,12 @@ def _r_events_mad(sf_dir):
     return mad.map_batches(fin, batch_format="pyarrow")
 
 
+def _t_postings(sf_dir):
+    from distributed_pagerank_ray.functions.textstats import postings_topk
+
+    return postings_topk(_docs(sf_dir), k=3)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2683,6 +2689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
         "e_label_sims": _e_label_sims,  # pairwise centroid cosine
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
+        "t_postings": _t_postings,  # inverted-index head, top-k docs per word
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3777,5 +3784,16 @@ WITH m AS (
 SELECT e.event_type, round(quantile_disc(abs(e.value - m.md), 0.5), 6) AS mad
 FROM events e JOIN m USING (event_type)
 GROUP BY e.event_type
+""",
+        "t_postings": r"""
+WITH w AS (
+  SELECT doc_id, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+tf AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2)
+SELECT word, doc_id, tf FROM tf
+QUALIFY row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) <= 3
 """,
     }

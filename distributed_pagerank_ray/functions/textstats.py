@@ -1029,3 +1029,69 @@ def word_pair_pmi(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def postings_topk(
+    ds: "object",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "object":
+    """Inverted-index head: for every word, the top-``k`` documents by
+    term frequency (ties → smaller doc id) — the posting-list build of
+    a search index, truncated to its serving head.
+
+    Scale shape: each document lives in ONE row, so per-batch
+    (word, doc, tf) counts are globally exact with no fold; each batch
+    then prunes locally to ≤ k candidates per word, so the single
+    shuffle moves O(k × vocab × blocks) rows; the final per-word prune
+    runs on the vocab-bounded candidate table (same documented
+    bounded-vocabulary contract as the heavy hitters / PMI operators).
+    """
+    import ray.data
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or text_col not in t.column_names:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        text = pc.fill_null(t.column(text_col), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        docs = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), lengths)
+        keep = flat != ""
+        df = (
+            pd.DataFrame({"word": flat[keep], id_col: docs[keep]})
+            .groupby(["word", id_col], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        # local prune: ≤ k candidates per word leave this batch
+        df = (
+            df.sort_values(["word", "tf", id_col], ascending=[True, False, True], kind="stable")
+            .groupby("word", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "word": pa.array(df["word"].to_numpy(), pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(dtype=np.int64)),
+                "tf": pa.array(df["tf"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["tf", id_col], ascending=[False, True], kind="stable"
+        ).head(k)[["word", id_col, "tf"]]
+
+    return (
+        ds.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(final, batch_format="pandas")
+    )
