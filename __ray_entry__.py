@@ -2571,6 +2571,86 @@ def _t_postings(sf_dir):
     return postings_topk(_docs(sf_dir), k=3)
 
 
+def _r_audience_overlap(sf_dir):
+    """Audience-overlap Jaccard between event types, computed WITHOUT
+    any pairwise user join: distinct (type, user) via the pair BSP,
+    per-user type BITMASK via the weighted count BSP (pairs are
+    distinct, so summing 1<<code IS the OR), then the ≤2^|types| mask
+    histogram — the only thing the driver sees — yields every pairwise
+    intersection exactly."""
+    import ray.data
+
+    from distributed_pagerank_ray.util import count_i64_keys, distinct_i64_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    types = sorted(
+        r["event_type"]
+        for r in ds.map_batches(
+            lambda t: pa.table({"event_type": pa.compute.unique(t.column("event_type"))}),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    code_of = {s: i for i, s in enumerate(types)}
+
+    def enc(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        c = pd.Series(t.column("event_type").to_numpy(zero_copy_only=False)).map(
+            code_of
+        ).to_numpy(dtype=np.int64)
+        return pa.table(
+            {"c": pa.array(c), "u": t.column("user_id").cast(pa.int64())}
+        )
+
+    pairs = distinct_i64_pairs(
+        ds.map_batches(enc, batch_format="pyarrow"), "c", "u", num_shards=4
+    )
+    masks = count_i64_keys(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t.column("u"),
+                    "bit": pa.array(
+                        np.int64(1) << t.column("c").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            )
+            if "u" in t.column_names
+            else pa.table({"u": pa.array([], pa.int64()), "bit": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "u",
+        num_shards=4,
+        count_col="mask",
+        weight_col="bit",
+    )
+    hist = count_i64_keys(masks, "mask", num_shards=2, count_col="n_users").take_all()
+    cnt = {r["mask"]: r["n_users"] for r in hist}
+    out = {"a": [], "b": [], "inter": [], "jaccard": []}
+    for i, a in enumerate(types):
+        for j in range(i + 1, len(types)):
+            na = sum(n for m, n in cnt.items() if m >> i & 1)
+            nb = sum(n for m, n in cnt.items() if m >> j & 1)
+            inter = sum(n for m, n in cnt.items() if (m >> i & 1) and (m >> j & 1))
+            out["a"].append(a)
+            out["b"].append(types[j])
+            out["inter"].append(inter)
+            out["jaccard"].append(round(inter * 1.0 / (na + nb - inter), 6))
+    return pa.table(
+        {
+            "a": pa.array(out["a"], pa.string()),
+            "b": pa.array(out["b"], pa.string()),
+            "inter": pa.array(out["inter"], pa.int64()),
+            "jaccard": pa.array(out["jaccard"], pa.float64()),
+        }
+    )
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2690,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_label_sims": _e_label_sims,  # pairwise centroid cosine
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "t_postings": _t_postings,  # inverted-index head, top-k docs per word
+        "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3795,5 +3876,17 @@ WITH w AS (
 tf AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2)
 SELECT word, doc_id, tf FROM tf
 QUALIFY row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) <= 3
+""",
+        "r_audience_overlap": """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+i AS (
+  SELECT x.event_type AS a, y.event_type AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter,
+       round(i.inter * 1.0 / (na.n + nb.n - i.inter), 6) AS jaccard
+FROM i JOIN n na ON na.event_type = i.a JOIN n nb ON nb.event_type = i.b
 """,
     }
