@@ -2651,6 +2651,35 @@ def _r_audience_overlap(sf_dir):
     )
 
 
+def _r_cdc_diff(sf_dir):
+    """Snapshot diff (CDC) gate: snapshot B is derived from events
+    deterministically (drop %17 keys, bump value on %10 keys, add %23
+    keys under a new id range) IDENTICALLY in the SQL oracle; the
+    full-outer-join changeset is what's gated."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.relational import diff_tables
+
+    a = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+
+    def mk_b(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ids % 17 != 0
+        ids_k = ids[keep]
+        v_k = v[keep] + (ids_k % 10 == 0).astype(np.float64)
+        add = ids % 23 == 0
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate([ids_k, ids[add] + 10_000_000])),
+                "value": pa.array(np.concatenate([v_k, v[add]])),
+            }
+        )
+
+    b = a.map_batches(mk_b, batch_format="pyarrow")
+    return diff_tables(a, b, "event_id", "value")
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2771,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "t_postings": _t_postings,  # inverted-index head, top-k docs per word
         "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
+        "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3888,5 +3918,23 @@ i AS (
 SELECT i.a, i.b, i.inter,
        round(i.inter * 1.0 / (na.n + nb.n - i.inter), 6) AS jaccard
 FROM i JOIN n na ON na.event_type = i.a JOIN n nb ON nb.event_type = i.b
+""",
+        # snapshot-B construction mirrors _r_cdc_diff exactly
+        "r_cdc_diff": """
+WITH a AS (SELECT event_id, value FROM events),
+b AS (
+  SELECT event_id,
+         value + CASE WHEN event_id % 10 = 0 THEN 1.0 ELSE 0 END AS value
+  FROM events WHERE event_id % 17 != 0
+  UNION ALL
+  SELECT event_id + 10000000, value FROM events WHERE event_id % 23 = 0
+)
+SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+       CASE WHEN a.event_id IS NULL THEN 'added'
+            WHEN b.event_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.value AS old_value, b.value AS new_value
+FROM a FULL JOIN b ON a.event_id = b.event_id
+WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
 """,
     }

@@ -1759,3 +1759,81 @@ def event_transitions(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+def diff_tables(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    key: str,
+    value: str,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Snapshot diff (CDC): compare two keyed tables and emit one row
+    per difference — ``added`` (key only in b), ``removed`` (only in
+    a), ``changed`` (both, value differs). Identical rows emit
+    nothing, so the output is the changeset, not the table.
+
+    One FULL OUTER hash join on the key + a vectorized per-batch
+    status classify — the incremental-ingest primitive for reconciling
+    a re-crawl against the previous snapshot.
+
+    ``value`` must be non-null in both snapshots: Ray's full-outer
+    join coalesces the right key into the left key column, so side
+    membership is derived from value-column validity.
+    """
+    from ..util import compact_for_join
+
+    P = num_partitions
+    left = a.map_batches(
+        lambda t: pa.table({"k": t.column(key).cast(_I64), "va": t.column(value)})
+        if key in t.column_names
+        else pa.table({"k": pa.array([], _I64), "va": pa.array([], pa.float64())}),
+        batch_format="pyarrow",
+    )
+    right = b.map_batches(
+        lambda t: pa.table({"k2": t.column(key).cast(_I64), "vb": t.column(value)})
+        if key in t.column_names
+        else pa.table({"k2": pa.array([], _I64), "vb": pa.array([], pa.float64())}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(left, P).join(
+        compact_for_join(right, P),
+        join_type="full_outer",
+        num_partitions=P,
+        on=("k",),
+        right_on=("k2",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or ("k" not in t.column_names and "k2" not in t.column_names):
+            return pa.table(
+                {
+                    key: pa.array([], _I64),
+                    "status": pa.array([], pa.string()),
+                    "old_value": pa.array([], pa.float64()),
+                    "new_value": pa.array([], pa.float64()),
+                }
+            )
+        n = len(t)
+        lk = t.column("k") if "k" in t.column_names else pa.nulls(n, _I64)
+        rk = t.column("k2") if "k2" in t.column_names else pa.nulls(n, _I64)
+        va = t.column("va") if "va" in t.column_names else pa.nulls(n, pa.float64())
+        vb = t.column("vb") if "vb" in t.column_names else pa.nulls(n, pa.float64())
+        in_a = pc.is_valid(va).to_numpy(zero_copy_only=False)
+        in_b = pc.is_valid(vb).to_numpy(zero_copy_only=False)
+        van = np.where(in_a, va.to_numpy(zero_copy_only=False).astype(np.float64), np.nan)
+        vbn = np.where(in_b, vb.to_numpy(zero_copy_only=False).astype(np.float64), np.nan)
+        status = np.where(
+            ~in_a, "added", np.where(~in_b, "removed", np.where(van != vbn, "changed", ""))
+        )
+        m = status != ""
+        return pa.table(
+            {
+                key: pc.coalesce(lk.cast(_I64), rk.cast(_I64)).filter(pa.array(m)),
+                "status": pa.array(status[m], pa.string()),
+                "old_value": va.cast(pa.float64()).filter(pa.array(m)),
+                "new_value": vb.cast(pa.float64()).filter(pa.array(m)),
+            }
+        )
+
+    return j.map_batches(classify, batch_format="pyarrow")
