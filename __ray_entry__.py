@@ -2680,6 +2680,15 @@ def _r_cdc_diff(sf_dir):
     return diff_tables(a, b, "event_id", "value")
 
 
+def _g_katz3_org(sf_dir):
+    """Katz centrality (3 fixed iterations, beta=0.05) on the directed
+    org graph — path-counting centrality, un-normalized contributions."""
+    from distributed_pagerank_ray.pipelines.pagerank_weighted import katz_fixed
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+
+    return katz_fixed(org_edges(sf_dir), iters=3, beta=0.05, num_partitions=4)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2801,6 +2810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_postings": _t_postings,  # inverted-index head, top-k docs per word
         "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
+        "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -2911,6 +2921,33 @@ def _walks_sql(length: int = 3) -> str:
         + ",\n".join(steps)
         + "\n"
         + "\nUNION ALL ".join(selects)
+    )
+
+
+def _katz_sql(iters: int = 3, beta: float = 0.05) -> str:
+    """Unrolled Katz recurrence on the directed org graph."""
+    steps = []
+    prev = "x0"
+    for st in range(1, iters + 1):
+        steps.append(
+            f"""x{st} AS (
+  SELECT verts.v, 1.0 + {beta} * COALESCE(s.s, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(p.r) AS s FROM e JOIN {prev} p ON p.v = e.src GROUP BY e.dst
+  ) s USING (v)
+)"""
+        )
+        prev = f"x{st}"
+    return (
+        """WITH e AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+), verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+x0 AS (SELECT v, 1.0 AS r FROM verts),
+"""
+        + ",\n".join(steps)
+        + f"\nSELECT v AS vertex, round(r, 6) AS katz FROM {prev}"
     )
 
 
@@ -3937,4 +3974,5 @@ SELECT COALESCE(a.event_id, b.event_id) AS event_id,
 FROM a FULL JOIN b ON a.event_id = b.event_id
 WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
 """,
+        "g_katz3_org": _katz_sql(3, 0.05),
     }

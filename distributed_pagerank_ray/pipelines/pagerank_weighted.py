@@ -152,3 +152,112 @@ def pagerank_weighted_fixed(
         )
 
     return ranks.map_batches(fin, batch_format="pyarrow")
+
+def katz_fixed(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    beta: float = 0.005,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "ray.data.Dataset":
+    """Katz centrality, fixed iteration count, join-based:
+
+        x_{t+1}(v) = 1 + β · Σ_{(u,v)∈E} x_t(u),   x_0 ≡ 1
+
+    — the path-counting centrality (β^k-weighted walks of every length)
+    the damped-PageRank family doesn't cover: contributions are NOT
+    out-degree normalized, so hubs radiate full mass. β must be below
+    1/λ_max for the fixpoint to exist; a FIXED iteration count keeps
+    the operator SQL-oracle-checkable (unrolled CTEs, like
+    g_pagerank3). Same per-iteration shape as the weighted pipeline:
+    one ranks⋈edges hash join + one grouped sum + a left-outer update
+    join (vertices with no in-edges stay at 1). Returns (vertex, katz)
+    rounded to 6 dp, UNnormalized — the raw recurrence the oracle
+    replays."""
+    P = num_partitions
+
+    norm_edges = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column(src_col).cast(_I64),
+                "dst": t.column(dst_col).cast(_I64),
+            }
+        )
+        if src_col in t.column_names
+        else pa.table({"src": pa.array([], _I64), "dst": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    E = compact_for_join(norm_edges, P).materialize()
+
+    from ..util import count_i64_keys
+
+    both = norm_edges.map_batches(
+        lambda t: pa.table({"v": t.column("src")}), batch_format="pyarrow"
+    ).union(
+        norm_edges.map_batches(
+            lambda t: pa.table({"v": t.column("dst")}), batch_format="pyarrow"
+        )
+    )
+    verts = (
+        count_i64_keys(both, "v")
+        .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
+        .materialize()
+    )
+
+    ranks = verts.map_batches(
+        lambda t: pa.table({"v": t.column("v"), "r": pa.array(np.full(len(t), 1.0))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        j = compact_for_join(ranks, P).join(
+            E, join_type="inner", num_partitions=P, on=("v",), right_on=("src",)
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if "dst" not in t.column_names:
+                return pa.table({"dst": pa.array([], _I64), "x": pa.array([], _F64)})
+            return pa.table({"dst": t.column("dst"), "x": t.column("r")})
+
+        sums = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("x", alias_name="s"))
+            .map_batches(ensure_schema({"dst": _I64, "s": _F64}), batch_format="pyarrow")
+        )
+        j2 = compact_for_join(verts, P).join(
+            compact_for_join(sums, P),
+            join_type="left_outer",
+            num_partitions=P,
+            on=("v",),
+            right_on=("dst",),
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if "v" not in t.column_names:
+                return pa.table({"v": pa.array([], _I64), "r": pa.array([], _F64)})
+            s = t.column("s") if "s" in t.column_names else pa.nulls(len(t), _F64)
+            s = pc.fill_null(s.cast(_F64) if s.type != _F64 else s, 0.0)
+            return pa.table(
+                {
+                    "v": t.column("v"),
+                    "r": pc.add(pa.scalar(1.0), pc.multiply(pa.scalar(beta), s)),
+                }
+            )
+
+        ranks = j2.map_batches(update, batch_format="pyarrow").materialize()
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "v" not in t.column_names:
+            return pa.table({"vertex": pa.array([], _I64), "katz": pa.array([], _F64)})
+        return pa.table(
+            {
+                "vertex": t.column("v"),
+                "katz": pa.array(
+                    np.round(t.column("r").to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return ranks.map_batches(fin, batch_format="pyarrow")
