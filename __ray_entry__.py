@@ -2689,6 +2689,12 @@ def _g_katz3_org(sf_dir):
     return katz_fixed(org_edges(sf_dir), iters=3, beta=0.05, num_partitions=4)
 
 
+def _r_item_pairs(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import item_pairs
+
+    return item_pairs(sf_dir, min_count=20)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2811,6 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
+        "r_item_pairs": _r_item_pairs,  # market-basket pair mining
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3975,4 +3982,13 @@ FROM a FULL JOIN b ON a.event_id = b.event_id
 WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
 """,
         "g_katz3_org": _katz_sql(3, 0.05),
+        "r_item_pairs": """
+WITH x AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+),
+du AS (SELECT DISTINCT user_id, k FROM x)
+SELECT a.k AS a, b.k AS b, CAST(count(*) AS BIGINT) AS n
+FROM du a JOIN du b ON a.user_id = b.user_id AND a.k < b.k
+GROUP BY 1, 2 HAVING count(*) >= 20
+""",
     }

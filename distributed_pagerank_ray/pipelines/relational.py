@@ -1837,3 +1837,81 @@ def diff_tables(
         )
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def item_pairs(sf_dir: str, min_count: int = 20, num_partitions: int = 8) -> "ray.data.Dataset":
+    """Market-basket pair mining: items (the ``props.k`` scalar) that
+    co-occur in the same user's event stream, counted over DISTINCT
+    (user, item) incidence — the pairwise frequent-itemset pass.
+
+    Scale shape: JSON parse per batch → distinct-pair BSP for the
+    incidence table → ONE self-join on user (the only pair-expanding
+    step; a user's item set is the bounded fan-out) → vectorized a<b
+    canonicalize + pack → packed count BSP → threshold. No two-column
+    row groupby anywhere.
+    """
+    import json as _json
+
+    from ..util import compact_for_join, count_i64_keys, distinct_i64_pairs
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (_json.loads(p or "{}").get("k", 0) for p in t.column("props").to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return pa.table({"u": t.column("user_id").cast(_I64), "k": pa.array(ks)})
+
+    du = distinct_i64_pairs(ds.map_batches(parse, batch_format="pyarrow"), "u", "k")
+    left = du.map_batches(
+        lambda t: pa.table({"u": t.column("u"), "a": t.column("k")})
+        if "u" in t.column_names
+        else pa.table({"u": pa.array([], _I64), "a": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    right = du.map_batches(
+        lambda t: pa.table({"u2": t.column("u"), "b": t.column("k")})
+        if "u" in t.column_names
+        else pa.table({"u2": pa.array([], _I64), "b": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(left, num_partitions).join(
+        compact_for_join(right, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("u",),
+        right_on=("u2",),
+    )
+
+    SHIFT = np.int64(1) << 31
+
+    def pack(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"pk": pa.array([], _I64)})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"pk": pa.array(a[m] * SHIFT + b[m])})
+
+    counts = count_i64_keys(
+        j.map_batches(pack, batch_format="pyarrow"), "pk", count_col="n"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "pk" not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], _I64), "b": pa.array([], _I64), "n": pa.array([], _I64)}
+            )
+        keep = t.column("n").to_numpy(zero_copy_only=False) >= min_count
+        pk = t.column("pk").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "a": pa.array(pk // SHIFT),
+                "b": pa.array(pk & (SHIFT - 1)),
+                "n": pa.array(t.column("n").to_numpy(zero_copy_only=False)[keep]),
+            }
+        )
+
+    return counts.map_batches(fin, batch_format="pyarrow")
