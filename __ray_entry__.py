@@ -2695,6 +2695,12 @@ def _r_item_pairs(sf_dir):
     return item_pairs(sf_dir, min_count=20)
 
 
+def _r_retention(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2818,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
         "r_item_pairs": _r_item_pairs,  # market-basket pair mining
+        "r_retention": _r_retention,  # cohort retention, all-BSP plan
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -3990,5 +3997,14 @@ du AS (SELECT DISTINCT user_id, k FROM x)
 SELECT a.k AS a, b.k AS b, CAST(count(*) AS BIGINT) AS n
 FROM du a JOIN du b ON a.user_id = b.user_id AND a.k < b.k
 GROUP BY 1, 2 HAVING count(*) >= 20
+""",
+        "r_retention": """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+       CAST(d.day - f.cohort AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
 """,
     }

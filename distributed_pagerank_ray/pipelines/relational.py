@@ -1915,3 +1915,80 @@ def item_pairs(sf_dir: str, min_count: int = 20, num_partitions: int = 8) -> "ra
         )
 
     return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def retention_cohorts(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
+    """Cohort retention matrix: users bucketed by their FIRST active
+    day (the cohort), counted per (cohort, day_offset) — the product
+    analytics retention table.
+
+    All-BSP plan: distinct (user, day) incidence via the pair BSP,
+    per-user first day via the per-shard BSP argmin
+    (``util.min_i64_by_key``), ONE hash join of the tiny (user, cohort)
+    table back onto the incidence stream, then the packed count BSP on
+    (cohort, offset). A user-day appears once, so the count IS distinct
+    users — no row-level distinct anywhere.
+    """
+    from ..util import compact_for_join, count_i64_keys, distinct_i64_pairs, min_i64_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table({"u": t.column("user_id").cast(_I64), "d": pa.array(d)})
+
+    inc = distinct_i64_pairs(ds.map_batches(days, batch_format="pyarrow"), "u", "d").materialize()
+    first = min_i64_by_key(inc, "u", "d").map_batches(
+        lambda t: pa.table({"u2": t.column("u"), "cohort": t.column("d")})
+        if "u" in t.column_names
+        else pa.table({"u2": pa.array([], _I64), "cohort": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(inc, num_partitions).join(
+        compact_for_join(first, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("u",),
+        right_on=("u2",),
+    )
+    PACK = np.int64(4096)
+
+    def pack(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "d" not in t.column_names:
+            return pa.table({"pk": pa.array([], _I64)})
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        c = t.column("cohort").to_numpy(zero_copy_only=False)
+        off = d - c
+        if len(off) and off.max() >= PACK:
+            raise ValueError("day offset exceeds packing bound (4096 days)")
+        return pa.table({"pk": pa.array(c * PACK + off)})
+
+    counts = count_i64_keys(
+        j.map_batches(pack, batch_format="pyarrow"), "pk", count_col="n_users"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "pk" not in t.column_names:
+            return pa.table(
+                {
+                    "cohort": pa.array([], pa.timestamp("us")),
+                    "day_offset": pa.array([], _I64),
+                    "n_users": pa.array([], _I64),
+                }
+            )
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort": pa.array(
+                    (pk // PACK).astype("datetime64[D]").astype("datetime64[us]")
+                ),
+                "day_offset": pa.array(pk % PACK),
+                "n_users": t.column("n_users"),
+            }
+        )
+
+    return counts.map_batches(fin, batch_format="pyarrow")
