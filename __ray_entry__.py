@@ -2701,6 +2701,67 @@ def _r_retention(sf_dir):
     return retention_cohorts(sf_dir)
 
 
+def _t_lang_share(sf_dir):
+    """Corpus composition report: per-language doc count, total chars,
+    and share of the corpus — the first table any corpus card shows.
+    One grouped fold of per-batch partials; the scalar total for the
+    share is the only broadcast."""
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from distributed_pagerank_ray.util import ensure_schema
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = pc.fill_null(t.column("lang"), "")
+        chars = pc.utf8_length(pc.fill_null(t.column("text"), ""))
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": lang.to_numpy(zero_copy_only=False),
+                "chars": chars.to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("chars", "size"), n_chars=("chars", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64)),
+                "n_chars": pa.array(g["n_chars"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .map_batches(
+            ensure_schema({"lang": pa.string(), "n_docs": pa.int64(), "n_chars": pa.int64()}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .dropna(subset=["lang"])
+    )
+    total = float(agg["n_docs"].sum())
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"], pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64)),
+            "n_chars": pa.array(agg["n_chars"].to_numpy(dtype=np.int64)),
+            "share": pa.array(
+                np.round(agg["n_docs"].to_numpy(dtype=np.float64) / total, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2825,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
         "r_item_pairs": _r_item_pairs,  # market-basket pair mining
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
+        "t_lang_share": _t_lang_share,  # corpus-card composition report
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -4006,5 +4068,12 @@ SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
        CAST(count(*) AS BIGINT) AS n_users
 FROM d JOIN f USING (user_id)
 GROUP BY 1, 2
+""",
+        "t_lang_share": """
+SELECT COALESCE(lang, '') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share
+FROM documents GROUP BY 1
 """,
     }
