@@ -2762,6 +2762,12 @@ def _t_lang_share(sf_dir):
     )
 
 
+def _r_qty_price_regr(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import qty_price_regression
+
+    return qty_price_regression(sf_dir)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2887,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_item_pairs": _r_item_pairs,  # market-basket pair mining
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "t_lang_share": _t_lang_share,  # corpus-card composition report
+        "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -4075,5 +4082,12 @@ SELECT COALESCE(lang, '') AS lang,
        CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS n_chars,
        round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS share
 FROM documents GROUP BY 1
+""",
+        "r_qty_price_regr": """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
 """,
     }

@@ -1992,3 +1992,71 @@ def retention_cohorts(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset
         )
 
     return counts.map_batches(fin, batch_format="pyarrow")
+
+
+def qty_price_regression(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group ordinary least squares y = slope·x + intercept for
+    (x = l_quantity, y = l_extendedprice) BY l_returnflag — the same
+    numerically-stable centered two-pass moments as
+    ``qty_price_corr`` (see its docstring), closed-form solved:
+    slope = Sxy/Sxx, intercept = ȳ − slope·x̄. Matches DuckDB's
+    regr_slope / regr_intercept at 4 dp."""
+    from ray.data.aggregate import Mean
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    means = {
+        r["l_returnflag"]: (r["mx"], r["my"])
+        for r in ds.groupby("l_returnflag")
+        .aggregate(
+            Mean("l_quantity", alias_name="mx"),
+            Mean("l_extendedprice", alias_name="my"),
+        )
+        .take_all()
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "l_returnflag" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "flag": pa.array([], pa.string()),
+                    **{c: pa.array([], _F64) for c in ("sxx", "sxy", "sx", "sy")},
+                    "n": pa.array([], _I64),
+                }
+            )
+        flags = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        a = np.array([means[f][0] for f in uniq])[inv]
+        b = np.array([means[f][1] for f in uniq])[inv]
+        cx, cy = x - a, y - b
+        k = len(uniq)
+        return pa.table(
+            {
+                "flag": pa.array(list(uniq), pa.string()),
+                "sxx": pa.array(np.bincount(inv, cx * cx, k)),
+                "sxy": pa.array(np.bincount(inv, cx * cy, k)),
+                "sx": pa.array(np.bincount(inv, cx, k)),
+                "sy": pa.array(np.bincount(inv, cy, k)),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("flag", sort=True).sum()
+    sxx = agg["sxx"] - agg["sx"] ** 2 / agg["n"]
+    sxy = agg["sxy"] - agg["sx"] * agg["sy"] / agg["n"]
+    slope = sxy / sxx
+    mx = pd.Series({f: means[f][0] for f in agg.index})
+    my = pd.Series({f: means[f][1] for f in agg.index})
+    intercept = my - slope * mx
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(list(agg.index), pa.string()),
+                "slope": pa.array(slope.round(4).to_numpy(), _F64),
+                "intercept": pa.array(intercept.round(4).to_numpy(), _F64),
+                "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+            }
+        )
+    )
