@@ -2768,6 +2768,12 @@ def _r_qty_price_regr(sf_dir):
     return qty_price_regression(sf_dir)
 
 
+def _r_funnel(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import funnel
+
+    return funnel(sf_dir)
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2894,6 +2900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "t_lang_share": _t_lang_share,  # corpus-card composition report
         "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
+        "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -4089,5 +4096,22 @@ SELECT l_returnflag,
        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
+""",
+        # greedy earliest-completion funnel, steps view -> click -> purchase
+        "r_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 """,
     }

@@ -2060,3 +2060,91 @@ def qty_price_regression(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def funnel(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: how many users complete step 1, then a
+    LATER step 2, then a later step 3 … (earliest-completion greedy
+    matching — the standard product-analytics funnel).
+
+    Per step: one predicate-pushed scan of that step's events, a hash
+    join against the previous step's (user, completion-time) frontier,
+    a vectorized strictly-later filter, and the per-shard BSP argmin
+    for the new earliest completion per user. The frontier shrinks
+    monotonically; the driver holds only per-step counts.
+    """
+    from ..util import compact_for_join, min_i64_by_key
+
+    import pyarrow.dataset as pads
+
+    frontier = None
+    counts: list[int] = []
+    for step_name in steps:
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+            filter=pads.field("event_type") == step_name,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t.column("user_id").cast(_I64),
+                    "t": pa.array(
+                        t.column("ts")
+                        .cast(pa.timestamp("us"))
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                }
+            )
+            if "user_id" in t.column_names
+            else pa.table({"u": pa.array([], _I64), "t": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        )
+        if frontier is None:
+            cur = min_i64_by_key(ev, "u", "t", num_shards=4)
+        else:
+            j = compact_for_join(ev, num_partitions).join(
+                compact_for_join(frontier, num_partitions),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("u",),
+                right_on=("u2",),
+            )
+
+            def later(t: pa.Table) -> pa.Table:
+                if len(t) == 0 or "u" not in t.column_names:
+                    return pa.table({"u": pa.array([], _I64), "t": pa.array([], _I64)})
+                keep = (
+                    t.column("t").to_numpy(zero_copy_only=False)
+                    > t.column("tprev").to_numpy(zero_copy_only=False)
+                )
+                return pa.table(
+                    {"u": t.column("u").filter(pa.array(keep)), "t": t.column("t").filter(pa.array(keep))}
+                )
+
+            cur = min_i64_by_key(
+                j.map_batches(later, batch_format="pyarrow"), "u", "t", num_shards=4
+            )
+        frontier = cur.map_batches(
+            lambda t: pa.table({"u2": t.column("u"), "tprev": t.column("t")})
+            if "u" in t.column_names
+            else pa.table({"u2": pa.array([], _I64), "tprev": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        ).materialize()
+        counts.append(frontier.count())
+        if counts[-1] == 0:
+            counts.extend([0] * (len(steps) - len(counts)))
+            break
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                "name": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+    )
