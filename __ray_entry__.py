@@ -2774,6 +2774,96 @@ def _r_funnel(sf_dir):
     return funnel(sf_dir)
 
 
+def _r_ab_test(sf_dir):
+    """Experimentation analytics: deterministic 50/50 user split (the
+    double-MINSTD hash — one multiply never wraps for small ids),
+    conversion = user with ≥14
+    purchase events (the synthetic stream gives every user SOME
+    purchases — a threshold keeps both outcomes populated),
+    two-proportion pooled z statistic. Distinct-user counting on the
+    count BSP; the driver sees four integers and applies the closed
+    form — the SQL oracle applies the IDENTICAL expression structure
+    to the same integers."""
+    import ray.data
+
+    from distributed_pagerank_ray.util import count_i64_keys
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    users = count_i64_keys(
+        ds.map_batches(
+            lambda t: pa.table({"u": t.column("user_id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "u",
+        num_shards=4,
+    )
+    conv = count_i64_keys(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t.column("user_id")
+                    .cast(pa.int64())
+                    .filter(pa.compute.equal(t.column("event_type"), "purchase"))
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "u",
+        num_shards=4,
+    ).map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("cnt").to_numpy(zero_copy_only=False) >= 14)
+        )
+        if "cnt" in t.column_names and len(t)
+        else pa.table({"u": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def split_counts(d):
+        from ray.data.aggregate import Sum
+
+        def cls(t: pa.Table) -> pa.Table:
+            if "u" not in t.column_names or len(t) == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            # double multiply: a single MINSTD step never wraps for
+            # ids < 2072, putting every small id in one arm
+            h = (
+                (t.column("u").to_numpy(zero_copy_only=False) * 48271)
+                % 100000007
+                * 48271
+            ) % 100000007
+            a = int((h < 50000003).sum())
+            return pa.table(
+                {"a": pa.array([a], pa.int64()), "b": pa.array([len(h) - a], pa.int64())}
+            )
+
+        r = d.map_batches(cls, batch_format="pyarrow").aggregate(
+            Sum("a", alias_name="a"), Sum("b", alias_name="b")
+        )
+        return int(r["a"]), int(r["b"])
+
+    n_a, n_b = split_counts(users)
+    c_a, c_b = split_counts(conv)
+    p_a, p_b = c_a * 1.0 / n_a, c_b * 1.0 / n_b
+    pool = (c_a + c_b) * 1.0 / (n_a + n_b)
+    z = (p_a - p_b) / np.sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "conv_a": pa.array([c_a], pa.int64()),
+            "conv_b": pa.array([c_b], pa.int64()),
+            "rate_a": pa.array([round(p_a, 6)], pa.float64()),
+            "rate_b": pa.array([round(p_b, 6)], pa.float64()),
+            "z": pa.array([round(float(z), 6)], pa.float64()),
+        }
+    )
+
+
 def _r_orders_cube(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import orders_cube
 
@@ -2901,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_share": _t_lang_share,  # corpus-card composition report
         "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
+        "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
@@ -4113,5 +4204,30 @@ s3 AS (
 SELECT CAST(1 AS BIGINT) AS step, 'view' AS name, CAST(count(*) AS BIGINT) AS n_users FROM s1
 UNION ALL SELECT 2, 'click', count(*) FROM s2
 UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+""",
+        # identical split hash + z expression structure as _r_ab_test
+        "r_ab_test": """
+WITH u AS (
+  SELECT user_id,
+         ((user_id * 48271) % 100000007 * 48271) % 100000007 < 50000003 AS grp_a,
+         CASE WHEN count(*) FILTER (event_type = 'purchase') >= 14
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT count(*) FILTER (grp_a) AS n_a,
+         count(*) FILTER (NOT grp_a) AS n_b,
+         count(*) FILTER (grp_a AND conv = 1) AS conv_a,
+         count(*) FILTER (NOT grp_a AND conv = 1) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a * 1.0 / n_a, 6) AS rate_a,
+       round(conv_b * 1.0 / n_b, 6) AS rate_b,
+       round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b)
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM c
 """,
     }
