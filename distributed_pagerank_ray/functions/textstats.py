@@ -910,10 +910,15 @@ def word_pair_pmi(
     where words are order-preserving dictionary-encoded so the min/max
     pair canonicalization runs on int codes, then one grouped sum whose
     key space is vocab-bounded (the same documented assumption as the
-    heavy-hitters and quantile combiners) and a final driver gather of
-    that vocab-bounded table to attach totals. ASCII corpora only for
-    exact SQL tie parity (Python codepoint order == DuckDB binary
-    collation there).
+    heavy-hitters and quantile combiners). The ``min_count`` threshold
+    and the PMI math run DISTRIBUTED in a map over the grouped pair
+    sums — word totals attach via the hybrid broadcast-vocab lookup
+    (``unigram_surprisal`` shape: the word-count table is packed into
+    sorted arrays by a remote task; the driver holds only the
+    ObjectRef and two scalar totals, never the raw pair table, which
+    on open-vocab web text is orders of magnitude larger than the
+    surviving phrases). ASCII corpora only for exact SQL tie parity
+    (Python codepoint order == DuckDB binary collation there).
     """
     import ray.data
     from ray.data.aggregate import Sum
@@ -988,12 +993,13 @@ def word_pair_pmi(
             }
         )
 
-    pairs = (
+    import ray
+
+    pair_sums = (
         joined.map_batches(pair_partials, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-        .dropna(subset=["a"])
+        .materialize()
     )
 
     def word_partials(t: pa.Table) -> pa.Table:
@@ -1008,27 +1014,71 @@ def word_pair_pmi(
         words.map_batches(word_partials, batch_format="pyarrow")
         .groupby("w")
         .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .dropna(subset=["w"])
+        .materialize()
     )
-    count_of = dict(zip(wc["w"], wc["c"]))
-    n_words = float(wc["c"].sum())
-    n_pairs = float(pairs["n"].sum())
 
-    kept = pairs[pairs["n"] >= min_count].copy()
-    ca = kept["a"].map(count_of).to_numpy(dtype=np.float64)
-    cb = kept["b"].map(count_of).to_numpy(dtype=np.float64)
-    n = kept["n"].to_numpy(dtype=np.float64)
-    pmi = np.round(np.log2((n / n_pairs) / ((ca / n_words) * (cb / n_words))), 6)
-    out = pa.table(
-        {
-            "a": pa.array(kept["a"].to_numpy(), pa.string()),
-            "b": pa.array(kept["b"].to_numpy(), pa.string()),
-            "n": pa.array(kept["n"].to_numpy(dtype=np.int64)),
-            "pmi": pa.array(pmi, pa.float64()),
-        }
-    )
-    return ray.data.from_arrow(out)
+    # global totals: driver holds two scalars only
+    n_words = float(wc.sum("c") or 0)
+    n_pairs = float(pair_sums.sum("n") or 0)
+
+    # word-count lookup packed remotely into sorted parallel arrays —
+    # the hybrid broadcast-vocab shape (unigram_surprisal): the driver
+    # only ever holds the ObjectRef, never the vocab rows
+    @ray.remote
+    def _pack_wc(*blocks):
+        blocks = [b for b in blocks if "w" in b.column_names and len(b) > 0]
+        if not blocks:
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.float64)
+        ws = np.concatenate(
+            [b.column("w").to_numpy(zero_copy_only=False) for b in blocks]
+        )
+        cs = np.concatenate(
+            [b.column("c").to_numpy(zero_copy_only=False) for b in blocks]
+        )
+        valid = ws != None  # noqa: E711  — groupby can emit a null key row
+        ws, cs = ws[valid], cs[valid]
+        order = np.argsort(ws)
+        return ws[order], cs[order].astype(np.float64)
+
+    lut_ref = _pack_wc.remote(*wc.to_arrow_refs())
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0 or "a" not in t.column_names:
+            return empty
+        # min_count threshold runs HERE, distributed — only surviving
+        # phrases ever pay the vocab lookup; null group keys dropped
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("a")),
+            pc.greater_equal(t.column("n"), min_count),
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        if len(t) == 0:
+            return empty
+        ws, cs = ray.get(lut_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = cs[np.searchsorted(ws, a)]
+        cb = cs[np.searchsorted(ws, b)]
+        pmi = np.round(np.log2((n / n_pairs) / ((ca / n_words) * (cb / n_words))), 6)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "n": pa.array(n.astype(np.int64)),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return pair_sums.map_batches(finish, batch_format="pyarrow")
 
 
 def postings_topk(

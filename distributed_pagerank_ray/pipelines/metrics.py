@@ -134,7 +134,7 @@ def two_hop_counts(
     edges: "ray.data.Dataset",
     num_partitions: int = 8,
     num_shards: int = 16,
-    max_relay_degree: int | None = None,
+    max_relay_degree: int | None = 4096,
 ) -> "ray.data.Dataset":
     """Distinct ≤2-hop neighborhood size per vertex (friends-of-friends):
     n2(v) = |{u ≠ v : dist(v, u) ≤ 2 following edge direction}|.
@@ -147,11 +147,13 @@ def two_hop_counts(
     ids exceed the [0, 2^31) packing bound.
 
     Hub relays fan out quadratically by nature of the metric;
-    ``max_relay_degree`` bounds it (the LSH ``max_bucket`` posture):
-    relays with out-degree above the cap contribute NO 2-hop pairs
-    (their 1-hop edges still count). ``None`` = exact/unbounded —
-    at web scale set the cap (or sparsify upstream) so one celebrity
-    hub can't emit |in|×|out| pairs.
+    ``max_relay_degree`` bounds it BY DEFAULT (the LSH ``max_bucket``
+    posture — the guard is opt-out, not opt-in): relays with
+    out-degree above the cap contribute NO 2-hop pairs (their 1-hop
+    edges still count), so one celebrity hub can't emit |in|×|out|
+    pairs. ``None`` = the explicit exact/unbounded mode; results are
+    identical whenever no relay exceeds the cap (asserted by the
+    brute-force pytest on capped fixtures).
     """
     from ray.exceptions import RayTaskError
 

@@ -1128,24 +1128,29 @@ def customers_without_orders(
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def _props_k_array(props) -> pa.Array:
+    """Vectorized extraction of the int ``k`` field from the
+    '{"k": int}' ``props`` JSON column — ONE RE2 ``extract_regex`` pass
+    over the whole batch instead of a per-row ``json.loads`` Python
+    loop. Missing / null / unparseable → 0 (parity with
+    ``json.loads(p or "{}").get("k", 0)``)."""
+    ext = pc.extract_regex(pc.fill_null(props, ""), r'"k"\s*:\s*(?P<k>-?\d+)')
+    return pc.fill_null(pc.cast(pc.struct_field(ext, "k"), pa.int64()), 0)
+
+
 def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
     """JSON scalar extraction: parse ``props`` ('{"k": int}'), sum k per
-    event_type. Per-batch json.loads (stdlib) — a stand-in for any
-    row-wise scalar UDF; the SQL oracle uses DuckDB's JSON functions.
+    event_type — vectorized RE2 field extraction per batch
+    (``_props_k_array``); the SQL oracle uses DuckDB's JSON functions.
 
     ``sum_k`` is emitted float64: DuckDB's sum(BIGINT) comes back as a
     float in pandas, and the driver's value hash is typed."""
-    import json as _json
-
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def parse(t: pa.Table) -> pa.Table:
-        ks = np.fromiter(
-            (_json.loads(p or "{}").get("k", 0) for p in t.column("props").to_pylist()),
-            dtype=np.int64,
-            count=len(t),
+        return pa.table(
+            {"event_type": t.column("event_type"), "k": _props_k_array(t.column("props"))}
         )
-        return pa.table({"event_type": t.column("event_type"), "k": pa.array(ks)})
 
     return (
         ds.map_batches(parse, batch_format="pyarrow")
@@ -1839,32 +1844,60 @@ def diff_tables(
     return j.map_batches(classify, batch_format="pyarrow")
 
 
-def item_pairs(sf_dir: str, min_count: int = 20, num_partitions: int = 8) -> "ray.data.Dataset":
+def item_pairs(
+    sf_dir: str,
+    min_count: int = 20,
+    num_partitions: int = 8,
+    max_items_per_user: int | None = 4096,
+) -> "ray.data.Dataset":
     """Market-basket pair mining: items (the ``props.k`` scalar) that
     co-occur in the same user's event stream, counted over DISTINCT
     (user, item) incidence — the pairwise frequent-itemset pass.
 
-    Scale shape: JSON parse per batch → distinct-pair BSP for the
-    incidence table → ONE self-join on user (the only pair-expanding
-    step; a user's item set is the bounded fan-out) → vectorized a<b
-    canonicalize + pack → packed count BSP → threshold. No two-column
-    row groupby anywhere.
-    """
-    import json as _json
+    Scale shape: vectorized RE2 JSON field extraction per batch
+    (``_props_k_array``) → distinct-pair BSP for the incidence table →
+    ONE self-join on user (the only pair-expanding step) → vectorized
+    a<b canonicalize + pack → packed count BSP → threshold. No
+    two-column row groupby anywhere.
 
-    from ..util import compact_for_join, count_i64_keys, distinct_i64_pairs
+    ``max_items_per_user`` ENFORCES the bounded fan-out the self-join
+    relies on (the LSH ``max_bucket`` posture): users with more
+    distinct items than the cap are dropped before the join — one
+    power user with 10⁴ items would otherwise emit 10⁸ join rows.
+    ``None`` = exact/unbounded (the oracle-parity mode; sf tables
+    stay far under the default cap so the gate is unaffected).
+    """
+    from ..util import (
+        compact_for_join,
+        count_i64_keys,
+        distinct_i64_pairs,
+        pack_sorted_keys,
+        semi_join_filter,
+    )
 
     ds = _read(sf_dir, "events", ["user_id", "props"])
 
     def parse(t: pa.Table) -> pa.Table:
-        ks = np.fromiter(
-            (_json.loads(p or "{}").get("k", 0) for p in t.column("props").to_pylist()),
-            dtype=np.int64,
-            count=len(t),
+        return pa.table(
+            {"u": t.column("user_id").cast(_I64), "k": _props_k_array(t.column("props"))}
         )
-        return pa.table({"u": t.column("user_id").cast(_I64), "k": pa.array(ks)})
 
     du = distinct_i64_pairs(ds.map_batches(parse, batch_format="pyarrow"), "u", "k")
+    if max_items_per_user is not None:
+        du = du.materialize()
+        hot = count_i64_keys(du, "u", count_col="_c").map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t.column("_c").to_numpy(zero_copy_only=False) > max_items_per_user
+                )
+            ).select(["u"])
+            if "u" in t.column_names and len(t)
+            else pa.table({"u": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        )
+        # the heavy-user set is tiny by construction; packed remotely
+        # (driver holds only the ref) and anti-filtered without a shuffle
+        du = semi_join_filter(du, "u", pack_sorted_keys(hot, "u"), keep=False)
     left = du.map_batches(
         lambda t: pa.table({"u": t.column("u"), "a": t.column("k")})
         if "u" in t.column_names

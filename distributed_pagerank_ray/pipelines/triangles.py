@@ -9,7 +9,9 @@ north rule. Standard scalable algorithm (node-iterator++ / the
 3. orient each edge from the endpoint that is smaller under the total
    order (degree, id) → a DAG where every vertex's out-degree is
    O(sqrt(m)), which bounds adjacency-list length and tames hub skew,
-4. adjacency lists per source via ``groupby('u').map_groups``,
+4. adjacency lists per source via the per-shard BSP combine
+   (``_build_adj_bsp``: hash-routed gather tasks + per-shard lexsort +
+   segment boundaries — no per-vertex ``map_groups``),
 5. two ``Dataset.join`` hash joins attach N+(u) and N+(v) to each
    oriented edge (u,v); triangles through the edge =
    |N+(u) ∩ N+(v)| via sorted-array intersection per row,
@@ -23,7 +25,6 @@ attached to any row, so no single partition blows up even with hubs.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -73,6 +74,76 @@ def _segmented_intersect_counts(
         match = (Bk[idx_c] == Ak) & (idx < len(Bk))
         out[lo:hi] = np.bincount(eid_a[a0:a1][match] - lo, minlength=hi - lo)
     return out
+
+
+def _adj_gather_block(t: pa.Table, S: int):
+    """Gather body for _build_adj_bsp: per-block (u, v) pairs split per
+    shard by multiplicative hash of u (all edges of one source land in
+    one reducer)."""
+    if "u" not in t.column_names or len(t) == 0:
+        return [None] * S
+    u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..util import _HASH_K
+
+    with np.errstate(over="ignore"):
+        shard = ((u.astype(np.uint64) * _HASH_K) >> np.uint64(33)).astype(np.int64) % S
+    order = np.argsort(shard, kind="stable")
+    u, v, shard = u[order], v[order], shard[order]
+    out: list = [None] * S
+    for s in np.unique(shard):
+        lo, hi = np.searchsorted(shard, [s, s + 1])
+        out[int(s)] = (u[lo:hi], v[lo:hi])
+    return out
+
+
+def _build_adj_bsp(oriented: "ray.data.Dataset", num_shards: int = 16) -> "ray.data.Dataset":
+    """(w, nbrs) adjacency rows — sorted neighbor lists encoded as
+    little-endian int64 binary blobs (Acero hash joins reject list<>
+    payloads but pass binary through).
+
+    Per-shard BSP combine (the distinct_i64_pairs shape): gather tasks
+    route each source's edges to its reducer via ``num_returns=S``;
+    each reducer lexsorts its (u, v) pairs once, finds segment
+    boundaries with one np.diff pass, and emits the whole shard's
+    adjacency as ONE Arrow binary column built zero-copy from
+    (offsets, data) buffers. Replaces ``groupby('u').map_groups`` —
+    one pandas group per source vertex, the many-tiny-groups shape
+    this Ray version handles catastrophically (and this path only
+    activates above ``broadcast_threshold`` vertices, where it's
+    worst)."""
+    import ray
+    import ray.data
+
+    S = max(2, num_shards)
+    gather = ray.remote(_adj_gather_block)
+    blocks = oriented.materialize().to_arrow_refs()
+
+    @ray.remote
+    def reduce(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return pa.table({"w": pa.array([], _I64), "nbrs": pa.array([], pa.binary())})
+        u = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        bounds = np.concatenate((first, [len(u)])).astype(np.int64)
+        if bounds[-1] * 8 >= (1 << 31):
+            raise ValueError(
+                "adjacency shard exceeds 2 GiB of neighbor data; raise num_shards"
+            )
+        nbrs = pa.Array.from_buffers(
+            pa.binary(),
+            len(first),
+            [None, pa.py_buffer((bounds * 8).astype(np.int32).tobytes()), pa.py_buffer(v.tobytes())],
+        )
+        return pa.table({"w": pa.array(u[first]), "nbrs": nbrs})
+
+    gathers = [gather.options(num_returns=S).remote(b, S) for b in blocks]
+    cols = [list(c) for c in zip(*gathers)]
+    return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 
 
 def canonical_undirected(edges: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -167,19 +238,7 @@ def triangle_count(
 
     oriented = compact_for_join(j2.map_batches(orient, batch_format="pyarrow"), P)
 
-    def build_adj(g: pd.DataFrame) -> pd.DataFrame:
-        # neighbor list encoded as little-endian int64 bytes: Acero hash
-        # joins reject list<> payload columns but pass binary through
-        u = int(g["u"].iloc[0])
-        nbrs = np.sort(g["v"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"w": [u], "nbrs": [nbrs.tobytes()]})
-
-    adj = compact_for_join(
-        oriented.groupby("u")
-        .map_groups(build_adj, batch_format="pandas")
-        .map_batches(ensure_schema({"w": _I64, "nbrs": pa.binary()}), batch_format="pyarrow"),
-        P,
-    )
+    adj = compact_for_join(_build_adj_bsp(oriented, num_shards=P), P)
     if adj.count() == 0:
         return 0
 

@@ -1,0 +1,109 @@
+"""Round-4 scale-posture fixes: item_pairs hot-user cap, the
+vectorized props extraction, and the BSP adjacency build for the
+triangle join path."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _write_events(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "props": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_item_pairs_hot_user_cap(tmp_path):
+    """A power user with 10^4 distinct items must be dropped by the
+    default cap BEFORE the self-join (not expanded into 10^8 rows);
+    normal users' pairs are unaffected."""
+    from distributed_pagerank_ray.pipelines.relational import item_pairs
+
+    rows = [(1, json.dumps({"k": int(k)})) for k in range(10_000)]
+    for u in range(2, 22):  # 20 normal users sharing items {1,2,3}
+        rows += [(u, json.dumps({"k": k})) for k in (1, 2, 3)]
+    sf = _write_events(tmp_path, rows)
+
+    got = (
+        item_pairs(sf, min_count=5, num_partitions=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # hot user dropped: only the 3 shared pairs survive, each n=20
+    # (+1 where user 1 would have contributed, had it not been capped)
+    assert list(map(tuple, got[["a", "b", "n"]].to_numpy())) == [
+        (1, 2, 20),
+        (1, 3, 20),
+        (2, 3, 20),
+    ]
+
+def test_item_pairs_cap_semantics(tmp_path):
+    """Cap above a user's item count keeps its contribution; below
+    drops it; None = exact/unbounded."""
+    from distributed_pagerank_ray.pipelines.relational import item_pairs
+
+    rows = [(1, json.dumps({"k": int(k)})) for k in range(1, 51)]  # 50 items
+    for u in range(2, 8):
+        rows += [(u, json.dumps({"k": k})) for k in (1, 2)]
+    sf = _write_events(tmp_path, rows)
+
+    capped = item_pairs(sf, min_count=6, num_partitions=2, max_items_per_user=10).to_pandas()
+    assert sorted(map(tuple, capped[["a", "b", "n"]].to_numpy())) == [(1, 2, 6)]
+    exact = item_pairs(sf, min_count=6, num_partitions=2, max_items_per_user=None).to_pandas()
+    assert sorted(map(tuple, exact[["a", "b", "n"]].to_numpy())) == [(1, 2, 7)]
+
+
+def test_props_k_vectorized_matches_json_loads():
+    from distributed_pagerank_ray.pipelines.relational import _props_k_array
+
+    vals = ['{"k": 87}', '{"k": 0}', '{"k": -3}', None, "", "{}", '{"j": 5}']
+    got = _props_k_array(pa.array(vals, pa.string())).to_pylist()
+    want = [json.loads(p or "{}").get("k", 0) for p in vals]
+    assert got == want
+
+
+def test_triangle_join_path_bsp_adjacency():
+    """Forced join path (broadcast_threshold=0) must agree with brute
+    force on a graph with hubs and shared neighbors."""
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.triangles import triangle_count
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    got = triangle_count(ds, RunConfig(num_partitions=4), broadcast_threshold=0)
+
+    und = set()
+    for a, b in zip(src, dst):
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in und
+        for c in adj[a] & adj[b]
+        if c > b  # count each triangle once: a < b < c
+        if a < b
+    )
+    assert got == brute
