@@ -237,3 +237,73 @@ def decode_ppm(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- real PGM codec
+
+def encode_pgm(gray: np.ndarray) -> bytes:
+    """Minimal binary PGM (P5) encoder for an (h, w) uint8 array — the
+    test-payload generator for the grayscale decoder below."""
+    h, w = gray.shape
+    assert gray.dtype == np.uint8
+    return b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes()
+
+
+class PgmDecode:
+    """Second REAL codec-free image decode stage: binary PGM (P5) is a
+    whitespace header + raw grayscale bytes. Shares the ``PpmDecode``
+    actor shape (state in ``__init__``, per-payload header parse, one
+    ``np.frombuffer`` for the pixels). Emits width, height, mean_gray
+    (6 dp), min_gray, max_gray — the min/max make the gate sensitive
+    to truncated or mis-offset pixel reads, not just averages.
+
+    Malformed payloads raise ValueError (fail loudly; quarantine
+    upstream, same contract as ``PpmDecode``)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, means, mins, maxs = [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            if b is None or not b.startswith(b"P5"):
+                raise ValueError("not a binary PGM (P5) payload")
+            parts = b[:64].split(None, 4)
+            w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+            if maxv != 255:
+                raise ValueError("only 8-bit PGM supported")
+            header_len = len(b) - w * h
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=header_len)
+            if header_len <= 0 or len(px) != w * h:
+                raise ValueError("truncated PGM payload")
+            widths.append(w)
+            heights.append(h)
+            means.append(px.mean())
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("width", pa.array(np.array(widths, dtype=np.int64)))
+        out = out.append_column("height", pa.array(np.array(heights, dtype=np.int64)))
+        out = out.append_column(
+            "mean_gray", pa.array(np.round(np.array(means, dtype=np.float64), 6), pa.float64())
+        )
+        out = out.append_column("min_gray", pa.array(np.array(mins, dtype=np.int64)))
+        out = out.append_column("max_gray", pa.array(np.array(maxs, dtype=np.int64)))
+        return out
+
+
+def decode_pgm(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool PGM decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        PgmDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

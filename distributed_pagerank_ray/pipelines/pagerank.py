@@ -181,18 +181,7 @@ def make_shard_update_fn(
         e = ray.get(e_vec.refs[s]) if e_vec is not None else e_scalar
         new = c * (acc + dm_share) + (1.0 - c) * e
         delta = np.abs(new - old)
-        shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
-        os.makedirs(shard_dir, exist_ok=True)
-        t = pa.table(
-            {
-                "id": pa.array(np.arange(lo, lo + size, dtype=np.int64)),
-                "rank": pa.array(new),
-                "delta": pa.array(delta),
-            }
-        )
-        tmp = os.path.join(shard_dir, "part.parquet.tmp")
-        pq.write_table(t, tmp)
-        os.replace(tmp, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
+        _write_rank_shard(s, lo, new, delta, out_dir)
         return pa.table(
             {
                 "shard": pa.array([s]),
@@ -273,8 +262,10 @@ def _combine_payloads(size: int, *payloads):
 
 
 def _write_rank_shard(s: int, lo: int, new: np.ndarray, delta: np.ndarray, out_dir: str) -> None:
+    """tmp+rename shard part write — URI-aware via the ckpt fs helpers
+    (local paths take the plain-os atomic-rename fast path)."""
     shard_dir = os.path.join(out_dir, f"{SHARD_COL}={s}")
-    os.makedirs(shard_dir, exist_ok=True)
+    ckpt.makedirs(shard_dir)
     t = pa.table(
         {
             "id": pa.array(np.arange(lo, lo + len(new), dtype=np.int64)),
@@ -283,8 +274,9 @@ def _write_rank_shard(s: int, lo: int, new: np.ndarray, delta: np.ndarray, out_d
         }
     )
     tmpf = os.path.join(shard_dir, "part.parquet.tmp")
-    pq.write_table(t, tmpf)
-    os.replace(tmpf, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
+    fsys, inner = ckpt.fs_path(tmpf)
+    pq.write_table(t, inner, filesystem=fsys)
+    ckpt.replace(tmpf, os.path.join(shard_dir, "part.parquet"))  # idempotent on retry
 
 
 @ray.remote(num_returns=3)
@@ -373,10 +365,16 @@ def pagerank(
     graph: GraphTables,
     cfg: PageRankConfig | None = None,
     run_cfg: RunConfig | None = None,
+    run_dir: str | None = None,
 ) -> PageRankResult:
+    """``run_dir`` overrides the checkpoint/final target; it may be a
+    ``scheme://`` URI (file:// exercised by tests) — all checkpoint I/O
+    routes through the ckpt fs helpers (pyarrow.fs for URIs), so on a
+    multi-node cluster checkpoints can land on shared object storage
+    while the graph build output stays wherever it was built."""
     cfg = cfg or PageRankConfig()
     run_cfg = run_cfg or RunConfig()
-    run_dir = graph.run_dir
+    run_dir = run_dir or graph.run_dir
     n, shard_rows = graph.n, graph.shard_rows
     if n == 0:
         raise ValueError("empty graph")
@@ -467,7 +465,7 @@ def pagerank(
         if durable:
             tmp = ckpt.begin_iter(run_dir, k)
             ranks_out = os.path.join(tmp, "ranks")
-            os.makedirs(ranks_out, exist_ok=True)
+            ckpt.makedirs(ranks_out)
         else:
             ranks_out = None
 
@@ -552,10 +550,10 @@ def pagerank(
 
     # flush: if the loop ended on a non-durable iteration, persist the
     # in-memory shards so the final stage (and any resume) has iter k
-    if not os.path.isdir(os.path.join(ckpt.iter_dir(run_dir, k), "ranks")):
+    if not ckpt.isdir(os.path.join(ckpt.iter_dir(run_dir, k), "ranks")):
         tmp = ckpt.begin_iter(run_dir, k)
         ranks_out = os.path.join(tmp, "ranks")
-        os.makedirs(ranks_out, exist_ok=True)
+        ckpt.makedirs(ranks_out)
         ray.get(
             [
                 _flush_shard.remote(s, shard_rows, rank_vec.refs[s], ranks_out)
@@ -576,8 +574,8 @@ def pagerank(
 
     # ---- final normalization (master.go:160-167) -----------------------------
     last_ranks = os.path.join(ckpt.iter_dir(run_dir, k), "ranks")
-    final_dir = os.path.join(graph.run_dir, "final")
-    os.makedirs(final_dir, exist_ok=True)
+    final_dir = os.path.join(run_dir, "final")
+    ckpt.makedirs(final_dir)
     ds = ray.data.read_parquet(last_ranks, columns=["id", "rank"])
     total = float(ds.sum("rank")) if cfg.normalize else 1.0
 
@@ -590,10 +588,8 @@ def pagerank(
         _norm, batch_format="pyarrow"
     )
     out = os.path.join(final_dir, "ranks")
-    if os.path.exists(out):
-        import shutil
-
-        shutil.rmtree(out)
+    if ckpt.exists(out):
+        ckpt.rmtree(out)
     ds.write_parquet(out, partition_cols=[SHARD_COL])
     ckpt.write_metrics_parquet(run_dir)
     return PageRankResult(

@@ -59,12 +59,15 @@ def _load_shard(
     sum of ``sum_col`` over the shard). The piggy-backed sum lets the
     PageRank loop get the L1 residual from the same checkpoint read that
     refreshes the rank shards — one read per iteration, not two."""
+    from .checkpoint import fs_path, isdir
+
     shard_dir = os.path.join(path, f"{SHARD_COL}={shard}")
     out = np.full(size, fill, dtype=np.float64)
     extra = 0.0
-    if os.path.isdir(shard_dir):
+    if isdir(shard_dir):
         cols = [id_col, val_col] + ([sum_col] if sum_col else [])
-        t = pq.read_table(shard_dir, columns=cols)
+        fsys, inner = fs_path(shard_dir)
+        t = pq.read_table(inner, columns=cols, filesystem=fsys)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         vals = t.column(val_col).to_numpy(zero_copy_only=False)
         if len(ids) and (ids.min() < lo or ids.max() >= lo + size):

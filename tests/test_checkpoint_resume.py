@@ -208,3 +208,27 @@ def test_resume_after_real_sigkill(tmp_path):
     a, b = final_ranks(run_a), final_ranks(run_b)
     assert len(a) == V == len(b)
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_resume_via_file_uri(tmp_path, golden_graphs):
+    """run_dir as a file:// URI: every checkpoint touch goes through the
+    pyarrow.fs abstraction (object-store-ready resume contract)."""
+    g = _graph(tmp_path, golden_graphs, "tri_bridge", "uri_graph")
+    uri = "file://" + str(tmp_path / "ckpt_uri")
+    partial = pagerank(g, PageRankConfig(max_iters=3), run_dir=uri)
+    assert partial.iterations == 3 and not partial.converged
+    # stale in-flight tmp dir from a "crash" must be ignored and cleaned
+    os.makedirs(str(tmp_path / "ckpt_uri" / "iter_0004.tmp" / "junk"), exist_ok=True)
+    resumed = pagerank(g, PageRankConfig(max_iters=100), run_dir=uri)
+    assert resumed.converged and resumed.iterations > 3
+
+    g2 = _graph(tmp_path, golden_graphs, "tri_bridge", "uri_clean")
+    clean = pagerank(g2, PageRankConfig(max_iters=100))
+    a = resumed.ranks_numpy(shard_rows=3)
+    b = clean.ranks_numpy(shard_rows=3)
+    assert np.array_equal(a, b)
+    assert resumed.iterations == clean.iterations
+    # artifacts really landed under the URI target via the fs layer
+    assert (tmp_path / "ckpt_uri" / "manifest.json").exists()
+    assert (tmp_path / "ckpt_uri" / "metrics.parquet").exists()
+    assert (tmp_path / "ckpt_uri" / "final" / "ranks").is_dir()

@@ -99,3 +99,32 @@ def test_ppm_decode_roundtrip_and_malformed():
         PpmDecode()(  # truncated pixel data
             pa.table({"payload": pa.array([b"P6\n4 4\n255\nxx"], pa.binary())})
         )
+
+
+def test_pgm_decode_roundtrip_and_malformed():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import PgmDecode, encode_pgm
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, (h, w)).astype(np.uint8) for h, w in [(1, 1), (4, 9), (13, 2)]]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array([encode_pgm(i) for i in imgs], pa.binary()),
+        }
+    )
+    out = PgmDecode()(t)
+    assert out.column("width").to_pylist() == [1, 9, 2]
+    assert out.column("height").to_pylist() == [1, 4, 13]
+    assert out.column("mean_gray").to_pylist() == [round(float(i.mean()), 6) for i in imgs]
+    assert out.column("min_gray").to_pylist() == [int(i.min()) for i in imgs]
+    assert out.column("max_gray").to_pylist() == [int(i.max()) for i in imgs]
+    with pytest.raises(ValueError):
+        PgmDecode()(pa.table({"payload": pa.array([b"P6\n1 1\n255\nabc"], pa.binary())}))
+    with pytest.raises(ValueError):
+        PgmDecode()(  # truncated pixel data
+            pa.table({"payload": pa.array([b"P5\n4 4\n255\nxx"], pa.binary())})
+        )
