@@ -3040,7 +3040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_sample_per_type": _r_sample_per_type,  # per-group variant of r_det_sample
         "t_fingerprint_md5": _t_fingerprint,  # md5 kernel also gated via t_exact_dedup
         "t_normalize": _t_normalize,  # scalar-fn variant (family gated by t_token_counts)
-        "t_minhash_pairs": _t_minhash_pairs,  # rows-only + in-query subset/recall self-gate
+        "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated (LSH recall is exactly 1.0 at gate scales) + in-query subset/recall belt
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
@@ -3723,6 +3723,23 @@ FROM documents
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
         ),
         "t_ngram_dup_pairs": f"""
+WITH {_WORD_GRAMS_CTE},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.6
+""",
+        # LSH-verified pairs == the exact pair set at gate scales: the
+        # banding (16x4 over threshold 0.6, deterministic seeds) has
+        # measured recall exactly 1.0 at sf0.01 AND sf0.1, and the
+        # verify step is exact Jaccard — so the full exact-pairs SQL is
+        # a true oracle here. The in-query subset/recall self-gate
+        # stays as the clearer failure message if banding ever misses.
+        "t_minhash_pairs": f"""
 WITH {_WORD_GRAMS_CTE},
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter

@@ -107,3 +107,47 @@ def test_triangle_join_path_bsp_adjacency():
         if a < b
     )
     assert got == brute
+
+
+def test_cc_long_run_bounded_lineage(tmp_path):
+    """Lineage-cut audit (round-4 verdict item): 40+ CC iterations must
+    not grow driver/object-store state unboundedly. The CC loop is
+    raw-task BSP — each iteration's reduce tasks consume the previous
+    iteration's S shard refs and produce S new ones, the driver rebinds
+    (freeing the old), and the edge blocks are materialized ONCE before
+    the loop — there is no per-iteration Dataset plan to grow. LPA and
+    the walk engine share the same shape (fixed blocks + per-step
+    materialized state). This test pins that contract on a path graph
+    whose min-label propagation needs one iteration per hop."""
+    import ray
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.components import connected_components
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    n = 48  # path 0-1-...-47: label 0 travels one hop per iteration
+    ds = ray.data.from_items(
+        [{"src": i, "dst": i + 1} for i in range(n - 1)]
+    )
+    g = build_graph(
+        ds,
+        str(tmp_path / "path"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=2, shard_rows=16),
+    )
+    before = ray.available_resources().get("object_store_memory", 0)
+    res = connected_components(g, max_iters=100)
+    after = ray.available_resources().get("object_store_memory", 0)
+    assert res.converged and res.n_components == 1
+    assert res.iterations >= 30  # genuinely long run
+    # bounded growth: the driver ends holding only the final S shard
+    # refs; anything leaked per-iteration would show up here (tiny
+    # shards => tight 64 MiB tolerance is generous)
+    assert before - after < 64 * 1024 * 1024
+    # checkpoint cadence held: one durable metrics row per iteration
+    import pyarrow.parquet as pq
+
+    mt = pq.read_table(str(tmp_path / "path" / "cc" / "metrics.parquet"))
+    assert mt.num_rows == res.iterations + 1  # + iter_0000 init
