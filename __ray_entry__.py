@@ -2489,6 +2489,91 @@ def _m_pgm_decode(sf_dir):
     return decode_pgm(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _g_reciprocity_doc(sf_dir):
+    """Directed-graph edge reciprocity over a PLANTED deterministic
+    graph (the gate-parity recipe: the sf tables carry no directed
+    graph with reciprocal edges, so one is derived from doc_id with
+    identical expressions in both engines): each doc i emits edges
+    (i, (17i+5) mod N) and (i, (29i+11) mod N). Engine counts via the
+    distinct-pair BSP + one multi-key Acero self-join — no edge-set
+    broadcast."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.metrics import reciprocity
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(17 * i + 5) % n, (29 * i + 11) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return reciprocity(docs.map_batches(make, batch_format="pyarrow"), num_partitions=4)
+
+
+def _g_adamic_adar_parts(sf_dir):
+    """Adamic-Adar link strength of the part co-occurrence graph's own
+    edges (top-20 by score): Σ 1/ln(deg m) over common neighbors m —
+    relay self-join + packed-key partial float sums + multi-key semi
+    join; the SQL twin evaluates the identical expression structure."""
+    from distributed_pagerank_ray.pipelines.metrics import adamic_adar_scores
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+
+    return adamic_adar_scores(part_cooccurrence_edges(sf_dir), k=20, num_partitions=8)
+
+
+def _e_cov_matrix(sf_dir):
+    """Embedding covariance matrix (upper triangle, d=64): mergeable
+    (n, Σx, Σxxᵀ) moment partials — O(blocks·d²) exchange — with the
+    Σxy/n − mean·mean expression structure mirrored in SQL."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.similarity import covariance_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return covariance_matrix(ds)
+
+
+def _m_ppm_resize(sf_dir):
+    """Nearest-neighbor resize (4x2) of the planted PPM payloads (same
+    generation formula as m_ppm_decode): the SQL oracle samples the
+    ANALYTIC pixel expression at the same integer source coordinates —
+    index math must be exact, not just averages."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import encode_ppm, resize_ppm
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = 8 + int(i) % 8, 4 + int(i) % 4
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[:, :, 0] = ((int(i) + x) % 256)[None, :]
+            rgb[:, :, 1] = ((int(i) * 7 + y) % 256)[:, None]
+            rgb[:, :, 2] = (int(i) * 13) % 256
+            payloads.append(encode_ppm(rgb))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return resize_ppm(docs.map_batches(make, batch_format="pyarrow"), out_w=4, out_h=2)
+
+
+def _r_parts_except(sf_dir):
+    from distributed_pagerank_ray.pipelines.relational import parts_except_years
+
+    return parts_except_years(sf_dir)
+
+
 def _g_powerlaw_lineitem(sf_dir):
     """Power-law exponent (Clauset-style discrete MLE with xmin=2) of
     the lineitem-graph out-degree distribution:
@@ -2951,7 +3036,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_decontam": _t_decontam,  # cross-split n-gram contamination, SQL-checked
         "m_ppm_decode": _m_ppm_decode,  # REAL image decode vs analytic oracle
         "m_pgm_decode": _m_pgm_decode,  # REAL grayscale decode vs analytic oracle (r4)
-        # ---- driver window: round-3 relational families (18) ----
+        # ---- driver window: round-4 new families (5) ----
+        "m_ppm_resize": _m_ppm_resize,  # NN resize vs analytic sampled oracle (r4)
+        "g_reciprocity_doc": _g_reciprocity_doc,  # directed reciprocity, planted graph (r4)
+        "g_adamic_adar_parts": _g_adamic_adar_parts,  # AA link strength top-20 (r4)
+        "e_cov_matrix": _e_cov_matrix,  # embedding covariance, moment partials (r4)
+        "r_parts_except": _r_parts_except,  # EXCEPT set op, anti broadcast (r4)
+        # ---- driver window: round-3 relational families (13) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
@@ -2963,21 +3054,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
-        "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
-        "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
         "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
-        "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
-        "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
-        "t_lang_share": _t_lang_share,  # corpus-card composition report
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
         "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
         "e_label_sims": _e_label_sims,  # pairwise centroid cosine
         # ---- end of 50-entry driver window ----
-        # families below all carry driver green rows in
-        # CORRECTNESS_r02.json / CORRECTNESS_r03.json (committed)
+        # families below all carry driver green rows in committed
+        # CORRECTNESS_r0x.json snapshots or my full-harness runs
+        "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
+        "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
+        "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
+        "t_lang_share": _t_lang_share,  # corpus-card composition report
         "g_out_degree": _g_out_degree,
         "g_in_degree_top20": _g_in_degree_top20,
         "g_vertex_count": _g_vertex_count,
@@ -4152,6 +4243,79 @@ SELECT doc_id,
         FROM UNNEST(range(6 + doc_id % 7)) AS g(x),
              UNNEST(range(3 + doc_id % 5)) AS q(y)) AS max_gray
 FROM documents
+""",
+        # planted-graph reciprocity (identical edge formula both sides)
+        "g_reciprocity_doc": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (17 * doc_id + 5) % (SELECT n FROM nn) AS dst FROM documents
+  UNION
+  SELECT doc_id, (29 * doc_id + 11) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src) AS n_reciprocal,
+       round((SELECT count(*) FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src) * 1.0
+             / (SELECT count(*) FROM e), 6) AS reciprocity
+""",
+        # Adamic-Adar over the part co-occurrence graph's own edges;
+        # same expression structure (1/ln(deg) per relay, rounded sums)
+        "g_adamic_adar_parts": """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a),
+paths AS (
+  SELECT s1.a AS u, s1.b AS m, s2.b AS w
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+  WHERE s1.a < s2.b
+),
+scores AS (
+  SELECT p.u AS a, p.w AS b,
+         sum(CASE WHEN d.d > 1 THEN 1.0 / ln(d.d) ELSE 0 END) AS score
+  FROM paths p JOIN deg d ON d.v = p.m
+  GROUP BY p.u, p.w
+)
+SELECT s.a, s.b, round(s.score, 6) AS score
+FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
+ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
+LIMIT 20
+""",
+        # covariance via the same sum/n - mean*mean structure
+        "e_cov_matrix": """
+WITH dims AS (SELECT UNNEST(range(64)) AS i)
+SELECT i.i AS i, j.i AS j,
+       round(avg(CAST(e.embedding[i.i + 1] AS DOUBLE) * CAST(e.embedding[j.i + 1] AS DOUBLE))
+             - avg(CAST(e.embedding[i.i + 1] AS DOUBLE))
+               * avg(CAST(e.embedding[j.i + 1] AS DOUBLE)), 6) AS cov
+FROM embeddings e, dims i, dims j
+WHERE i.i <= j.i
+GROUP BY i.i, j.i
+""",
+        # analytic expectation of the NN-resampled PPM (4x2): the oracle
+        # samples the generation formula at the same integer source
+        # coordinates sx=(X*w)//4, sy=(Y*h)//2
+        "m_ppm_resize": """
+SELECT doc_id,
+       8 + doc_id % 8 AS width,
+       4 + doc_id % 4 AS height,
+       round((SELECT avg((doc_id + ((g.x * (8 + doc_id % 8)) // 4)) % 256)
+              FROM UNNEST(range(4)) AS g(x)), 6) AS rmean_r,
+       round((SELECT avg((doc_id * 7 + ((q.y * (4 + doc_id % 4)) // 2)) % 256)
+              FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
+       round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
+FROM documents
+""",
+        "r_parts_except": """
+SELECT l_partkey, count(*) AS cnt FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_partkey
+HAVING l_partkey NOT IN (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01')
 """,
         "g_powerlaw_lineitem": f"""
 WITH e AS ({_EDGES_CTE}),

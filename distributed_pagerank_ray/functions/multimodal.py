@@ -307,3 +307,67 @@ def decode_pgm(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+class ResizePpm:
+    """Nearest-neighbor resize of binary PPM (P6) payloads to a fixed
+    (out_w, out_h) — the 'resize' stage of the multimodal brief made
+    real on the codec-free format. Source pixel for output (X, Y) is
+    (floor(X·w/out_w), floor(Y·h/out_h)) — the standard NN convention,
+    chosen because it is a pure integer expression a SQL oracle can
+    evaluate verbatim. Emits the resized image's per-channel means
+    (6 dp) plus the original dims; same actor shape / error contract
+    as PpmDecode."""
+
+    def __init__(self, out_w: int = 4, out_h: int = 2, bin_col: str = "payload"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        W, H = self.out_w, self.out_h
+        widths, heights, means = [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            if b is None or not b.startswith(b"P6"):
+                raise ValueError("not a binary PPM (P6) payload")
+            parts = b[:64].split(None, 4)
+            w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+            if maxv != 255:
+                raise ValueError("only 8-bit PPM supported")
+            header_len = len(b) - w * h * 3
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=header_len)
+            if header_len <= 0 or len(px) != w * h * 3:
+                raise ValueError("truncated PPM payload")
+            img = px.reshape(h, w, 3)
+            sx = (np.arange(W) * w) // W
+            sy = (np.arange(H) * h) // H
+            small = img[sy[:, None], sx[None, :], :]
+            means.append(small.reshape(-1, 3).mean(axis=0))
+            widths.append(w)
+            heights.append(h)
+        m = np.array(means) if means else np.zeros((0, 3))
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("width", pa.array(np.array(widths, dtype=np.int64)))
+        out = out.append_column("height", pa.array(np.array(heights, dtype=np.int64)))
+        for i, name in enumerate(("rmean_r", "rmean_g", "rmean_b")):
+            out = out.append_column(name, pa.array(np.round(m[:, i], 6), pa.float64()))
+        return out
+
+
+def resize_ppm(
+    ds: "ray.data.Dataset",
+    out_w: int = 4,
+    out_h: int = 2,
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool PPM NN-resize — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        ResizePpm,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

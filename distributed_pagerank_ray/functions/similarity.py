@@ -461,3 +461,72 @@ def random_sign_projection(
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def covariance_matrix(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    upper_only: bool = True,
+    round_dp: int = 6,
+) -> "ray.data.Dataset":
+    """Population covariance matrix of an embedding column, emitted as
+    (i, j, cov) rows — the PCA / whitening / feature-correlation
+    pre-pass of an embedding pipeline.
+
+    Scale shape: each batch folds to ONE mergeable moment partial
+    (n, Σx [d], Σxxᵀ [d×d]) — a d²+d+1-float row per batch, so the
+    exchange is O(blocks · d²) regardless of row count; the partials
+    are summed by a remote fold task (the driver holds one ObjectRef)
+    and cov(i,j) = Σxy/n − (Σx/n)(Σy/n) — the expression STRUCTURE the
+    SQL oracle uses verbatim (float-parity rule). Upper triangle
+    (i ≤ j) by default."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or emb_col not in t.column_names:
+            return pa.table({"blob": pa.array([], pa.binary()), "d": pa.array([], _I64)})
+        E = _batch_matrix(t, emb_col).astype(np.float64)
+        n = np.array([float(len(E))])
+        sx = E.sum(axis=0)
+        sxx = E.T @ E
+        blob = np.concatenate([n, sx, sxx.ravel()]).tobytes()
+        return pa.table(
+            {"blob": pa.array([blob], pa.binary()), "d": pa.array([E.shape[1]], _I64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def fold(*blocks):
+        acc = None
+        d = 0
+        for b in blocks:
+            if "blob" not in b.column_names or len(b) == 0:
+                continue
+            for blob, dd in zip(b.column("blob").to_pylist(), b.column("d").to_pylist()):
+                v = np.frombuffer(blob, dtype=np.float64)
+                d = int(dd)
+                acc = v if acc is None else acc + v
+        if acc is None:
+            return pa.table(
+                {"i": pa.array([], _I64), "j": pa.array([], _I64), "cov": pa.array([], _F64)}
+            )
+        n = acc[0]
+        sx = acc[1 : 1 + d]
+        sxx = acc[1 + d :].reshape(d, d)
+        mean = sx / n
+        cov = sxx / n - np.outer(mean, mean)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        if upper_only:
+            m = ii <= jj
+            ii, jj = ii[m], jj[m]
+        return pa.table(
+            {
+                "i": pa.array(ii.astype(np.int64)),
+                "j": pa.array(jj.astype(np.int64)),
+                "cov": pa.array(np.round(cov[ii, jj], round_dp), _F64),
+            }
+        )
+
+    return ray.data.from_arrow_refs([fold.remote(*partials.to_arrow_refs())])

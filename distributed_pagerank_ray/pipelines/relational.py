@@ -482,6 +482,42 @@ def parts_in_both_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.dat
     )
 
 
+def parts_except_years(sf_dir: str, y1: int = 1996, y2: int = 1997) -> "ray.data.Dataset":
+    """EXCEPT: part keys shipped in year ``y1`` but NOT in ``y2`` —
+    completes the set-op surface (union/distinct/INTERSECT elsewhere,
+    EXCEPT here). Same no-AllToAll shape as ``parts_in_both_years``:
+    two filtered distinct key sets via the count BSP, then the y2 key
+    set is packed in a REMOTE task and anti-filtered against y1 inside
+    map_batches (the broadcast is the EXCLUDED side; at web scale swap
+    in the Bloom prefilter + exact anti join when |y2| outgrows one
+    node's memory — the documented trade, as in semi_join_filter)."""
+    import ray
+
+    from ..util import count_i64_keys, pack_sorted_keys, semi_join_filter
+
+    import pyarrow.dataset as pads
+
+    def year_keys(year: int) -> "ray.data.Dataset":
+        lo = np.datetime64(f"{year}-01-01T00:00:00", "us")
+        hi = np.datetime64(f"{year + 1}-01-01T00:00:00", "us")
+        pred = (pads.field("l_shipdate") >= pa.scalar(lo)) & (
+            pads.field("l_shipdate") < pa.scalar(hi)
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate"], filter=pred
+        ).map_batches(
+            lambda t: pa.table({"l_partkey": t.column("l_partkey")}), batch_format="pyarrow"
+        )
+        return count_i64_keys(ds, "l_partkey")
+
+    a = year_keys(y1).materialize()
+    b = year_keys(y2).materialize()
+    out = semi_join_filter(a, "l_partkey", pack_sorted_keys(b, "l_partkey"), keep=False)
+    return out.map_batches(
+        ensure_schema({"l_partkey": _I64, "cnt": _I64}), batch_format="pyarrow"
+    )
+
+
 def part_year_volumes(
     sf_dir: str, y1: int = 1995, y2: int = 1996, num_partitions: int = 8
 ) -> "ray.data.Dataset":

@@ -151,3 +151,118 @@ def test_cc_long_run_bounded_lineage(tmp_path):
 
     mt = pq.read_table(str(tmp_path / "path" / "cc" / "metrics.parquet"))
     assert mt.num_rows == res.iterations + 1  # + iter_0000 init
+
+
+def test_reciprocity_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import reciprocity
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(0, 30, 200)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    row = reciprocity(ds, num_partitions=2, num_shards=2).take_all()[0]
+    es = {(a, b) for a, b in zip(src, dst) if a != b}
+    n_rec = sum(1 for (a, b) in es if (b, a) in es)
+    assert row["n_edges"] == len(es)
+    assert row["n_reciprocal"] == n_rec
+    assert row["reciprocity"] == round(n_rec / len(es), 6)
+
+
+def test_adamic_adar_brute_force():
+    import math
+
+    from distributed_pagerank_ray.pipelines.metrics import adamic_adar_scores
+
+    rng = np.random.default_rng(11)
+    raw = {(int(a), int(b)) for a, b in zip(rng.integers(0, 25, 150), rng.integers(0, 25, 150)) if a != b}
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in und], pa.int64()),
+                "b": pa.array([e[1] for e in und], pa.int64()),
+            }
+        )
+    )
+    got = adamic_adar_scores(ds, k=10, num_partitions=2, num_shards=2).to_pandas()
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    for a, b in und:
+        s = sum(
+            1.0 / math.log(len(adj[m]))
+            for m in adj[a] & adj[b]
+            if len(adj[m]) > 1
+        )
+        want.append((a, b, round(s, 6)))
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+    gl = [(int(r.a), int(r.b), float(r.score)) for r in got.itertuples(index=False)]
+    assert gl == want[:10]
+
+
+def test_covariance_matrix_vs_numpy():
+    from distributed_pagerank_ray.functions.similarity import covariance_matrix
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(300, 5)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"embedding": list(map(float, row))} for row in X]
+    ).repartition(4)
+    got = covariance_matrix(ds).to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+    Xf = X.astype(np.float64)
+    cov = (Xf.T @ Xf) / len(Xf) - np.outer(Xf.mean(axis=0), Xf.mean(axis=0))
+    assert len(got) == 15  # upper triangle of 5x5
+    for i, j, c in got.itertuples(index=False):
+        assert abs(c - round(cov[int(i), int(j)], 6)) <= 1e-6
+
+
+def test_resize_ppm_nearest_neighbor():
+    from distributed_pagerank_ray.functions.multimodal import ResizePpm, encode_ppm
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (5, 9, 3)).astype(np.uint8)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_ppm(img)], pa.binary()),
+        }
+    )
+    out = ResizePpm(out_w=4, out_h=2)(t)
+    sx = (np.arange(4) * 9) // 4
+    sy = (np.arange(2) * 5) // 2
+    small = img[sy[:, None], sx[None, :], :].reshape(-1, 3)
+    for c, name in enumerate(("rmean_r", "rmean_g", "rmean_b")):
+        assert out.column(name).to_pylist() == [round(float(small[:, c].mean()), 6)]
+
+
+def test_parts_except_matches_duckdb(tmp_path):
+    import duckdb
+
+    from distributed_pagerank_ray.pipelines.relational import parts_except_years
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        parts_except_years(sf)
+        .to_pandas()
+        .sort_values("l_partkey")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT l_partkey, count(*) AS cnt
+        FROM read_parquet('{sf}/lineitem.parquet')
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_partkey
+        HAVING l_partkey NOT IN (
+          SELECT l_partkey FROM read_parquet('{sf}/lineitem.parquet')
+          WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01')
+        ORDER BY l_partkey
+        """
+    ).df()
+    assert got["l_partkey"].tolist() == want["l_partkey"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
