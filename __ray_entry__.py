@@ -1928,6 +1928,15 @@ def _g_harmonic_org(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _t_bigram_surprisal(sf_dir):
+    """Per-doc mean bigram surprisal (conditional next-word model, one
+    step up from t_surprisal): -log2(c(w1,w2)/c(w1)) averaged per doc;
+    hybrid broadcast/join finish, Horner bigram hashes."""
+    from distributed_pagerank_ray.functions.textstats import bigram_surprisal
+
+    return bigram_surprisal(_docs(sf_dir))
+
+
 def _t_surprisal(sf_dir):
     """Per-doc mean unigram surprisal (corpus-statistics quality
     signal): one tokenize pass, weighted count BSP for corpus word
@@ -2574,6 +2583,17 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _g_gini_lineitem(sf_dir):
+    """Gini coefficient of the lineitem-graph out-degree distribution
+    (hub-concentration summary): degree histogram via two chained count
+    BSPs, exact integer rank-block numerator on the driver's
+    O(distinct degrees) rows."""
+    from distributed_pagerank_ray.pipelines.metrics import degree_gini
+    from distributed_pagerank_ray.pipelines.relational import lineitem_edges
+
+    return degree_gini(lineitem_edges(sf_dir), num_shards=4)
+
+
 def _g_powerlaw_lineitem(sf_dir):
     """Power-law exponent (Clauset-style discrete MLE with xmin=2) of
     the lineitem-graph out-degree distribution:
@@ -3042,7 +3062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_adamic_adar_parts": _g_adamic_adar_parts,  # AA link strength top-20 (r4)
         "e_cov_matrix": _e_cov_matrix,  # embedding covariance, moment partials (r4)
         "r_parts_except": _r_parts_except,  # EXCEPT set op, anti broadcast (r4)
-        # ---- driver window: round-3 relational families (13) ----
+        "g_gini_lineitem": _g_gini_lineitem,  # degree Gini, exact histogram form (r4)
+        "t_bigram_surprisal": _t_bigram_surprisal,  # conditional bigram LM signal (r4)
+        # ---- driver window: round-3 relational families (11) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
@@ -3053,8 +3075,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
-        "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
-        "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
@@ -3065,6 +3085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
+        "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
         "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
         "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
         "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
@@ -4308,6 +4330,42 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # bigram surprisal: bigrams over the KEPT word sequence (empties
+        # dropped, then re-ranked) — identical tokenizer contract to the
+        # engine; avg of -log2(c2/c1) rounded 6dp
+        "t_bigram_surprisal": r"""
+WITH w AS (
+  SELECT doc_id, g.i AS word_no, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+w2 AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY word_no) AS pos, word
+  FROM w
+),
+bg AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS wx
+  FROM w2 a JOIN w2 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, wx, count(*) AS c2 FROM bg GROUP BY w1, wx),
+uc AS (SELECT word, count(*) AS c1 FROM w GROUP BY word)
+SELECT bg.doc_id,
+       round(avg(-log2(bc.c2 * 1.0 / uc.c1)), 6) AS bigram_surprisal
+FROM bg JOIN bc ON bc.w1 = bg.w1 AND bc.wx = bg.wx
+        JOIN uc ON uc.word = bg.w1
+GROUP BY bg.doc_id
+""",
+        "g_gini_lineitem": f"""
+WITH e AS ({_EDGES_CTE}),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+s AS (SELECT deg, row_number() OVER (ORDER BY deg) AS rn FROM d),
+nn AS (SELECT count(*) AS n FROM d)
+SELECT (SELECT n FROM nn) AS n,
+       round(sum((2 * rn - (SELECT n FROM nn) - 1) * deg) * 1.0
+             / ((SELECT n FROM nn) * sum(deg)), 6) AS gini
+FROM s
 """,
         "r_parts_except": """
 SELECT l_partkey, count(*) AS cnt FROM lineitem

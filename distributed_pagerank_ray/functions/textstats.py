@@ -1145,3 +1145,204 @@ def postings_topk(
         .groupby("word")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def bigram_surprisal(
+    ds: "object", num_partitions: int = 8, broadcast_vocab: int = 4_000_000
+):
+    """Per-document mean bigram surprisal (bits/transition): for each
+    adjacent word pair (w1, w2), -log2( count(w1,w2) / count(w1) ) with
+    counts over the WHOLE corpus; averaged per doc. The conditional
+    next-word-probability quality signal one step up from
+    ``unigram_surprisal`` — low = formulaic/boilerplate transitions,
+    high = unusual phrasing.
+
+    Scale shape mirrors unigram_surprisal:
+    1. one tokenize pass emits (doc, h1) unigram rows and
+       (doc, h1, bh) bigram rows — bh is the Horner combine
+       h1·B + h2 (the poly_kgram_hashes formula at k=2), so only
+       8-byte hashes ever shuffle;
+    2. corpus unigram/bigram counts via the weighted count BSP;
+    3. HYBRID finish: bigram vocab ≤ ``broadcast_vocab`` → both count
+       tables packed remotely into sorted arrays, docs finish in ONE
+       map (no join, no groupby); above → two int64-keyed hash joins
+       + per-doc partial sums + one grouped sum.
+
+    Docs with < 2 kept words emit no row (mirrored by the oracle).
+    64-bit hash collisions merge counts (prob ≈ vocab²/2^64; the SQL
+    twin compares by STRING so a collision turns the gate red, never
+    silently passes)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import compact_for_join, count_i64_keys
+    from .dedup import hash_str_array
+
+    def tokenize(t: pa.Table):
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lengths)
+        keep = flat != ""
+        words = flat[keep]
+        h = hash_str_array(words).view(np.int64) if len(words) else np.zeros(0, dtype=np.int64)
+        return doc_ids[keep], h
+
+    def explode(t: pa.Table) -> pa.Table:
+        d, h = tokenize(t)
+        return pa.table({"doc_id": pa.array(d.astype(np.int64)), "h": pa.array(h)})
+
+    def explode_bigrams(t: pa.Table) -> pa.Table:
+        d, h = tokenize(t)
+        if len(h) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "h1": pa.array([], pa.int64()), "bh": pa.array([], pa.int64())}
+            )
+        adj = d[:-1] == d[1:]
+        with np.errstate(over="ignore"):
+            bh = (h[:-1].view(np.uint64) * _ROLL_BASE + h[1:].view(np.uint64)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[:-1][adj].astype(np.int64)),
+                "h1": pa.array(h[:-1][adj]),
+                "bh": pa.array(bh[adj]),
+            }
+        )
+
+    words = ds.map_batches(explode, batch_format="pyarrow")
+    bigrams = ds.map_batches(explode_bigrams, batch_format="pyarrow").materialize()
+
+    def pre(col):
+        def fn(t: pa.Table) -> pa.Table:
+            if col not in t.column_names or len(t) == 0:
+                return pa.table({col: pa.array([], pa.int64()), "pc_": pa.array([], pa.int64())})
+            u, c = np.unique(t.column(col).to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({col: pa.array(u), "pc_": pa.array(c.astype(np.int64))})
+
+        return fn
+
+    cnt1 = count_i64_keys(
+        words.map_batches(pre("h"), batch_format="pyarrow"), "h", count_col="n1", weight_col="pc_"
+    ).materialize()
+    cnt2 = count_i64_keys(
+        bigrams.map_batches(pre("bh"), batch_format="pyarrow"), "bh", count_col="n2", weight_col="pc_"
+    ).materialize()
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "bigram_surprisal": pa.array([], pa.float64())}
+    )
+
+    if cnt2.count() <= broadcast_vocab:
+
+        @ray.remote
+        def pack(key_col, val_col, *blocks):
+            blocks = [b for b in blocks if key_col in b.column_names and len(b) > 0]
+            if not blocks:
+                return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+            ks = np.concatenate([b.column(key_col).to_numpy(zero_copy_only=False) for b in blocks])
+            vs = np.concatenate([b.column(val_col).to_numpy(zero_copy_only=False) for b in blocks])
+            order = np.argsort(ks)
+            return ks[order], vs[order].astype(np.float64)
+
+        lut1 = pack.remote("h", "n1", *cnt1.to_arrow_refs())
+        lut2 = pack.remote("bh", "n2", *cnt2.to_arrow_refs())
+
+        def direct(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "text" not in t.column_names:
+                return empty
+            hs1, ns1 = ray.get(lut1)
+            hs2, ns2 = ray.get(lut2)
+            d, h = tokenize(t)
+            if len(h) < 2:
+                return empty
+            adj = d[:-1] == d[1:]
+            if not adj.any():
+                return empty
+            with np.errstate(over="ignore"):
+                bh = (h[:-1].view(np.uint64) * _ROLL_BASE + h[1:].view(np.uint64)).view(np.int64)
+            h1 = h[:-1][adj]
+            bh = bh[adj]
+            db = d[:-1][adj]
+            c1 = ns1[np.searchsorted(hs1, h1)]
+            c2 = ns2[np.searchsorted(hs2, bh)]
+            s = -np.log2(c2 / c1)
+            u, inv = np.unique(db, return_inverse=True)
+            ssum = np.bincount(inv, s, len(u))
+            ncnt = np.bincount(inv, minlength=len(u))
+            return pa.table(
+                {
+                    "doc_id": pa.array(u.astype(np.int64)),
+                    "bigram_surprisal": pa.array(np.round(ssum / ncnt, 6)),
+                }
+            )
+
+        return ds.map_batches(direct, batch_format="pyarrow")
+
+    # join path: two int64-keyed hash joins + grouped per-doc sums
+    j = compact_for_join(bigrams, num_partitions).join(
+        compact_for_join(cnt2, num_partitions),
+        join_type="inner",
+        on=("bh",),
+        right_on=("bh",),
+        num_partitions=num_partitions,
+    )
+    j = compact_for_join(
+        j.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("doc_id"), "h1": t.column("h1"), "n2": t.column("n2")}
+            )
+            if "doc_id" in t.column_names
+            else pa.table(
+                {"doc_id": pa.array([], pa.int64()), "h1": pa.array([], pa.int64()), "n2": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        num_partitions,
+    ).join(
+        compact_for_join(cnt1, num_partitions),
+        join_type="inner",
+        on=("h1",),
+        right_on=("h",),
+        num_partitions=num_partitions,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "s": pa.array([], pa.float64()), "nb": pa.array([], pa.int64())}
+            )
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = -np.log2(
+            t.column("n2").to_numpy(zero_copy_only=False).astype(np.float64)
+            / t.column("n1").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        u, inv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u),
+                "s": pa.array(np.bincount(inv, s, len(u))),
+                "nb": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("nb", alias_name="nb"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "doc_id" not in t.column_names or len(t) == 0:
+            return empty
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "bigram_surprisal": pa.array(np.round(s / nb, 6)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

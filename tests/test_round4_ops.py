@@ -266,3 +266,38 @@ def test_parts_except_matches_duckdb(tmp_path):
     ).df()
     assert got["l_partkey"].tolist() == want["l_partkey"].tolist()
     assert got["cnt"].tolist() == want["cnt"].tolist()
+
+
+def test_degree_gini_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import degree_gini
+
+    rng = np.random.default_rng(6)
+    src = rng.zipf(1.6, 400) % 40
+    dst = rng.integers(0, 40, 400)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    row = degree_gini(ds, num_shards=2).take_all()[0]
+    deg = pd.Series(src).value_counts().to_numpy()
+    x = np.sort(deg)
+    n = len(x)
+    want = float(((2 * np.arange(1, n + 1) - n - 1) * x).sum()) / (n * x.sum())
+    assert row["n"] == n
+    assert row["gini"] == round(want, 6)
+
+
+def test_bigram_surprisal_join_path_equals_broadcast_path():
+    from distributed_pagerank_ray.functions.textstats import bigram_surprisal
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = bigram_surprisal(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        bigram_surprisal(docs, broadcast_vocab=0)  # force the join path
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
