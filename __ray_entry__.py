@@ -2583,6 +2583,18 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _e_quantize_int8(sf_dir):
+    """Per-dimension symmetric int8 quantization report (scale + MSE):
+    two mergeable O(blocks*d) passes; explicit half-up rounding so the
+    SQL floor(x/s + 0.5) expression is identical."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.similarity import quantize_int8_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return quantize_int8_stats(ds)
+
+
 def _g_gini_lineitem(sf_dir):
     """Gini coefficient of the lineitem-graph out-degree distribution
     (hub-concentration summary): degree histogram via two chained count
@@ -3064,7 +3076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_parts_except": _r_parts_except,  # EXCEPT set op, anti broadcast (r4)
         "g_gini_lineitem": _g_gini_lineitem,  # degree Gini, exact histogram form (r4)
         "t_bigram_surprisal": _t_bigram_surprisal,  # conditional bigram LM signal (r4)
-        # ---- driver window: round-3 relational families (11) ----
+        "e_quantize_int8": _e_quantize_int8,  # int8 quantization scale+MSE report (r4)
+        # ---- driver window: round-3 relational families (10) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
@@ -3074,7 +3087,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
-        "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
@@ -3085,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
         "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
         "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
@@ -4330,6 +4343,19 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # int8 quantization: scale from the same max|x|/127, explicit
+        # half-up floor(x/s + 0.5) in both engines
+        "e_quantize_int8": """
+WITH x AS (
+  SELECT g.j AS j, CAST(embedding[g.j + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(64)) AS g(j)
+),
+sc AS (SELECT j, max(abs(v)) / 127.0 AS scale FROM x GROUP BY j)
+SELECT x.j, round(sc.scale, 6) AS scale,
+       round(avg(pow(x.v - floor(x.v / sc.scale + 0.5) * sc.scale, 2)), 9) AS mse
+FROM x JOIN sc ON sc.j = x.j
+GROUP BY x.j, sc.scale
 """,
         # bigram surprisal: bigrams over the KEPT word sequence (empties
         # dropped, then re-ranked) — identical tokenizer contract to the

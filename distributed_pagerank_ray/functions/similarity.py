@@ -530,3 +530,87 @@ def covariance_matrix(
         )
 
     return ray.data.from_arrow_refs([fold.remote(*partials.to_arrow_refs())])
+
+
+def quantize_int8_stats(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Symmetric per-dimension int8 quantization report for an
+    embedding column — the compression pre-pass an ANN/training
+    pipeline runs before storing 100 TB of vectors: per dimension j,
+    scale_j = max|x_j| / 127, code = floor(x/scale + 0.5) (explicit
+    half-up — np.round's banker rounding would diverge from SQL), and
+    the reconstruction MSE avg((x − code·scale)²).
+
+    Two mergeable passes, each O(blocks·d) exchange: per-batch
+    max-|x| partials → remote fold → scales broadcast by ObjectRef →
+    per-batch (Σerr², n) partials → remote fold emits (j, scale 6dp,
+    mse 9dp). Dims whose max|x| is 0 quantize to scale 0 / mse 0."""
+    import ray
+
+    def maxabs_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or emb_col not in t.column_names:
+            return pa.table({"blob": pa.array([], pa.binary())})
+        E = np.abs(_batch_matrix(t, emb_col).astype(np.float64))
+        return pa.table({"blob": pa.array([E.max(axis=0).tobytes()], pa.binary())})
+
+    mp = ds.map_batches(maxabs_partial, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def fold_max(*blocks):
+        acc = None
+        for b in blocks:
+            if "blob" not in b.column_names:
+                continue
+            for blob in b.column("blob").to_pylist():
+                v = np.frombuffer(blob, dtype=np.float64)
+                acc = v if acc is None else np.maximum(acc, v)
+        return acc if acc is not None else np.zeros(0, dtype=np.float64)
+
+    scales_ref = fold_max.remote(*mp.to_arrow_refs())
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or emb_col not in t.column_names:
+            return pa.table({"blob": pa.array([], pa.binary()), "n": pa.array([], _I64)})
+        maxabs = ray.get(scales_ref)
+        scale = maxabs / 127.0
+        E = _batch_matrix(t, emb_col).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.floor(E / scale + 0.5)
+        err = E - code * scale
+        err[:, scale == 0] = 0.0  # all-zero dims reconstruct exactly
+        return pa.table(
+            {
+                "blob": pa.array([(err * err).sum(axis=0).tobytes()], pa.binary()),
+                "n": pa.array([len(E)], _I64),
+            }
+        )
+
+    ep = ds.map_batches(err_partial, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def fold_err(scales, *blocks):
+        acc = None
+        n = 0
+        for b in blocks:
+            if "blob" not in b.column_names:
+                continue
+            for blob, nn in zip(b.column("blob").to_pylist(), b.column("n").to_pylist()):
+                v = np.frombuffer(blob, dtype=np.float64)
+                acc = v if acc is None else acc + v
+                n += int(nn)
+        if acc is None or n == 0:
+            return pa.table(
+                {"j": pa.array([], _I64), "scale": pa.array([], _F64), "mse": pa.array([], _F64)}
+            )
+        scale = scales / 127.0
+        return pa.table(
+            {
+                "j": pa.array(np.arange(len(acc), dtype=np.int64)),
+                "scale": pa.array(np.round(scale, 6), _F64),
+                "mse": pa.array(np.round(acc / n, 9), _F64),
+            }
+        )
+
+    return ray.data.from_arrow_refs([fold_err.remote(scales_ref, *ep.to_arrow_refs())])

@@ -301,3 +301,18 @@ def test_bigram_surprisal_join_path_equals_broadcast_path():
     )
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_quantize_int8_vs_numpy():
+    from distributed_pagerank_ray.functions.similarity import quantize_int8_stats
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(200, 6)).astype(np.float32)
+    ds = ray.data.from_items([{"embedding": list(map(float, r))} for r in X]).repartition(3)
+    got = quantize_int8_stats(ds).to_pandas().sort_values("j").reset_index(drop=True)
+    Xf = X.astype(np.float64)
+    scale = np.abs(Xf).max(axis=0) / 127.0
+    code = np.floor(Xf / scale + 0.5)
+    mse = ((Xf - code * scale) ** 2).mean(axis=0)
+    assert got["scale"].tolist() == [round(s, 6) for s in scale]
+    assert got["mse"].tolist() == [round(m, 9) for m in mse]
