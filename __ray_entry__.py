@@ -2583,6 +2583,153 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _g_prdelta_lineitem(sf_dir):
+    """Composed incremental-update flow under a FULL SQL gate: build the
+    pre-1997 lineitem graph (minted), merge the 1997+ edges via
+    ``update_graph`` (versioned hardlinked increment — the previously
+    self-gated-only path), run 3-iteration PageRank on BOTH versions,
+    and report the delta summary (new vertices, changed ranks, total
+    absolute rank movement at 6dp). The oracle unrolls both pageranks
+    as CTEs over the same date-split edge sets — per-key rank parity
+    through the update path is what's being proven."""
+    import os
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from distributed_pagerank_ray.config import PageRankConfig, RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import GraphTables, update_graph
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.util import compact_for_join, distinct_i64_pairs
+
+    ORDER_BASE = 10_000_000
+    CUT = np.datetime64("1997-01-01T00:00:00", "us")
+
+    def edges_split(before: bool):
+        pred = (
+            pads.field("l_shipdate") < pa.scalar(CUT)
+            if before
+            else pads.field("l_shipdate") >= pa.scalar(CUT)
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_shipdate"],
+            filter=pred,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.add(t.column("l_orderkey").cast(pa.int64()), ORDER_BASE),
+                    "dst": t.column("l_partkey").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return distinct_i64_pairs(ds, "src", "dst")
+
+    gbase = _gate_graph(sf_dir, "libase", edges_split(True), "prd_base")
+
+    # updated version: cached next to the gate graphs (update_graph's
+    # _DONE guard makes re-entry a cheap reload); iteration state gets
+    # a fresh symlinked run dir per query run, as in _gate_graph
+    base_graph_link = os.path.join(gbase.run_dir, "graph")
+    base_cache = (
+        os.path.dirname(os.readlink(base_graph_link))
+        if os.path.islink(base_graph_link)
+        else gbase.run_dir
+    )
+    upd_root = os.path.join(
+        "/tmp/dpr_gate_graphs", "liupd_" + os.path.basename(base_cache)
+    )
+    gupd = update_graph(
+        gbase.run_dir,
+        edges_split(False),
+        upd_root,
+        src_col="src",
+        dst_col="dst",
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    run_dir = tempfile.mkdtemp(prefix="dpr_prd_upd_")
+    os.symlink(os.path.join(upd_root, "graph"), os.path.join(run_dir, "graph"))
+    gupd = GraphTables(
+        run_dir, gupd.n, gupd.m, gupd.m_lines, gupd.shard_rows, gupd.semantics
+    )
+
+    cfg = PageRankConfig(threshold=0.0, max_iters=3)
+    rb = pagerank(gbase, cfg)
+    rf = pagerank(gupd, cfg)
+
+    def keyed_ranks(res, g):
+        j = compact_for_join(res.ranks(), 4).join(
+            compact_for_join(g.vertex_map(), 4),
+            join_type="inner",
+            num_partitions=4,
+            on=("id",),
+            right_on=("id",),
+        )
+        # ranks stay UNROUNDED here: every output below is an aggregate
+        # rounded ONCE at the end (per-vertex rounded-equality counts
+        # are float-boundary-fragile across engines)
+        return j.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("key").cast(pa.int64()),
+                    "r": t.column("rank").cast(pa.float64()),
+                }
+            )
+            if "key" in t.column_names
+            else pa.table({"key": pa.array([], pa.int64()), "r": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        )
+
+    kb = keyed_ranks(rb, gbase).materialize()
+    kf = keyed_ranks(rf, gupd).materialize()
+    kb2 = kb.map_batches(
+        lambda t: pa.table({"key2": t.column("key"), "rb": t.column("r")})
+        if "key" in t.column_names
+        else pa.table({"key2": pa.array([], pa.int64()), "rb": pa.array([], pa.float64())}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(kf, 4).join(
+        compact_for_join(kb2, 4),
+        join_type="left_outer",
+        num_partitions=4,
+        on=("key",),
+        right_on=("key2",),
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        cols = ["n_new", "new_mass", "s_abs"]
+        if len(t) == 0 or "r" not in t.column_names:
+            return pa.table({c: pa.array([], pa.float64()) for c in cols})
+        rf_ = t.column("r").to_numpy(zero_copy_only=False)
+        rb_ = t.column("rb").to_numpy(zero_copy_only=False)
+        # side membership from VALUE validity (full-outer/left-outer
+        # key coalescing quirk — CLAUDE.md)
+        new = np.isnan(rb_) if rb_.dtype.kind == "f" else pa.compute.is_null(t.column("rb")).to_numpy(zero_copy_only=False)
+        common = ~new
+        return pa.table(
+            {
+                "n_new": pa.array([float(new.sum())]),
+                "new_mass": pa.array([rf_[new].sum()]),
+                "s_abs": pa.array([np.abs(rf_[common] - rb_[common]).sum()]),
+            }
+        )
+
+    agg = j.map_batches(stats, batch_format="pyarrow").materialize()
+    return ray.data.from_items(
+        [
+            {
+                "n_base": int(kb.count()),
+                "n_full": int(kf.count()),
+                "n_new": int(agg.sum("n_new") or 0),
+                "new_mass": round(float(agg.sum("new_mass") or 0.0), 6),
+                "sum_abs_delta": round(float(agg.sum("s_abs") or 0.0), 6),
+            }
+        ]
+    )
+
+
 def _e_quantize_int8(sf_dir):
     """Per-dimension symmetric int8 quantization report (scale + MSE):
     two mergeable O(blocks*d) passes; explicit half-up rounding so the
@@ -3077,7 +3224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_gini_lineitem": _g_gini_lineitem,  # degree Gini, exact histogram form (r4)
         "t_bigram_surprisal": _t_bigram_surprisal,  # conditional bigram LM signal (r4)
         "e_quantize_int8": _e_quantize_int8,  # int8 quantization scale+MSE report (r4)
-        # ---- driver window: round-3 relational families (10) ----
+        "g_prdelta_lineitem": _g_prdelta_lineitem,  # SQL-gated incremental-update delta (r4)
+        # ---- driver window: round-3 relational families (9) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
@@ -3086,7 +3234,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
-        "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
@@ -3097,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
         "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
@@ -4343,6 +4491,58 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # incremental-update pagerank delta: both 3-iter pageranks
+        # unrolled over the same date-split edge sets; per-key parity
+        # through update_graph's versioned merge is what's proven
+        "g_prdelta_lineitem": """
+WITH eb AS (SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst
+            FROM lineitem WHERE l_shipdate < DATE '1997-01-01'),
+vb AS (SELECT src AS v FROM eb UNION SELECT dst FROM eb),
+nb AS (SELECT count(*) AS n FROM vb),
+ob AS (SELECT src, count(*) AS d FROM eb GROUP BY src),
+b0 AS (SELECT v, 1.0 / (SELECT n FROM nb) AS r FROM vb),
+b1 AS (SELECT vb.v, 0.15 / (SELECT n FROM nb) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM vb LEFT JOIN (SELECT e.dst AS v, sum(b0.r / ob.d) AS contrib
+    FROM eb e JOIN b0 ON b0.v = e.src JOIN ob ON ob.src = e.src GROUP BY e.dst) s ON s.v = vb.v),
+b2 AS (SELECT vb.v, 0.15 / (SELECT n FROM nb) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM vb LEFT JOIN (SELECT e.dst AS v, sum(b1.r / ob.d) AS contrib
+    FROM eb e JOIN b1 ON b1.v = e.src JOIN ob ON ob.src = e.src GROUP BY e.dst) s ON s.v = vb.v),
+b3 AS (SELECT vb.v, 0.15 / (SELECT n FROM nb) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM vb LEFT JOIN (SELECT e.dst AS v, sum(b2.r / ob.d) AS contrib
+    FROM eb e JOIN b2 ON b2.v = e.src JOIN ob ON ob.src = e.src GROUP BY e.dst) s ON s.v = vb.v),
+rb AS (SELECT v, r / (SELECT sum(r) FROM b3) AS r FROM b3),
+ei AS (SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst
+       FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'),
+ef AS (SELECT src, dst FROM eb UNION SELECT src, dst FROM ei),
+vf AS (SELECT src AS v FROM ef UNION SELECT dst FROM ef),
+nf AS (SELECT count(*) AS n FROM vf),
+-- LINE-COUNT out-degrees over the base+increment concatenation
+-- (reference graph.go:77-78: duplicate lines dilute the source's
+-- per-edge contribution while the in-link dedups) — update_graph
+-- preserves exactly these semantics, so an edge shipped both before
+-- and after the cut counts twice here
+odf AS (SELECT src, count(*) AS d
+        FROM (SELECT src, dst FROM eb UNION ALL SELECT src, dst FROM ei)
+        GROUP BY src),
+f0 AS (SELECT v, 1.0 / (SELECT n FROM nf) AS r FROM vf),
+f1 AS (SELECT vf.v, 0.15 / (SELECT n FROM nf) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM vf LEFT JOIN (SELECT e.dst AS v, sum(f0.r / odf.d) AS contrib
+    FROM ef e JOIN f0 ON f0.v = e.src JOIN odf ON odf.src = e.src GROUP BY e.dst) s ON s.v = vf.v),
+f2 AS (SELECT vf.v, 0.15 / (SELECT n FROM nf) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM vf LEFT JOIN (SELECT e.dst AS v, sum(f1.r / odf.d) AS contrib
+    FROM ef e JOIN f1 ON f1.v = e.src JOIN odf ON odf.src = e.src GROUP BY e.dst) s ON s.v = vf.v),
+f3 AS (SELECT vf.v, 0.15 / (SELECT n FROM nf) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM vf LEFT JOIN (SELECT e.dst AS v, sum(f2.r / odf.d) AS contrib
+    FROM ef e JOIN f2 ON f2.v = e.src JOIN odf ON odf.src = e.src GROUP BY e.dst) s ON s.v = vf.v),
+rff AS (SELECT v, r / (SELECT sum(r) FROM f3) AS r FROM f3)
+SELECT (SELECT count(*) FROM rb) AS n_base,
+       (SELECT count(*) FROM rff) AS n_full,
+       (SELECT count(*) FROM rff WHERE v NOT IN (SELECT v FROM rb)) AS n_new,
+       (SELECT round(COALESCE(sum(rff.r), 0), 6) FROM rff
+        WHERE v NOT IN (SELECT v FROM rb)) AS new_mass,
+       (SELECT round(COALESCE(sum(abs(rff.r - rb.r)), 0), 6)
+        FROM rff JOIN rb ON rb.v = rff.v) AS sum_abs_delta
 """,
         # int8 quantization: scale from the same max|x|/127, explicit
         # half-up floor(x/s + 0.5) in both engines

@@ -582,6 +582,8 @@ def update_graph(
     vmap_new, k_new = mint_dense_ids(fresh_keys, "key")
     old_n = old.n
     new_n = old_n + k_new
+    # schema-preserving offset (key may be string OR int64 — minted
+    # int-key graphs update too; empty blocks keep their typed schema)
     vmap_new = vmap_new.map_batches(
         lambda t: pa.table(
             {
@@ -591,8 +593,8 @@ def update_graph(
                 ),
             }
         )
-        if "key" in t.column_names
-        else pa.table({"key": pa.array([], pa.string()), "id": pa.array([], pa.int64())}),
+        if "key" in t.column_names and len(t)
+        else t,
         batch_format="pyarrow",
     )
     vmap_dir = os.path.join(graph_dir, "vertex_map")
