@@ -2583,6 +2583,39 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _g_modularity_org(sf_dir):
+    """Newman modularity of the CC partition of the (symmetrized) org
+    graph: Q = Σ_c [m_c/m − (d_c/2m)²] — degrees and per-community
+    sums via count BSPs, intra-edge counting via two label joins; the
+    SQL twin recomputes labels with the recursive-CTE CC oracle and
+    evaluates the identical formula."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.metrics import modularity
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+
+    # raw-key CC labels (the _g_cc_org mapping back to raw ids)
+    labels = _g_cc_org(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"id": t.column("id").cast(pa.int64()), "label": t.column("component").cast(pa.int64())}
+        )
+        if "id" in t.column_names
+        else pa.table({"id": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    e = org_edges(sf_dir)
+    und = e.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.min_element_wise(t.column("src").cast(pa.int64()), t.column("dst").cast(pa.int64())),
+                "b": pc.max_element_wise(t.column("src").cast(pa.int64()), t.column("dst").cast(pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return modularity(und, labels, num_partitions=4, num_shards=4)
+
+
 def _g_prdelta_lineitem(sf_dir):
     """Composed incremental-update flow under a FULL SQL gate: build the
     pre-1997 lineitem graph (minted), merge the 1997+ edges via
@@ -3225,13 +3258,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bigram_surprisal": _t_bigram_surprisal,  # conditional bigram LM signal (r4)
         "e_quantize_int8": _e_quantize_int8,  # int8 quantization scale+MSE report (r4)
         "g_prdelta_lineitem": _g_prdelta_lineitem,  # SQL-gated incremental-update delta (r4)
-        # ---- driver window: round-3 relational families (9) ----
+        "g_modularity_org": _g_modularity_org,  # Newman Q of the CC partition (r4)
+        # ---- driver window: round-3 relational families (8) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
-        "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
@@ -3244,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
@@ -4491,6 +4525,36 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # modularity of the CC partition: labels via the recursive-CTE
+        # CC oracle, then the identical Q = sum(m_c/m - (d_c/2m)^2)
+        "g_modularity_org": """
+WITH RECURSIVE e0 AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+r AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT s.dst AS id, r.label FROM r JOIN sym s ON s.src = r.id
+),
+lab AS (SELECT id, min(label) AS lab FROM r GROUP BY id),
+mm AS (SELECT count(*) AS m FROM und),
+deg AS (SELECT v, count(*) AS deg
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+dc AS (SELECT l.lab, sum(d.deg) AS d_c FROM deg d JOIN lab l ON l.id = d.v GROUP BY l.lab),
+mc AS (SELECT la.lab AS lab, count(*) AS m_c
+       FROM und u JOIN lab la ON la.id = u.a JOIN lab lb2 ON lb2.id = u.b
+       WHERE la.lab = lb2.lab GROUP BY la.lab)
+SELECT (SELECT m FROM mm) AS m,
+       (SELECT count(*) FROM dc) AS n_communities,
+       round((SELECT sum(COALESCE(mc.m_c, 0) * 1.0 / (SELECT m FROM mm)
+                         - pow(dc.d_c / (2.0 * (SELECT m FROM mm)), 2))
+              FROM dc LEFT JOIN mc ON mc.lab = dc.lab), 6) AS modularity
 """,
         # incremental-update pagerank delta: both 3-iter pageranks
         # unrolled over the same date-split edge sets; per-key parity

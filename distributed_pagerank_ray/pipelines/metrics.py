@@ -606,3 +606,137 @@ def degree_gini(
     return ray.data.from_items(
         [{"n": n, "gini": round(num / den, 6) if den else 0.0}]
     )
+
+
+def modularity(
+    und_edges: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    num_partitions: int = 8,
+    num_shards: int = 16,
+) -> "ray.data.Dataset":
+    """Newman modularity Q of a vertex partition over an undirected
+    graph: Q = Σ_c [ m_c/m − (d_c/2m)² ] — the community-quality score
+    a pipeline reports next to its LPA/CC labels.
+
+    Inputs: canonical undirected distinct edges (a < b, no self-loops)
+    and a (id, label) partition table. Scale shape: degrees via the
+    count BSP; per-community degree sums d_c via one hash join +
+    weighted count BSP; intra-community edge counts m_c via TWO label
+    joins onto the edge stream + a vectorized equality filter +
+    count BSP per label — no per-community grouping of raw edges.
+    Returns one row (m, n_communities, modularity 6dp)."""
+    e = und_edges.map_batches(
+        lambda t: pa.table(
+            {"a": t.column("a").cast(_I64), "b": t.column("b").cast(_I64)}
+        )
+        if "a" in t.column_names
+        else pa.table({"a": pa.array([], _I64), "b": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    ).materialize()
+    m = e.count()
+    if m == 0:
+        return ray.data.from_items([{"m": 0, "n_communities": 0, "modularity": 0.0}])
+    lab = labels.map_batches(
+        lambda t: pa.table(
+            {"v": t.column("id").cast(_I64), "lab": t.column("label").cast(_I64)}
+        )
+        if "id" in t.column_names
+        else pa.table({"v": pa.array([], _I64), "lab": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # undirected degree per vertex
+    both = e.map_batches(
+        lambda t: pa.table({"v": t.column("a")})
+        if "a" in t.column_names
+        else pa.table({"v": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    ).union(
+        e.map_batches(
+            lambda t: pa.table({"v": t.column("b")})
+            if "a" in t.column_names
+            else pa.table({"v": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        )
+    )
+    deg = count_i64_keys(both, "v", num_shards=num_shards, count_col="deg")
+
+    # d_c per community: join labels onto degrees, weighted count BSP
+    dj = compact_for_join(deg, num_partitions).join(
+        compact_for_join(lab, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("v",),
+        right_on=("v",),
+    )
+    dc = count_i64_keys(
+        dj.map_batches(
+            lambda t: pa.table({"lab": t.column("lab"), "w": t.column("deg")})
+            if "lab" in t.column_names
+            else pa.table({"lab": pa.array([], _I64), "w": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        ),
+        "lab",
+        num_shards=num_shards,
+        count_col="d_c",
+        weight_col="w",
+    ).materialize()
+
+    # m_c per community: two label joins onto the edge stream
+    la = lab.map_batches(
+        lambda t: pa.table({"va": t.column("v"), "la": t.column("lab")})
+        if "v" in t.column_names
+        else pa.table({"va": pa.array([], _I64), "la": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    lb = lab.map_batches(
+        lambda t: pa.table({"vb": t.column("v"), "lb": t.column("lab")})
+        if "v" in t.column_names
+        else pa.table({"vb": pa.array([], _I64), "lb": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(e, num_partitions).join(
+        compact_for_join(la, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("va",),
+    )
+    j = compact_for_join(j, num_partitions).join(
+        compact_for_join(lb, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("vb",),
+    )
+    intra = j.map_batches(
+        lambda t: pa.table(
+            {
+                "lab": t.column("la").to_numpy(zero_copy_only=False)[
+                    t.column("la").to_numpy(zero_copy_only=False)
+                    == t.column("lb").to_numpy(zero_copy_only=False)
+                ]
+            }
+        )
+        if "la" in t.column_names and len(t)
+        else pa.table({"lab": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    mc = count_i64_keys(intra, "lab", num_shards=num_shards, count_col="m_c").materialize()
+
+    # fold the two tiny per-community tables (O(#communities))
+    dc_pd = dc.to_pandas()
+    mc_pd = mc.to_pandas().set_index("lab")["m_c"]
+    q = 0.0
+    for lab_id, d_c in zip(dc_pd["lab"], dc_pd["d_c"]):
+        m_c = float(mc_pd.get(lab_id, 0))
+        q += m_c / m - (d_c / (2.0 * m)) ** 2
+    return ray.data.from_items(
+        [
+            {
+                "m": int(m),
+                "n_communities": int(len(dc_pd)),
+                "modularity": round(q, 6),
+            }
+        ]
+    )

@@ -316,3 +316,52 @@ def test_quantize_int8_vs_numpy():
     mse = ((Xf - code * scale) ** 2).mean(axis=0)
     assert got["scale"].tolist() == [round(s, 6) for s in scale]
     assert got["mse"].tolist() == [round(m, 9) for m in mse]
+
+
+def test_modularity_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import modularity
+
+    rng = np.random.default_rng(12)
+    # two clusters + a few cross edges
+    edges = set()
+    for lo, hi in ((0, 10), (10, 20)):
+        for _ in range(30):
+            a, b = rng.integers(lo, hi, 2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    edges.add((3, 15))
+    und = sorted(edges)
+    labels = [(v, 0 if v < 10 else 1) for v in range(20)]
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in und], pa.int64()),
+                "b": pa.array([e[1] for e in und], pa.int64()),
+            }
+        )
+    )
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([l[0] for l in labels], pa.int64()),
+                "label": pa.array([l[1] for l in labels], pa.int64()),
+            }
+        )
+    )
+    row = modularity(eds, lds, num_partitions=2, num_shards=2).take_all()[0]
+
+    m = len(und)
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lab = dict(labels)
+    communities = {0, 1}
+    q = 0.0
+    for c in sorted(communities):
+        m_c = sum(1 for a, b in und if lab[a] == c and lab[b] == c)
+        d_c = sum(d for v, d in deg.items() if lab[v] == c)
+        q += m_c / m - (d_c / (2.0 * m)) ** 2
+    assert row["m"] == m
+    assert row["n_communities"] == 2
+    assert row["modularity"] == round(q, 6)
