@@ -1928,6 +1928,22 @@ def _g_harmonic_org(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _t_lexical_diversity(sf_dir):
+    """Per-doc type-token ratio + hapax fraction (vocabulary-richness
+    quality facet): one vectorized lexsort/run-length pass per batch."""
+    from distributed_pagerank_ray.functions.textstats import lexical_diversity_batch
+
+    return _docs(sf_dir).map_batches(lexical_diversity_batch, batch_format="pyarrow")
+
+
+def _t_zipf_words(sf_dir):
+    """Zipf exponent of the corpus word-frequency distribution
+    (Clauset MLE, xmin=2) — weighted count BSP + scalar partials."""
+    from distributed_pagerank_ray.functions.textstats import zipf_word_alpha
+
+    return zipf_word_alpha(_docs(sf_dir))
+
+
 def _t_bigram_surprisal(sf_dir):
     """Per-doc mean bigram surprisal (conditional next-word model, one
     step up from t_surprisal): -log2(c(w1,w2)/c(w1)) averaged per doc;
@@ -2581,6 +2597,35 @@ def _r_parts_except(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import parts_except_years
 
     return parts_except_years(sf_dir)
+
+
+def _m_wav_decode(sf_dir):
+    """REAL audio decode gate (PCM WAV): deterministic mono-16-bit
+    payloads built from doc_id with sample s[t] = (7·id + 13·t) % 256
+    − 128; the SQL oracle computes rate/count/mean|s|/peak
+    ANALYTICALLY from the same formula — matching requires actually
+    parsing the RIFF header offsets and little-endian samples."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_wav, encode_wav
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            n = 64 + int(i) % 64
+            tt = np.arange(n, dtype=np.int64)
+            s = ((7 * int(i) + 13 * tt) % 256 - 128).astype(np.int16)
+            payloads.append(encode_wav(s, sample_rate=8000 + (int(i) % 4) * 4000))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_wav(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
 def _g_modularity_org(sf_dir):
@@ -3259,15 +3304,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_quantize_int8": _e_quantize_int8,  # int8 quantization scale+MSE report (r4)
         "g_prdelta_lineitem": _g_prdelta_lineitem,  # SQL-gated incremental-update delta (r4)
         "g_modularity_org": _g_modularity_org,  # Newman Q of the CC partition (r4)
-        # ---- driver window: round-3 relational families (8) ----
+        "m_wav_decode": _m_wav_decode,  # REAL PCM audio decode vs analytic oracle (r4)
+        "t_lexical_diversity": _t_lexical_diversity,  # TTR + hapax quality facet (r4)
+        "t_zipf_words": _t_zipf_words,  # word-frequency Zipf MLE (r4)
+        # ---- driver window: round-3 relational families (5) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
-        "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
-        "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
-        "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
@@ -3277,6 +3322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
+        "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
+        "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
@@ -4524,6 +4572,47 @@ SELECT doc_id,
        round((SELECT avg((doc_id * 7 + ((q.y * (4 + doc_id % 4)) // 2)) % 256)
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
+FROM documents
+""",
+        "t_lexical_diversity": r"""
+WITH w AS (
+  SELECT doc_id, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+c AS (SELECT doc_id, word, count(*) AS k FROM w GROUP BY doc_id, word)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_words,
+       count(*) AS n_distinct,
+       round(count(*) * 1.0 / sum(k), 6) AS ttr,
+       round(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) * 1.0 / sum(k), 6) AS hapax_frac
+FROM c GROUP BY doc_id
+""",
+        # same discrete MLE expression as g_powerlaw_lineitem, over
+        # word frequencies
+        "t_zipf_words": r"""
+WITH w AS (
+  SELECT parts[g.i] AS word
+  FROM (SELECT regexp_split_to_array(COALESCE(text, ''), '\s+') AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+tail AS (SELECT CAST(c AS DOUBLE) AS c FROM c WHERE c >= 2)
+SELECT (SELECT count(*) FROM tail) AS n_tail,
+       round(1.0 + (SELECT count(*) FROM tail)
+             / (SELECT sum(ln(c / 1.5)) FROM tail), 6) AS alpha
+""",
+        # analytic expectation of the WAV generation formula
+        "m_wav_decode": """
+SELECT doc_id,
+       8000 + (doc_id % 4) * 4000 AS sample_rate,
+       64 + doc_id % 64 AS n_samples,
+       round((SELECT avg(abs((7 * doc_id + 13 * g.t) % 256 - 128))
+              FROM UNNEST(range(64 + doc_id % 64)) AS g(t)), 6) AS mean_abs,
+       (SELECT max(abs((7 * doc_id + 13 * g.t) % 256 - 128))
+        FROM UNNEST(range(64 + doc_id % 64)) AS g(t)) AS peak
 FROM documents
 """,
         # modularity of the CC partition: labels via the recursive-CTE

@@ -371,3 +371,94 @@ def resize_ppm(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- real WAV codec
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal PCM WAV encoder (RIFF/WAVE, mono, 16-bit LE) for an
+    int16 sample array — the test-payload generator for the real audio
+    decoder below. Pure struct math, no codec library."""
+    import struct
+
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+class WavDecode:
+    """REAL audio decode stage — no codec library needed: PCM WAV is a
+    RIFF header + raw int16 samples, parseable with struct + numpy.
+    Completes the multimodal trio (image: PpmDecode/PgmDecode; audio:
+    here) in the same actor-pool shape. Emits sample_rate, n_samples,
+    mean_abs (6 dp) and peak amplitude — mean/peak make the gate
+    sensitive to sample-offset or byte-order mistakes.
+
+    Only uncompressed mono 16-bit PCM is accepted; anything else
+    raises ValueError (fail loudly, quarantine upstream — compressed
+    audio codecs stay honest documented stubs)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        rates, counts, means, peaks = [], [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            if b is None or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            if b[12:16] != b"fmt " or len(b) < 44:
+                raise ValueError("missing fmt chunk")
+            fmt_size, audio_fmt, channels, rate = struct.unpack("<IHHI", b[16:28])
+            bits = struct.unpack("<H", b[34:36])[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono 16-bit PCM supported")
+            if b[20 + fmt_size : 20 + fmt_size + 4] != b"data":
+                raise ValueError("missing data chunk")
+            data_len = struct.unpack("<I", b[20 + fmt_size + 4 : 20 + fmt_size + 8])[0]
+            off = 20 + fmt_size + 8
+            if len(b) < off + data_len or data_len % 2:
+                raise ValueError("truncated WAV payload")
+            s = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=off).astype(
+                np.float64
+            )
+            rates.append(rate)
+            counts.append(len(s))
+            means.append(float(np.abs(s).mean()) if len(s) else 0.0)
+            peaks.append(int(np.abs(s).max()) if len(s) else 0)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("sample_rate", pa.array(np.array(rates, dtype=np.int64)))
+        out = out.append_column("n_samples", pa.array(np.array(counts, dtype=np.int64)))
+        out = out.append_column(
+            "mean_abs", pa.array(np.round(np.array(means, dtype=np.float64), 6), pa.float64())
+        )
+        out = out.append_column("peak", pa.array(np.array(peaks, dtype=np.int64)))
+        return out
+
+
+def decode_wav(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool WAV decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        WavDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

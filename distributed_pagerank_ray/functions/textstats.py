@@ -1346,3 +1346,104 @@ def bigram_surprisal(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def lexical_diversity_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document lexical-diversity signals: ``n_words``,
+    ``n_distinct`` (distinct words in the doc), ``ttr`` (type-token
+    ratio = distinct/words) and ``hapax_frac`` (fraction of word
+    OCCURRENCES whose word appears exactly once in the doc) — the
+    vocabulary-richness facet of quality filtering (low TTR = template
+    spam / repetition). Fully vectorized: one siphash pass, per-(doc,
+    word) run-length boundaries from a lexsort (the repetition_stats
+    kernel shape). Docs with no words emit NO row (oracle mirrors).
+    Fractions 6dp."""
+    from .dedup import hash_str_array
+
+    n_docs = len(batch)
+    text = pc.fill_null(batch.column(text_col), "")
+    parts = pc.split_pattern_regex(text, pattern=r"\s+")
+    lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = parts.combine_chunks().flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)[keep]
+    total = np.bincount(doc_idx, minlength=n_docs)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    hapax_occ = np.zeros(n_docs, dtype=np.int64)
+    if len(words):
+        h = hash_str_array(words)
+        order = np.lexsort((h, doc_idx))
+        ds, hs = doc_idx[order], h[order]
+        new = np.ones(len(ds), dtype=bool)
+        new[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+        run_id = np.cumsum(new) - 1
+        run_n = np.bincount(run_id)
+        run_doc = ds[new]
+        distinct = np.bincount(run_doc, minlength=n_docs)
+        hapax_occ = np.bincount(run_doc[run_n == 1], minlength=n_docs)
+    nz = total > 0
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)[nz].astype(np.int64)
+    tot = total[nz].astype(np.float64)
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "n_words": pa.array(total[nz]),
+            "n_distinct": pa.array(distinct[nz]),
+            "ttr": pa.array(np.round(distinct[nz] / tot, 6)),
+            "hapax_frac": pa.array(np.round(hapax_occ[nz] / tot, 6)),
+        }
+    )
+
+
+def zipf_word_alpha(ds: "object", xmin: int = 2) -> "object":
+    """Zipf/power-law exponent of the corpus WORD-FREQUENCY
+    distribution (Clauset-style discrete MLE, same estimator as the
+    degree power law): alpha = 1 + n / Σ ln(c / (xmin − 0.5)) over
+    words with count ≥ xmin. The corpus-statistics sanity check that a
+    web corpus's vocabulary follows its expected heavy tail.
+
+    Scale shape: one tokenize pass emitting per-batch pre-aggregated
+    (word-hash, partial count) rows → weighted count BSP → per-batch
+    (n, Σ ln) scalar partials → one tiny fold. Returns one row
+    (n_tail, alpha 6dp)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import count_i64_keys
+    from .dedup import hash_str_array
+
+    def pre(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        flat = parts.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        w = flat[flat != ""]
+        if len(w) == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "pc_": pa.array([], pa.int64())})
+        u, c = np.unique(hash_str_array(w).view(np.int64), return_counts=True)
+        return pa.table({"h": pa.array(u), "pc_": pa.array(c.astype(np.int64))})
+
+    counts = count_i64_keys(
+        ds.map_batches(pre, batch_format="pyarrow"), "h", count_col="c", weight_col="pc_"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "c" not in t.column_names:
+            return pa.table({"n": pa.array([], pa.int64()), "sln": pa.array([], pa.float64())})
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        tail = c[c >= xmin]
+        return pa.table(
+            {
+                "n": pa.array([len(tail)]),
+                "sln": pa.array([float(np.log(tail / (xmin - 0.5)).sum())]),
+            }
+        )
+
+    agg = counts.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sln", alias_name="sln")
+    )
+    n, sln = int(agg["n"] or 0), float(agg["sln"] or 0.0)
+    alpha = round(1.0 + n / sln, 6) if sln else 0.0
+    return ray.data.from_items([{"n_tail": n, "alpha": alpha}])

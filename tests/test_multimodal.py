@@ -128,3 +128,35 @@ def test_pgm_decode_roundtrip_and_malformed():
         PgmDecode()(  # truncated pixel data
             pa.table({"payload": pa.array([b"P5\n4 4\n255\nxx"], pa.binary())})
         )
+
+
+def test_wav_decode_roundtrip_and_malformed():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import WavDecode, encode_wav
+
+    rng = np.random.RandomState(3)
+    sigs = [rng.randint(-32768, 32768, n).astype(np.int16) for n in (1, 77, 500)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(s, sample_rate=r) for s, r in zip(sigs, (8000, 16000, 44100))],
+                pa.binary(),
+            ),
+        }
+    )
+    out = WavDecode()(t)
+    assert out.column("sample_rate").to_pylist() == [8000, 16000, 44100]
+    assert out.column("n_samples").to_pylist() == [len(s) for s in sigs]
+    assert out.column("mean_abs").to_pylist() == [
+        round(float(np.abs(s.astype(np.float64)).mean()), 6) for s in sigs
+    ]
+    assert out.column("peak").to_pylist() == [int(np.abs(s.astype(np.int64)).max()) for s in sigs]
+    with pytest.raises(ValueError):
+        WavDecode()(pa.table({"payload": pa.array([b"OggS junk"], pa.binary())}))
+    with pytest.raises(ValueError):  # truncated data chunk
+        good = encode_wav(sigs[1])
+        WavDecode()(pa.table({"payload": pa.array([good[:-3]], pa.binary())}))

@@ -365,3 +365,36 @@ def test_modularity_brute_force():
     assert row["m"] == m
     assert row["n_communities"] == 2
     assert row["modularity"] == round(q, 6)
+
+
+def test_lexical_diversity_brute_force():
+    from distributed_pagerank_ray.functions.textstats import lexical_diversity_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a c", "x x x", "", "  one  "], pa.string()),
+        }
+    )
+    out = lexical_diversity_batch(t).to_pydict()
+    assert out["doc_id"] == [0, 1, 3]  # empty doc 2 emits no row
+    assert out["n_words"] == [4, 3, 1]
+    assert out["n_distinct"] == [3, 1, 1]
+    assert out["ttr"] == [0.75, round(1 / 3, 6), 1.0]
+    assert out["hapax_frac"] == [0.5, 0.0, 1.0]
+
+
+def test_zipf_words_vs_numpy():
+    from distributed_pagerank_ray.functions.textstats import zipf_word_alpha
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    row = zipf_word_alpha(docs).take_all()[0]
+    texts = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")["text"].fillna("")
+    from collections import Counter
+
+    cnt = Counter(w for t in texts for w in t.split() if w)
+    tail = np.array([c for c in cnt.values() if c >= 2], dtype=np.float64)
+    assert row["n_tail"] == len(tail)
+    assert row["alpha"] == round(1.0 + len(tail) / np.log(tail / 1.5).sum(), 6)
