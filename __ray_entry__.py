@@ -2599,6 +2599,18 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _g_distsummary_org(sf_dir):
+    """Exact diameter + mean shortest-path length of the (symmetrized)
+    org graph via the all-landmarks matrix-BFS (the harmonic engine's
+    shape with a (max, Σ, count) fold) vs the unrolled shortest-path
+    SQL oracle (org diameter ≤ 4)."""
+    from distributed_pagerank_ray.pipelines.centrality import distance_summary
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+
+    g = _gate_graph(sf_dir, "org", org_edges(sf_dir), "distorg")
+    return distance_summary(g, directed=False)
+
+
 def _m_wav_decode(sf_dir):
     """REAL audio decode gate (PCM WAV): deterministic mono-16-bit
     payloads built from doc_id with sample s[t] = (7·id + 13·t) % 256
@@ -3307,12 +3319,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_wav_decode": _m_wav_decode,  # REAL PCM audio decode vs analytic oracle (r4)
         "t_lexical_diversity": _t_lexical_diversity,  # TTR + hapax quality facet (r4)
         "t_zipf_words": _t_zipf_words,  # word-frequency Zipf MLE (r4)
-        # ---- driver window: round-3 relational families (5) ----
+        "g_distsummary_org": _g_distsummary_org,  # exact diameter/avg path len (r4)
+        # ---- driver window: round-3 relational families (4) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
-        "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
@@ -3322,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
@@ -4573,6 +4586,28 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # unrolled-4-hop shortest paths (org diameter <= 4), same CTE
+        # family as g_harmonic_org
+        "g_distsummary_org": """
+WITH e0 AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+p1 AS (SELECT src AS s, dst AS v, 1 AS d FROM sym),
+p2 AS (SELECT p1.s, sym.dst AS v, 2 AS d FROM p1 JOIN sym ON sym.src = p1.v),
+p3 AS (SELECT p2.s, sym.dst AS v, 3 AS d FROM p2 JOIN sym ON sym.src = p2.v),
+p4 AS (SELECT p3.s, sym.dst AS v, 4 AS d FROM p3 JOIN sym ON sym.src = p3.v),
+allp AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+),
+sp AS (SELECT s, v, min(d) AS d FROM allp WHERE s != v GROUP BY s, v)
+SELECT max(d) AS diameter, count(*) AS n_pairs,
+       round(avg(d * 1.0), 6) AS avg_path_len
+FROM sp
 """,
         "t_lexical_diversity": r"""
 WITH w AS (

@@ -220,3 +220,99 @@ def harmonic_centrality(
         )
 
     return ray.data.from_arrow_refs([to_table.remote(s, harm_refs[s]) for s in range(S)])
+
+
+@ray.remote
+def _lm_dist_fold(acc_prev, D: np.ndarray):
+    """(max, sum, count) over finite non-self distances in this
+    landmark batch's shard matrix, merged into the running triple."""
+    finite = np.isfinite(D) & (D > 0)
+    mx = float(D[finite].max()) if finite.any() else 0.0
+    sm = float(D[finite].sum())
+    ct = int(finite.sum())
+    if acc_prev is None:
+        return (mx, sm, ct)
+    return (max(acc_prev[0], mx), acc_prev[1] + sm, acc_prev[2] + ct)
+
+
+def distance_summary(
+    graph: GraphTables,
+    landmarks: "np.ndarray | list[int] | None" = None,
+    batch_k: int = 256,
+    max_iters: int = 100,
+    directed: bool = False,
+    combine_fanin: int = 0,
+) -> "ray.data.Dataset":
+    """One row (diameter, n_pairs, avg_path_len 6dp) over ordered
+    reachable vertex pairs (s ≠ t): the graph-connectivity health
+    summary (effective diameter / mean shortest path) — EXACT with
+    ``landmarks=None``; with a landmark sample it summarizes the
+    sampled source rows only (estimate; n_pairs reflects the sample).
+
+    Same batched landmark matrix-BFS shape as ``harmonic_centrality``
+    (K-column distance matrices through the per-shard BSP combine);
+    only the per-batch fold differs — (max, Σ, count) scalars per
+    shard instead of Σ 1/d, so the additive-resume contract is
+    identical."""
+    n, shard_rows = graph.n, graph.shard_rows
+    if landmarks is None:
+        landmarks = np.arange(n, dtype=np.int64)
+    else:
+        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
+        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
+            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
+
+    if directed:
+        edge_src = graph.edges()
+    else:
+        edge_src = ray.data.read_parquet(
+            symmetrize_edges(graph), columns=["src", "dst"]
+        )
+    S = n_shards(n, shard_rows)
+    edges_mat = edge_src.materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
+    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
+
+    acc_refs: list = [None] * S
+    for b0 in range(0, len(landmarks), batch_k):
+        lms = landmarks[b0 : b0 + batch_k]
+        K = len(lms)
+        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
+        for _ in range(max_iters):
+            gathers = [
+                _lm_gather.options(num_returns=S).remote(
+                    b, dist_refs, n, shard_rows, S, K
+                )
+                for b in blocks
+            ]
+            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+            if combine_fanin > 0:
+                from ..util import tree_combine_refs
+
+                cols = [
+                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
+                    for s in range(S)
+                ]
+            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
+            changed = int(sum(ray.get([o[0] for o in outs])))
+            dist_refs = [o[1] for o in outs]
+            if changed == 0:
+                break
+        acc_refs = [_lm_dist_fold.remote(acc_refs[s], dist_refs[s]) for s in range(S)]
+
+    triples = [t for t in ray.get(acc_refs) if t is not None]
+    if not triples:
+        return ray.data.from_items([{"diameter": 0, "n_pairs": 0, "avg_path_len": 0.0}])
+    mx = max(t[0] for t in triples)
+    sm = sum(t[1] for t in triples)
+    ct = sum(t[2] for t in triples)
+    return ray.data.from_items(
+        [
+            {
+                "diameter": int(mx),
+                "n_pairs": int(ct),
+                "avg_path_len": round(sm / ct, 6) if ct else 0.0,
+            }
+        ]
+    )

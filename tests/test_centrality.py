@@ -99,3 +99,51 @@ def test_harmonic_landmark_validation(tmp_path):
         harmonic_centrality(g, landmarks=[])
     with pytest.raises(ValueError):
         harmonic_centrality(g, landmarks=[99])
+
+
+def test_distance_summary_brute_force(tmp_path):
+    import numpy as np
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.centrality import distance_summary
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 20, 40)
+    dst = rng.integers(0, 20, 40)
+    ds = ray.data.from_items(
+        [{"src": int(a), "dst": int(b)} for a, b in zip(src, dst) if a != b]
+    )
+    g = build_graph(
+        ds, str(tmp_path / "dsg"), src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=2, shard_rows=7),
+    )
+    row = distance_summary(g, directed=False).take_all()[0]
+
+    # brute-force BFS over the minted symmetric graph
+    import pyarrow.dataset as pads
+    import os
+
+    et = pads.dataset(os.path.join(g.run_dir, "graph", "edges")).to_table(
+        columns=["src", "dst"]
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(et.column("src").to_pylist(), et.column("dst").to_pylist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    import collections
+
+    dists = []
+    for s in range(g.n):
+        seen = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        dists += [d for v, d in seen.items() if v != s]
+    assert row["diameter"] == max(dists)
+    assert row["n_pairs"] == len(dists)
+    assert row["avg_path_len"] == round(sum(dists) / len(dists), 6)
