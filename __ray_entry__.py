@@ -2599,6 +2599,15 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _r_user_journeys(sf_dir):
+    """Ordered per-user journey strings (grouped ordered STRING_AGG):
+    first 8 event types per user joined '>' in (ts, event_id) order —
+    hash-bucketed sort, never one pandas group per user."""
+    from distributed_pagerank_ray.pipelines.relational import user_journeys
+
+    return user_journeys(sf_dir, max_steps=8)
+
+
 def _g_distsummary_org(sf_dir):
     """Exact diameter + mean shortest-path length of the (symmetrized)
     org graph via the all-landmarks matrix-BFS (the harmonic engine's
@@ -3320,11 +3329,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lexical_diversity": _t_lexical_diversity,  # TTR + hapax quality facet (r4)
         "t_zipf_words": _t_zipf_words,  # word-frequency Zipf MLE (r4)
         "g_distsummary_org": _g_distsummary_org,  # exact diameter/avg path len (r4)
-        # ---- driver window: round-3 relational families (4) ----
+        "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG journeys (r4)
+        # ---- driver window: round-3 relational families (3) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
-        "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
@@ -3334,6 +3343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
@@ -4586,6 +4596,17 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        "r_user_journeys": """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY rn) FILTER (rn <= 8) AS journey
+FROM o GROUP BY user_id
 """,
         # unrolled-4-hop shortest paths (org diameter <= 4), same CTE
         # family as g_harmonic_org

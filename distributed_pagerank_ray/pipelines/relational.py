@@ -2217,3 +2217,67 @@ def funnel(
             }
         )
     )
+
+
+def user_journeys(
+    sf_dir: str, max_steps: int = 8, num_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Ordered per-user journey strings (grouped ordered string
+    aggregation): the first ``max_steps`` event types per user joined
+    with '>' in (ts, event_id) order — the journey-mining input table,
+    and the engine's ordered STRING_AGG surface.
+
+    Scale shape: the ``events_sessions`` hash-bucketed plan
+    (~num_buckets coarse pandas groups, never one group per user);
+    each bucket sorts once by (user_id, ts, event_id), caps each user
+    to ``max_steps`` with a vectorized segmented cumcount, and emits
+    one joined string per user. Output (user_id, n_events, journey)."""
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        et = g["event_type"].to_numpy()
+        new = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            new[1:] = uid[1:] != uid[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # per-run cumcount (position within user) without a loop
+        pos = np.arange(len(uid)) - np.repeat(starts, np.diff(np.append(starts, len(uid))))
+        keep = pos < max_steps
+        # join kept types per run via pandas groupby-agg on run_id
+        dfk = pd.DataFrame({"run": run_id[keep], "et": et[keep]})
+        joined = dfk.groupby("run", sort=True)["et"].agg(">".join)
+        totals = np.bincount(run_id, minlength=len(starts))
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": totals.astype(np.int64),
+                "journey": joined.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(journeys, batch_format="pandas")
+        .map_batches(
+            ensure_schema({"user_id": _I64, "n_events": _I64, "journey": pa.string()}),
+            batch_format="pyarrow",
+        )
+    )
