@@ -2599,6 +2599,14 @@ def _r_parts_except(sf_dir):
     return parts_except_years(sf_dir)
 
 
+def _r_events_moving_avg(sf_dir):
+    """Window FRAME (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    per-user 3-event moving average, hash-bucketed ordered plan."""
+    from distributed_pagerank_ray.pipelines.relational import events_moving_avg
+
+    return events_moving_avg(sf_dir)
+
+
 def _r_user_journeys(sf_dir):
     """Ordered per-user journey strings (grouped ordered STRING_AGG):
     first 8 event types per user joined '>' in (ts, event_id) order —
@@ -3330,10 +3338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_zipf_words": _t_zipf_words,  # word-frequency Zipf MLE (r4)
         "g_distsummary_org": _g_distsummary_org,  # exact diameter/avg path len (r4)
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG journeys (r4)
-        # ---- driver window: round-3 relational families (3) ----
+        "r_events_moving_avg": _r_events_moving_avg,  # ROWS-frame moving average (r4)
+        # ---- driver window: round-3 relational families (2) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
-        "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
@@ -3343,6 +3351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
         "r_event_transitions": _r_event_transitions,  # Markov funnel matrix
@@ -4596,6 +4605,12 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        "r_events_moving_avg": """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+FROM events
 """,
         "r_user_journeys": """
 WITH o AS (

@@ -2281,3 +2281,65 @@ def user_journeys(
             batch_format="pyarrow",
         )
     )
+
+
+def events_moving_avg(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
+    """Sliding window FRAME: per-user 3-event moving average of
+    ``value`` in (ts, event_id) order (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — the window-frame surface the tumbling/hopping
+    windows don't cover. Output (event_id, ma3 4dp).
+
+    Scale shape: the hash-bucketed ordered plan (events_sessions);
+    per bucket one sort + two shifted adds in oldest-first order (the
+    exact association SQL's windowed avg uses — cumsum differences
+    would round differently). Run boundaries shrink the window at each
+    user's first two events."""
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+                "value": t.column("value"),
+            }
+        )
+
+    def ma(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        v = g["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        same1 = np.zeros(n, dtype=bool)
+        same2 = np.zeros(n, dtype=bool)
+        if n > 1:
+            same1[1:] = uid[1:] == uid[:-1]  # previous row is same user
+        if n > 2:
+            same2[2:] = uid[2:] == uid[:-2]  # row two back is same user
+        v1 = np.zeros(n)
+        v2 = np.zeros(n)
+        v1[1:] = v[:-1]
+        v2[2:] = v[:-2]
+        # oldest-first association: (v[i-2] + v[i-1]) + v[i]
+        s = np.where(same2, v2, 0.0) + np.where(same1, v1, 0.0) + v
+        cnt = 1 + same1.astype(np.int64) + same2.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "ma3": np.round(s / cnt, 4),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ma, batch_format="pandas")
+        .map_batches(
+            ensure_schema({"event_id": _I64, "ma3": _F64}), batch_format="pyarrow"
+        )
+    )
