@@ -187,6 +187,14 @@ def run_bench() -> dict:
         "e_rand_proj",
         "r_events_zscore",
         "g_sparsify_lineitem",
+        # round-4 families (cheap representatives)
+        "g_gini_lineitem",
+        "e_cov_matrix",
+        "t_lexical_diversity",
+        "t_bigram_surprisal",
+        "m_wav_decode",
+        "r_user_journeys",
+        "r_events_moving_avg",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
