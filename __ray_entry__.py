@@ -2616,6 +2616,33 @@ def _r_user_journeys(sf_dir):
     return user_journeys(sf_dir, max_steps=8)
 
 
+def _g_scc_doc(sf_dir):
+    """Strongly connected components (FW-BW-MIN partition refinement,
+    pipelines/scc.py) over a PLANTED directed graph with real cycles:
+    doc ids form 8-cycles within consecutive groups of 8, and every
+    odd group points one-directionally at its even predecessor — so
+    SCCs are exactly the 8-cycles (an undirected-CC shortcut would
+    merge odd/even pairs and turn the gate red). The oracle computes
+    mutual reachability with a recursive CTE (reach sets ≤ 16)."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.scc import strongly_connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cyc_dst = (i - i % 8) + ((i % 8 + 1) % 8)
+        odd = (i // 8) % 2 == 1
+        src = np.concatenate([i, i[odd]])
+        dst = np.concatenate([cyc_dst, i[odd] - 8])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return strongly_connected_components(
+        docs.map_batches(make, batch_format="pyarrow"), num_partitions=4, num_shards=4
+    )
+
+
 def _g_distsummary_org(sf_dir):
     """Exact diameter + mean shortest-path length of the (symmetrized)
     org graph via the all-landmarks matrix-BFS (the harmonic engine's
@@ -3339,9 +3366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_distsummary_org": _g_distsummary_org,  # exact diameter/avg path len (r4)
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG journeys (r4)
         "r_events_moving_avg": _r_events_moving_avg,  # ROWS-frame moving average (r4)
-        # ---- driver window: round-3 relational families (2) ----
+        "g_scc_doc": _g_scc_doc,  # strongly connected components, FW-BW-MIN (r4)
+        # ---- driver window: round-3 relational families (1) ----
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
-        "r_retention": _r_retention,  # cohort retention, all-BSP plan
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
@@ -3351,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
         "r_cdc_diff": _r_cdc_diff,  # snapshot diff changeset, full-outer join
@@ -4605,6 +4633,28 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # mutual reachability over the planted cycle graph; reach sets
+        # are <= 16 by construction so the recursive CTE stays tiny
+        "g_scc_doc": """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, (doc_id - doc_id % 8) + ((doc_id % 8 + 1) % 8) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id - 8 FROM documents WHERE (doc_id // 8) % 2 = 1
+),
+verts AS (SELECT DISTINCT v AS id FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+reach AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.d
+),
+mutual AS (
+  SELECT a.s AS x, a.d AS y FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+)
+SELECT v.id,
+       least(v.id, COALESCE((SELECT min(m.y) FROM mutual m WHERE m.x = v.id), v.id)) AS scc
+FROM verts v
 """,
         "r_events_moving_avg": """
 SELECT event_id,

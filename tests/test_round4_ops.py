@@ -398,3 +398,90 @@ def test_zipf_words_vs_numpy():
     tail = np.array([c for c in cnt.values() if c >= 2], dtype=np.float64)
     assert row["n_tail"] == len(tail)
     assert row["alpha"] == round(1.0 + len(tail) / np.log(tail / 1.5).sum(), 6)
+
+
+def _tarjan(edges, verts):
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+    for s in verts:
+        if s in index:
+            continue
+        work = [(s, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out
+
+
+def test_scc_brute_force():
+    """FW-BW-MIN SCC vs Tarjan on dense random digraphs (multiple
+    nontrivial SCCs)."""
+    from distributed_pagerank_ray.pipelines.scc import strongly_connected_components
+
+    rng = np.random.default_rng(21)
+    for trial in range(2):
+        n = 24
+        E = {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 90), rng.integers(0, n, 90))
+            if a != b
+        }
+        verts = sorted({v for e in E for v in e})
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in E], pa.int64()),
+                    "dst": pa.array([e[1] for e in E], pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["id"]: r["scc"]
+            for r in strongly_connected_components(
+                ds, num_partitions=2, num_shards=2
+            ).take_all()
+        }
+        want = _tarjan(E, verts)
+        assert got == want
+        # density check: the fixture must actually contain cycles
+        sizes = pd.Series(list(want.values())).value_counts()
+        assert (sizes > 1).sum() >= 1
