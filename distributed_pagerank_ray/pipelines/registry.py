@@ -23,7 +23,7 @@ from .lpa import label_propagation
 from .pagerank import pagerank
 from .triangles import triangle_count
 
-ALGORITHMS = ("pagerank", "cc", "lpa", "triangles")
+ALGORITHMS = ("pagerank", "cc", "lpa", "triangles", "scc")
 
 
 @dataclass
@@ -121,6 +121,25 @@ def run(cfg: JobConfig) -> dict[str, Any]:
             "iterations": res.iterations,
             "converged": res.converged,
             "labels_path": res.labels_path,
+            "run_dir": g.run_dir,
+        }
+    if cfg.algo == "scc":
+        from ray.data.aggregate import Count
+
+        from .scc import strongly_connected_components
+
+        labels = strongly_connected_components(
+            g.edges(),
+            num_partitions=cfg.run_cfg.num_partitions,
+        ).materialize()
+        out = os.path.join(cfg.run_dir, "scc", "labels")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        labels.write_parquet(out)
+        n_sccs = labels.groupby("scc").aggregate(Count(alias_name="_n")).count()
+        return {
+            "algo": "scc",
+            "n_sccs": int(n_sccs),
+            "labels_path": out,
             "run_dir": g.run_dir,
         }
     n_tri = triangle_count(g.edges(), cfg.run_cfg)

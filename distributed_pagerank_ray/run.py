@@ -17,7 +17,7 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "lpa", "triangles"])
+    p.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "lpa", "triangles", "scc"])
     p.add_argument("--pages-parquet")
     p.add_argument("--edges-parquet")
     p.add_argument("--edgelist-txt")

@@ -51,5 +51,25 @@ def test_run_cc_and_triangles(tmp_path):
     assert run(tri)["n_triangles"] == 0
 
 
+def test_run_scc(tmp_path):
+    p = tmp_path / "cyc.txt"
+    # 0<->1 is one SCC; 2->3 are singletons
+    p.write_text("0 1\n1 0\n2 3\n")
+    cfg = JobConfig(
+        algo="scc",
+        edgelist_txt=str(p),
+        run_dir=str(tmp_path / "run_scc"),
+        run_cfg=RunConfig(num_partitions=2, shard_rows=3),
+    )
+    out = run(cfg)
+    assert out["n_sccs"] == 3  # {0,1}, {2}, {3}
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out["labels_path"]).to_table().to_pydict()
+    lab = dict(zip(t["id"], t["scc"]))
+    # ids are minted dense ranks of the sorted keys 0,1,2,3 -> same order
+    assert lab[0] == lab[1] and lab[2] != lab[3] and lab[2] != lab[0]
+
+
 def test_algorithms_list():
-    assert set(ALGORITHMS) == {"pagerank", "cc", "lpa", "triangles"}
+    assert set(ALGORITHMS) == {"pagerank", "cc", "lpa", "triangles", "scc"}
