@@ -2616,6 +2616,38 @@ def _r_user_journeys(sf_dir):
     return user_journeys(sf_dir, max_steps=8)
 
 
+def _m_y4m_frames(sf_dir):
+    """REAL video parse gate (YUV4MPEG2, luma-only): deterministic
+    multi-frame payloads built from doc_id with
+    Y[t][y][x] = (11·id + 29·t + 3·x + 7·y) % 256; the SQL oracle
+    computes dims/frame-count/first+last frame means ANALYTICALLY —
+    matching requires parsing the text header and walking the FRAME
+    markers with the right plane size."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import encode_y4m, frame_means_y4m
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h, nf = 4 + int(i) % 4, 2 + int(i) % 2, 2 + int(i) % 3
+            tt = np.arange(nf, dtype=np.int64)[:, None, None]
+            yy = np.arange(h, dtype=np.int64)[None, :, None]
+            xx = np.arange(w, dtype=np.int64)[None, None, :]
+            frames = ((11 * int(i) + 29 * tt + 3 * xx + 7 * yy) % 256).astype(np.uint8)
+            payloads.append(encode_y4m(frames))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return frame_means_y4m(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_scc_doc(sf_dir):
     """Strongly connected components (FW-BW-MIN partition refinement,
     pipelines/scc.py) over a PLANTED directed graph with real cycles:
@@ -3367,8 +3399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG journeys (r4)
         "r_events_moving_avg": _r_events_moving_avg,  # ROWS-frame moving average (r4)
         "g_scc_doc": _g_scc_doc,  # strongly connected components, FW-BW-MIN (r4)
-        # ---- driver window: round-3 relational families (1) ----
-        "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
+        "m_y4m_frames": _m_y4m_frames,  # REAL video frame parse vs analytic oracle (r4)
+        # ---- (r_funnel displaced to below; its family is L-green + pytest) ----
         # ---- driver window: round-3 embedding families (4) → 50 ----
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
@@ -3378,6 +3410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
         "r_item_pairs": _r_item_pairs,  # market-basket mining (capped fan-out, r4)
@@ -4632,6 +4665,20 @@ SELECT doc_id,
        round((SELECT avg((doc_id * 7 + ((q.y * (4 + doc_id % 4)) // 2)) % 256)
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
+FROM documents
+""",
+        # analytic expectation of the Y4M generation formula
+        "m_y4m_frames": """
+SELECT doc_id,
+       4 + doc_id % 4 AS width,
+       2 + doc_id % 2 AS height,
+       2 + doc_id % 3 AS n_frames,
+       round((SELECT avg((11 * doc_id + 3 * g.x + 7 * q.y) % 256)
+              FROM UNNEST(range(4 + doc_id % 4)) AS g(x),
+                   UNNEST(range(2 + doc_id % 2)) AS q(y)), 6) AS mean_y_first,
+       round((SELECT avg((11 * doc_id + 29 * (1 + doc_id % 3) + 3 * g.x + 7 * q.y) % 256)
+              FROM UNNEST(range(4 + doc_id % 4)) AS g(x),
+                   UNNEST(range(2 + doc_id % 2)) AS q(y)), 6) AS mean_y_last
 FROM documents
 """,
         # mutual reachability over the planted cycle graph; reach sets

@@ -160,3 +160,38 @@ def test_wav_decode_roundtrip_and_malformed():
     with pytest.raises(ValueError):  # truncated data chunk
         good = encode_wav(sigs[1])
         WavDecode()(pa.table({"payload": pa.array([good[:-3]], pa.binary())}))
+
+
+def test_y4m_frame_means_roundtrip_and_malformed():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import Y4mFrameMeans, encode_y4m
+
+    rng = np.random.RandomState(7)
+    vids = [rng.randint(0, 256, (n, h, w)).astype(np.uint8) for n, h, w in [(1, 1, 1), (3, 4, 6), (5, 2, 9)]]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "payload": pa.array([encode_y4m(v) for v in vids], pa.binary()),
+        }
+    )
+    out = Y4mFrameMeans()(t)
+    assert out.column("width").to_pylist() == [1, 6, 9]
+    assert out.column("height").to_pylist() == [1, 4, 2]
+    assert out.column("n_frames").to_pylist() == [1, 3, 5]
+    assert out.column("mean_y_first").to_pylist() == [
+        round(float(v[0].astype(np.float64).mean()), 6) for v in vids
+    ]
+    assert out.column("mean_y_last").to_pylist() == [
+        round(float(v[-1].astype(np.float64).mean()), 6) for v in vids
+    ]
+    with pytest.raises(ValueError):
+        Y4mFrameMeans()(pa.table({"payload": pa.array([b"RIFF not video"], pa.binary())}))
+    with pytest.raises(ValueError):  # truncated final frame
+        good = encode_y4m(vids[1])
+        Y4mFrameMeans()(pa.table({"payload": pa.array([good[:-5]], pa.binary())}))
+    with pytest.raises(ValueError):  # chroma-subsampled streams are honest errors
+        hdr = b"YUV4MPEG2 W2 H2 F25:1 Ip A0:0 C420\n" + b"FRAME\n" + bytes(6)
+        Y4mFrameMeans()(pa.table({"payload": pa.array([hdr], pa.binary())}))
