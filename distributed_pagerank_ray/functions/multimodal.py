@@ -2,17 +2,20 @@
 
 Images/audio/video are carried as Arrow ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as actor-pool
-``map_batches`` stages with small batch sizes (wide rows). The decode
-libraries (PIL, ffmpeg, torchaudio, ...) are NOT in this container, so
-the codec-dependent steps are STUBBED behind clearly marked gates:
+``map_batches`` stages with small batch sizes (wide rows).
 
-- the Ray-side plumbing (schema, batch sizing, actor signature, output
-  layout) is real and tested,
-- ``ByteFeatures`` (byte histogram + entropy) is a REAL deterministic
-  feature extractor needing no codec,
-- ``ImageDecodeStub`` raises NotImplementedError unless
-  ``fake_decode=True``, in which case it emits deterministic fake
-  dimensions derived from the payload bytes (documented, test-only).
+REAL, codec-free parsers cover all three modalities (each a pure
+struct/numpy byte parser, each SQL-gated against an analytic oracle):
+``PpmDecode``/``PgmDecode`` (images) + ``ResizePpm``, ``WavDecode``
+(PCM audio), ``Y4mFrameMeans`` (YUV4MPEG2 video frame walking);
+``ByteFeatures`` (byte histogram + entropy) works on any payload.
+
+Compressed-codec formats stay honest stubs: the libraries (PIL,
+ffmpeg, torchaudio, ...) are NOT in this container, so
+``ImageDecodeStub`` raises NotImplementedError unless
+``fake_decode=True`` (deterministic fake dims, documented test-only),
+and ``FrameSampleStub`` documents the chunking plumbing the real
+Y4M walker instantiates.
 """
 
 from __future__ import annotations
