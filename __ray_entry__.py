@@ -2648,6 +2648,100 @@ def _m_y4m_frames(sf_dir):
     return frame_means_y4m(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_media_mix(sf_dir):
+    """Composed mixed-modality routing (the quarantine-before-decode
+    contract the decoders document, as one pipeline): planted payloads
+    are PPM images for even doc ids and WAV audio for odd ids; the
+    payload stream is classified by MAGIC BYTES (vectorized binary
+    prefix test — never by id), routed to the matching decoder, and
+    reduced to one row per modality (modality, n, mean_val 6dp =
+    mean-of-means of mean_r / mean_abs). The oracle recomputes both
+    analytic expectations grouped by id parity — a misrouted or
+    misparsed payload shifts its modality's aggregate."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            if int(i) % 2 == 0:
+                w, h = 8 + int(i) % 8, 4 + int(i) % 4
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                rgb = np.empty((h, w, 3), dtype=np.uint8)
+                rgb[:, :, 0] = ((int(i) + x) % 256)[None, :]
+                rgb[:, :, 1] = ((int(i) * 7 + y) % 256)[:, None]
+                rgb[:, :, 2] = (int(i) * 13) % 256
+                payloads.append(encode_ppm(rgb))
+            else:
+                n = 64 + int(i) % 64
+                tt = np.arange(n, dtype=np.int64)
+                s = ((7 * int(i) + 13 * tt) % 256 - 128).astype(np.int16)
+                payloads.append(encode_wav(s))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    media = docs.map_batches(make, batch_format="pyarrow").materialize()
+
+    def is_magic(prefix: bytes):
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "payload" not in t.column_names:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "payload": pa.array([], pa.binary())}
+                )
+            # vectorized prefix classify on the binary column
+            keep = np.fromiter(
+                (bytes(v)[: len(prefix)] == prefix for v in t.column("payload").to_pylist()),
+                dtype=bool,
+                count=len(t),
+            )
+            return t.filter(pa.array(keep))
+
+        return fn
+
+    imgs = decode_ppm(media.map_batches(is_magic(b"P6"), batch_format="pyarrow"), concurrency=2)
+    auds = decode_wav(media.map_batches(is_magic(b"RIFF"), batch_format="pyarrow"), concurrency=2)
+
+    def fold(ds, col):
+        t = ds.map_batches(
+            lambda b, c=col: pa.table(
+                {
+                    "n": pa.array([len(b)], pa.int64()),
+                    "s": pa.array(
+                        [float(b.column(c).to_numpy(zero_copy_only=False).sum())], pa.float64()
+                    ),
+                }
+            )
+            if c in b.column_names and len(b)
+            else pa.table({"n": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}),
+            batch_format="pyarrow",
+        ).materialize()
+        n = int(t.sum("n") or 0)
+        s = float(t.sum("s") or 0.0)
+        return n, round(s / n, 6) if n else 0.0
+
+    n_img, m_img = fold(imgs, "mean_r")
+    n_aud, m_aud = fold(auds, "mean_abs")
+    return ray.data.from_items(
+        [
+            {"modality": "image", "n": n_img, "mean_val": m_img},
+            {"modality": "audio", "n": n_aud, "mean_val": m_aud},
+        ]
+    )
+
+
 def _g_scc_doc(sf_dir):
     """Strongly connected components (FW-BW-MIN partition refinement,
     pipelines/scc.py) over a PLANTED directed graph with real cycles:
@@ -3400,9 +3494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_moving_avg": _r_events_moving_avg,  # ROWS-frame moving average (r4)
         "g_scc_doc": _g_scc_doc,  # strongly connected components, FW-BW-MIN (r4)
         "m_y4m_frames": _m_y4m_frames,  # REAL video frame parse vs analytic oracle (r4)
-        # ---- (r_funnel displaced to below; its family is L-green + pytest) ----
-        # ---- driver window: round-3 embedding families (4) → 50 ----
-        "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
+        "m_media_mix": _m_media_mix,  # magic-byte routing -> decoders -> report (r4)
+        # ---- (r_funnel, e_group_distinct displaced below; both L-green + pytest) ----
+        # ---- driver window: round-3 embedding families (3) → 50 ----
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
         "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
         "e_label_sims": _e_label_sims,  # pairwise centroid cosine
@@ -3410,6 +3504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots or my full-harness runs
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
         "r_ab_test": _r_ab_test,  # two-proportion z over the deterministic split
@@ -4666,6 +4761,20 @@ SELECT doc_id,
               FROM UNNEST(range(2)) AS q(y)), 6) AS rmean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS rmean_b
 FROM documents
+""",
+        # mixed-modality routing: per-parity analytic expectations,
+        # per-payload means rounded 6dp (the decoder contract) before
+        # the mean-of-means
+        "m_media_mix": """
+SELECT 'image' AS modality, count(*) AS n,
+       round(avg(round((SELECT avg((doc_id + g.x) % 256)
+                        FROM UNNEST(range(8 + doc_id % 8)) AS g(x)), 6)), 6) AS mean_val
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'audio' AS modality, count(*) AS n,
+       round(avg(round((SELECT avg(abs((7 * doc_id + 13 * g.t) % 256 - 128))
+                        FROM UNNEST(range(64 + doc_id % 64)) AS g(t)), 6)), 6) AS mean_val
+FROM documents WHERE doc_id % 2 = 1
 """,
         # analytic expectation of the Y4M generation formula
         "m_y4m_frames": """
