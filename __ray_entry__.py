@@ -469,10 +469,14 @@ def _r_events_sessions(sf_dir):
 
 
 def _t_token_counts(sf_dir):
+    """Token counts over adversarially whitespace-padded text (planted
+    via _plant_ws_pad == _SQL_PAD_CTE) — witnesses RE2-\\s trim parity
+    between Arrow and DuckDB on every gate run."""
     from distributed_pagerank_ray.functions.textstats import token_count_batch
 
     return (
         _docs(sf_dir)
+        .map_batches(_plant_ws_pad, batch_format="pyarrow")
         .map_batches(lambda t: token_count_batch(t), batch_format="pyarrow")
         .select_columns(["doc_id", "n_tokens"])
     )
@@ -2355,7 +2359,7 @@ def _t_pack_seqs(sf_dir):
     from distributed_pagerank_ray.functions.textstats import token_count_batch
 
     docs = _docs(sf_dir).map_batches(
-        lambda t: token_count_batch(t.select(["doc_id", "text"])).select(
+        lambda t: token_count_batch(_plant_ws_pad(t.select(["doc_id", "text"]))).select(
             ["doc_id", "n_tokens"]
         ),
         batch_format="pyarrow",
@@ -2512,6 +2516,76 @@ def _m_pgm_decode(sf_dir):
         )
 
     return decode_pgm(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
+def _x_edgelist_text(sf_dir):
+    """SQL-gated conformance parse of the reference text edge-list
+    format (graph.go:178-196 semantics) through the VECTORIZED parser
+    path: a deterministic file planted from doc_id — comment lines
+    (#, //), blank lines, first-space form ``src dst`` and comma form
+    ``src,dst`` all present — is written under /tmp and read back via
+    ``read_edgelist`` (ray.data.read_text + Arrow fast path). The SQL
+    oracle regenerates the same edges analytically from documents."""
+    import os
+
+    import duckdb
+
+    from distributed_pagerank_ray.sources.edgelist import read_edgelist
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    path = f"/tmp/dpr_edgelist_text/{os.path.basename(os.path.normpath(sf_dir))}_{n}.txt"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lines = []
+        for i in range(n):
+            if i % 10 == 0:
+                lines.append(f"# comment for doc {i}")
+            if i % 17 == 0:
+                lines.append("// slash comment")
+                lines.append("")
+            lines.append(f"{i} {(13 * i + 7) % n}")
+            if i % 3 == 0:
+                lines.append(f"{i},{(19 * i + 3) % n}")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
+    return read_edgelist(path)
+
+
+def _m_png_decode(sf_dir):
+    """REAL compressed-image decode gate (grayscale PNG): deterministic
+    payloads built from doc_id with pixel(y,x) = (7·id + 3·x + 13·y)
+    % 256, encoded by ``encode_png`` with scanline filter y % 5 —
+    None/Sub/Up/Average/Paeth all exercised — and a genuinely
+    zlib-compressed IDAT. The SQL oracle computes
+    width/height/mean/min/max ANALYTICALLY from the pixel formula, so
+    matching requires a correct chunk walk, inflate, AND all five
+    unfilters (a wrong Paeth shifts min/max, not just the mean)."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_png, encode_png
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = 5 + int(i) % 6, 4 + int(i) % 5
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            gray = ((7 * int(i) + 3 * x[None, :] + 13 * y[:, None]) % 256).astype(np.uint8)
+            payloads.append(encode_png(gray))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_png(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
 def _g_reciprocity_doc(sf_dir):
@@ -3444,65 +3518,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green rows in CORRECTNESS_r02/r03 (committed) plus pytest; the
     # full 114+-query run is reproducible via tools/check_correctness.py.
     return {
-        # ---- driver window: flagship core (8) ----
+        # ---- driver window: flagship core (5, pinned every round) ----
         "g_edges": _g_edges,
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
         "g_cc_org": _g_cc_org,
         "g_lpa_org": _g_lpa_org,
         "g_triangles_parts": _g_triangles_parts,
-        "g_ppr3_parts": _g_ppr3,  # personalized (custom-E) 3-iter, SQL-checked
-        "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
-        "g_kcore2_lineitem": _g_kcore2,
-        # ---- driver window: round-3 graph families (7) ----
-        "g_harmonic_org": _g_harmonic_org,  # landmark-BFS harmonic centrality
-        "g_walks_org": _g_walks_org,  # deterministic random-walk sampling
-        "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
-        "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
-        "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
-        "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
-        "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
-        # ---- driver window: round-3 text/multimodal families (12) ----
-        "t_heavy_hitters": _t_heavy_hitters,  # weighted count BSP + CMS gate
-        "t_word_entropy": _t_word_entropy,  # per-doc word-distribution entropy
-        "t_surprisal": _t_surprisal,  # corpus unigram surprisal per doc
-        "t_word_pmi": _t_word_pmi,  # windowed co-occurrence PMI phrase mining
-        "t_corpus_prep": _t_corpus_prep,  # composed lang->quality->dedup->split pipeline
-        "t_pii_redact": _t_pii_redact,  # email/IP/phone masking, RE2 both engines
-        "t_url_norm": _t_url_norm,  # URL canonicalization, RE2 both engines
-        "t_prune_words": _t_prune_words,  # df-thresholded vocabulary pruning rewrite
-        "t_postings": _t_postings,  # inverted-index head, top-k docs per word
-        "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan
-        "t_decontam": _t_decontam,  # cross-split n-gram contamination, SQL-checked
-        "m_ppm_decode": _m_ppm_decode,  # REAL image decode vs analytic oracle
-        "m_pgm_decode": _m_pgm_decode,  # REAL grayscale decode vs analytic oracle (r4)
-        # ---- driver window: round-4 new families (5) ----
-        "m_ppm_resize": _m_ppm_resize,  # NN resize vs analytic sampled oracle (r4)
-        "g_reciprocity_doc": _g_reciprocity_doc,  # directed reciprocity, planted graph (r4)
-        "g_adamic_adar_parts": _g_adamic_adar_parts,  # AA link strength top-20 (r4)
-        "e_cov_matrix": _e_cov_matrix,  # embedding covariance, moment partials (r4)
-        "r_parts_except": _r_parts_except,  # EXCEPT set op, anti broadcast (r4)
-        "g_gini_lineitem": _g_gini_lineitem,  # degree Gini, exact histogram form (r4)
-        "t_bigram_surprisal": _t_bigram_surprisal,  # conditional bigram LM signal (r4)
-        "e_quantize_int8": _e_quantize_int8,  # int8 quantization scale+MSE report (r4)
-        "g_prdelta_lineitem": _g_prdelta_lineitem,  # SQL-gated incremental-update delta (r4)
-        "g_modularity_org": _g_modularity_org,  # Newman Q of the CC partition (r4)
-        "m_wav_decode": _m_wav_decode,  # REAL PCM audio decode vs analytic oracle (r4)
-        "t_lexical_diversity": _t_lexical_diversity,  # TTR + hapax quality facet (r4)
-        "t_zipf_words": _t_zipf_words,  # word-frequency Zipf MLE (r4)
-        "g_distsummary_org": _g_distsummary_org,  # exact diameter/avg path len (r4)
-        "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG journeys (r4)
-        "r_events_moving_avg": _r_events_moving_avg,  # ROWS-frame moving average (r4)
-        "g_scc_doc": _g_scc_doc,  # strongly connected components, FW-BW-MIN (r4)
-        "m_y4m_frames": _m_y4m_frames,  # REAL video frame parse vs analytic oracle (r4)
-        "m_media_mix": _m_media_mix,  # magic-byte routing -> decoders -> report (r4)
-        # ---- (r_funnel, e_group_distinct displaced below; both L-green + pytest) ----
-        # ---- driver window: round-3 embedding families (3) → 50 ----
-        "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
-        "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
-        "e_label_sims": _e_label_sims,  # pairwise centroid cosine
-        # ---- end of 50-entry driver window ----
-        # families below all carry driver green rows in committed
-        # CORRECTNESS_r0x.json snapshots or my full-harness runs
+        # ---- driver window: the 23 queries never driver-witnessed in
+        # r1-r4 (VERDICT r4 item #3) — local-gate green every round ----
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
@@ -3522,6 +3545,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
         "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
         "t_lang_share": _t_lang_share,  # corpus-card composition report
+        "t_rep_stats": _t_rep_stats,  # repetition-ratio quality stats
+        "t_tfidf_top3": _t_tfidf_top3,  # per-doc top-3 tf-idf terms
+        "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
+        "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
+        # ---- driver window: round-5 semantics changes to re-witness
+        # (RE2-\s trim/tokenizer alignment + planted whitespace pads;
+        # the r4 t_pack_seqs fix) ----
+        "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan (r5 fix)
+        "t_token_counts": _t_token_counts,  # planted-pad trim-parity witness (r5)
+        "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5)
+        "t_ngram_dup_pairs": _t_ngram_dup_pairs,  # RE2-\s word shingles (r5)
+        "t_near_dedup_keep": _t_near_dedup_keep,  # RE2-\s word shingles (r5)
+        "t_decontam": _t_decontam,  # RE2-\s word shingles (r5)
+        "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
+        "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated LSH, never driver-witnessed
+        "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
+        # ---- driver window: round-5 behavior changes / new ops ----
+        "g_scc_doc": _g_scc_doc,  # SCC, fused F+B exchanges (r5 rework)
+        "r_events_sessions": _r_events_sessions,  # size-derived num_buckets (r5)
+        "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG (size-derived buckets, r5)
+        "r_events_moving_avg": _r_events_moving_avg,  # ROWS frame (size-derived buckets, r5)
+        "m_png_decode": _m_png_decode,  # REAL PNG inflate+unfilter decode (r5 new)
+        "x_edgelist_text": _x_edgelist_text,  # vectorized strict text-edge parse (r5 new)
+        "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
+        "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
+        "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
+        "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
+        "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
+        "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
+        # ---- end of 50-entry driver window ----
+        # families below all carry driver green rows in committed
+        # CORRECTNESS_r0x.json snapshots (r4 witnessed 45 of them green)
+        # plus the full local exact-hash gate via tools/check_correctness.py
+        "g_ppr3_parts": _g_ppr3,  # personalized (custom-E) 3-iter, SQL-checked
+        "g_wpagerank3_lineitem": _g_wpagerank3,  # weighted, join-based, SQL-checked
+        "g_kcore2_lineitem": _g_kcore2,
+        "g_harmonic_org": _g_harmonic_org,  # landmark-BFS harmonic centrality
+        "g_walks_org": _g_walks_org,  # deterministic random-walk sampling
+        "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
+        "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
+        "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
+        "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
+        "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
+        "t_heavy_hitters": _t_heavy_hitters,  # weighted count BSP + CMS gate
+        "t_word_entropy": _t_word_entropy,  # per-doc word-distribution entropy
+        "t_surprisal": _t_surprisal,  # corpus unigram surprisal per doc
+        "t_word_pmi": _t_word_pmi,  # windowed co-occurrence PMI phrase mining
+        "t_pii_redact": _t_pii_redact,  # email/IP/phone masking, RE2 both engines
+        "t_url_norm": _t_url_norm,  # URL canonicalization, RE2 both engines
+        "t_prune_words": _t_prune_words,  # df-thresholded vocabulary pruning rewrite
+        "t_postings": _t_postings,  # inverted-index head, top-k docs per word
+        "m_ppm_decode": _m_ppm_decode,  # REAL image decode vs analytic oracle
+        "m_pgm_decode": _m_pgm_decode,  # REAL grayscale decode vs analytic oracle (r4)
+        "m_ppm_resize": _m_ppm_resize,  # NN resize vs analytic sampled oracle (r4)
+        "g_reciprocity_doc": _g_reciprocity_doc,  # directed reciprocity, planted graph (r4)
+        "g_adamic_adar_parts": _g_adamic_adar_parts,  # AA link strength top-20 (r4)
+        "e_cov_matrix": _e_cov_matrix,  # embedding covariance, moment partials (r4)
+        "r_parts_except": _r_parts_except,  # EXCEPT set op, anti broadcast (r4)
+        "g_gini_lineitem": _g_gini_lineitem,  # degree Gini, exact histogram form (r4)
+        "t_bigram_surprisal": _t_bigram_surprisal,  # conditional bigram LM signal (r4)
+        "e_quantize_int8": _e_quantize_int8,  # int8 quantization scale+MSE report (r4)
+        "g_prdelta_lineitem": _g_prdelta_lineitem,  # SQL-gated incremental-update delta (r4)
+        "g_modularity_org": _g_modularity_org,  # Newman Q of the CC partition (r4)
+        "m_wav_decode": _m_wav_decode,  # REAL PCM audio decode vs analytic oracle (r4)
+        "t_lexical_diversity": _t_lexical_diversity,  # TTR + hapax quality facet (r4)
+        "t_zipf_words": _t_zipf_words,  # word-frequency Zipf MLE (r4)
+        "g_distsummary_org": _g_distsummary_org,  # exact diameter/avg path len (r4)
+        "m_y4m_frames": _m_y4m_frames,  # REAL video frame parse vs analytic oracle (r4)
+        "m_media_mix": _m_media_mix,  # magic-byte routing -> decoders -> report (r4)
+        "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
+        "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
+        "e_label_sims": _e_label_sims,  # pairwise centroid cosine
         "g_out_degree": _g_out_degree,
         "g_in_degree_top20": _g_in_degree_top20,
         "g_vertex_count": _g_vertex_count,
@@ -3539,13 +3634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_extract_corpus": _x_extract_corpus,  # rows-only + in-query byte-identity gate
         "x_host_graph": _x_host_graph,  # rows-only + in-query DuckDB self-gate
         "x_resumable_sink": _x_resumable_sink,  # rows-only + in-query resume assertion
-        "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
-        "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
-        "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
         "r_q1_pricing": _r_q1,
         "r_q3_top_orders": _r_q3,
         "r_events_hourly": _r_events_hourly,
-        "r_events_sessions": _r_events_sessions,
         "r_distinct_users": _r_distinct_users,
         "r_events_props_sum": _r_events_props_sum,
         "r_urgent_semi_join": _r_semi_join,
@@ -3561,33 +3652,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_parts_both_years": _r_parts_both_years,
         "r_user_type_pivot": _r_user_type_pivot,
         "r_det_sample": _r_det_sample,
-        "t_token_counts": _t_token_counts,
         "t_quality": _t_quality,
-        "t_exact_dedup": _t_exact_dedup,
         "t_doc_words": _t_doc_words,
-        "t_rep_stats": _t_rep_stats,
-        "t_tfidf_top3": _t_tfidf_top3,
-        "t_ngram_dup_pairs": _t_ngram_dup_pairs,
-        "t_near_dedup_keep": _t_near_dedup_keep,
         "t_lang_id": _t_lang_id,
         "m_byte_meta": _m_byte_meta,
-        "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
         # ---- variants + pytest-covered rows-only ----
         "t_quality_filter": _t_quality_filter,  # filter variant (family gated by t_quality)
         "g_degree_hist": _g_degree_hist,  # chained-count variant (family gated by g_out_degree)
         "r_views_1h": _r_views_1h,  # range-count variant (temporal family gated by r_asof_view)
         "r_events_sliding": _r_events_sliding,  # hopping-window variant (family gated by r_events_hourly)
         "r_split_counts": _r_split_counts,  # split variant (family gated by r_det_sample)
-        "g_pagerank_lineitem": _g_pagerank_lineitem,  # rows-only + in-query numpy-oracle gate
         "r_qty_quantiles_cont": _r_qty_quantiles_cont,  # interpolation variant of r_qty_quantiles
         "r_events_std": _r_events_std,  # aggregate variant (family gated by r_q1)
         "r_sample_per_type": _r_sample_per_type,  # per-group variant of r_det_sample
         "t_fingerprint_md5": _t_fingerprint,  # md5 kernel also gated via t_exact_dedup
-        "t_normalize": _t_normalize,  # scalar-fn variant (family gated by t_token_counts)
-        "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated (LSH recall is exactly 1.0 at gate scales) + in-query subset/recall belt
-        "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
-        "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
-        "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
     }
 
 
@@ -3599,10 +3677,47 @@ _EDGES_CTE = (
     "SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst FROM lineitem"
 )
 
-_WORD_GRAMS_CTE = """
+# RE2-\s trim, matching the engine's textstats.RE2_WS class exactly.
+# DuckDB's bare trim(x) strips ASCII spaces ONLY, so a doc padded with
+# \n/\t gets a phantom '' token from regexp_split_to_array — the
+# round-4 t_pack_seqs driver-hash failure. Every tokenizing oracle
+# that pre-trims MUST use this expression, never trim().
+_SQL_TRIM = "regexp_replace(COALESCE({col}, ''), '^\\s+|\\s+$', '', 'g')"
+
+# Adversarial whitespace planting (the repo's planted-input recipe):
+# pad every doc's text with a doc_id-derived edge-whitespace char on
+# BOTH sides, with the identical expression in the Ray query
+# (_plant_ws_pad) and the SQL oracle. Pure edge whitespace leaves
+# n_tokens unchanged IFF both engines trim the same class — so trim
+# parity is witnessed on every gate run even when the corpus itself
+# has no padded docs (the round-4 escape).
+_SQL_PAD_CTE = """padded AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN chr(10) WHEN 1 THEN chr(9)
+           WHEN 2 THEN chr(13) WHEN 3 THEN chr(12) ELSE '' END
+         || COALESCE(text, '') ||
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN chr(10) WHEN 1 THEN chr(9)
+           WHEN 2 THEN chr(13) WHEN 3 THEN chr(12) ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def _plant_ws_pad(t):
+    """Engine twin of _SQL_PAD_CTE: pad text edges with a doc_id%5
+    whitespace char (\\n \\t \\r \\f or none)."""
+    import pyarrow.compute as pc
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    pads = pa.array(np.array(["\n", "\t", "\r", "\x0c", ""], dtype=object)[ids % 5], pa.string())
+    text = pc.binary_join_element_wise(pads, pc.fill_null(t.column("text"), ""), pads, "")
+    return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+_WORD_GRAMS_CTE = f"""
 toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id, regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+') AS arr
+  FROM documents WHERE length({_SQL_TRIM.format(col='text')}) > 0
 ),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -4248,11 +4363,13 @@ SELECT d.doc_id,
        CAST(CASE WHEN c.id IS NULL OR c.rep = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """,
-        "t_token_counts": """
+        # planted-pad + RE2-\s trim: see _plant_ws_pad / _SQL_PAD_CTE
+        "t_token_counts": f"""
+WITH {_SQL_PAD_CTE}
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-FROM documents
+       CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN 0
+            ELSE len(regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+')) END AS n_tokens
+FROM padded
 """,
         "t_quality": """
 SELECT doc_id,
@@ -4627,17 +4744,20 @@ SELECT date_trunc('hour', ts) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
 """,
-        # tokenizer matches t_token_counts; seq = prev-cumsum // budget (pure int)
-        "t_pack_seqs": """
-WITH t AS (
+        # tokenizer matches t_token_counts (planted pad + RE2-\s trim);
+        # seq = prev-cumsum // budget (pure int)
+        "t_pack_seqs": f"""
+WITH {_SQL_PAD_CTE},
+t AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-  FROM documents
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+')) END AS n_tokens
+  FROM padded
 )
 SELECT doc_id, n_tokens,
-       (SUM(n_tokens) OVER (ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500 AS seq_id
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 500
+            AS BIGINT) AS seq_id
 FROM t
 """,
         "r_table_stats": """
@@ -4695,6 +4815,31 @@ SELECT doc_id,
        (SELECT max((3 * doc_id + 5 * g.x + 11 * q.y) % 256)
         FROM UNNEST(range(6 + doc_id % 7)) AS g(x),
              UNNEST(range(3 + doc_id % 5)) AS q(y)) AS max_gray
+FROM documents
+""",
+        # regeneration of the planted text edge-list in _x_edgelist_text
+        # (parser must skip comments/blanks and accept both line forms)
+        "x_edgelist_text": """
+WITH nn AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
+UNION ALL
+SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # analytic expectation of the PNG generation formula in
+        # _m_png_decode (decode must inflate + unfilter to match)
+        "m_png_decode": """
+SELECT doc_id,
+       5 + doc_id % 6 AS width,
+       4 + doc_id % 5 AS height,
+       round((SELECT avg((7 * doc_id + 3 * g.x + 13 * q.y) % 256)
+              FROM UNNEST(range(5 + doc_id % 6)) AS g(x),
+                   UNNEST(range(4 + doc_id % 5)) AS q(y)), 6) AS mean_gray,
+       (SELECT min((7 * doc_id + 3 * g.x + 13 * q.y) % 256)
+        FROM UNNEST(range(5 + doc_id % 6)) AS g(x),
+             UNNEST(range(4 + doc_id % 5)) AS q(y)) AS min_gray,
+       (SELECT max((7 * doc_id + 3 * g.x + 13 * q.y) % 256)
+        FROM UNNEST(range(5 + doc_id % 6)) AS g(x),
+             UNNEST(range(4 + doc_id % 5)) AS q(y)) AS max_gray
 FROM documents
 """,
         # planted-graph reciprocity (identical edge formula both sides)

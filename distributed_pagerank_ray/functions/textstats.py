@@ -28,9 +28,29 @@ _EN_STOP = {"the", "and", "of", "a", "to", "in", "is", "with", "for", "on", "thi
 _IT_STOP = {"il", "la", "di", "e", "un", "una", "che", "per", "con", "come", "della", "sopra", "tra", "i"}
 
 
+# The ONLY whitespace class used for trimming anywhere in the engine:
+# exactly RE2's \s (= [\t\n\f\r ]), the class DuckDB's regexp kernels
+# share. utf8_trim_whitespace is Unicode-wide (\v, NBSP, U+2028, ...)
+# and silently diverges from every `\s`-based SQL oracle on docs padded
+# with those characters — the round-4 t_pack_seqs driver-hash failure.
+RE2_WS = "\t\n\f\r "
+
+# DuckDB's bare trim(x) class, probed exhaustively: exactly the Unicode
+# Zs (space-separator) category — NOT \t/\n (kept) and NOT the Unicode
+# White_Space property (utf8_trim_whitespace adds \v, U+0085, U+2028/9).
+# Oracles written with trim() must be mirrored with THIS class.
+DUCKDB_TRIM = "\x20\xa0\u1680" + "".join(chr(c) for c in range(0x2000, 0x200B)) + "\u202f\u205f\u3000"
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """n_tokens = number of maximal non-whitespace runs (0 for blank)."""
-    trimmed = pc.utf8_trim_whitespace(batch.column(text_col))
+    """n_tokens = number of maximal non-whitespace runs (0 for blank).
+
+    Whitespace = RE2 \\s ([\\t\\n\\f\\r ]) on BOTH trim and split, so a
+    DuckDB oracle written as regexp_replace(x,'^\\s+|\\s+$','','g') +
+    regexp_split_to_array(x,'\\s+') matches byte-for-byte on any input,
+    including \\n/\\t-padded and NBSP-bearing docs. Null text counts 0.
+    """
+    trimmed = pc.utf8_trim(pc.fill_null(batch.column(text_col), ""), characters=RE2_WS)
     splits = pc.split_pattern_regex(trimmed, pattern=r"\s+")
     n = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
     blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
@@ -55,7 +75,11 @@ def normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     normalization is a derived view, never destructive)."""
     t = pc.utf8_lower(batch.column(text_col))
     t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-    t = pc.utf8_trim_whitespace(t)
+    # DUCKDB_TRIM (Zs), not utf8_trim_whitespace: the matching oracle is
+    # DuckDB trim(regexp_replace(lower(x),'\s+',' ','g')) — trim() keeps
+    # \v/U+2028 (White_Space-but-not-Zs) that utf8_trim_whitespace strips,
+    # and strips NBSP/U+3000 (Zs) that an RE2-\s trim would keep.
+    t = pc.utf8_trim(t, characters=DUCKDB_TRIM)
     return batch.append_column("text_norm", t)
 
 

@@ -68,8 +68,57 @@ def parse_lines(lines: list[str]) -> pa.Table:
     )
 
 
+def parse_lines_vectorized(lines: pa.ChunkedArray | pa.Array) -> pa.Table:
+    """Arrow fast path for the strict parser (VERDICT r4 #7): the happy
+    path (every non-skipped line is exactly ``int<space>int`` /
+    ``int,int``) runs entirely in RE2/cast kernels — comment/blank
+    filter, first-space→comma replace, literal comma split, strict
+    Atoi regex validation, string→int64 cast. Any batch containing a
+    line that fails validation falls back to the per-line loop, which
+    raises the reference's exact error for that line. Conformance
+    semantics are byte-identical to ``parse_lines`` (same pytest
+    covers both)."""
+    import pyarrow.compute as pc
+
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lines = pc.fill_null(lines, "")
+    keep = pc.and_(
+        pc.and_(
+            pc.invert(pc.starts_with(lines, pattern="#")),
+            pc.invert(pc.starts_with(lines, pattern="//")),
+        ),
+        pc.not_equal(lines, ""),
+    )
+    body = lines.filter(keep)
+    if len(body) == 0:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    replaced = pc.replace_substring(body, pattern=" ", replacement=",", max_replacements=1)
+    parts = pc.split_pattern(replaced, pattern=",")
+    if not pc.all(pc.equal(pc.list_value_length(parts), 2)).as_py():
+        raise _FallbackNeeded
+    flat = pc.list_flatten(parts)
+    if not pc.all(pc.match_substring_regex(flat, pattern=r"^-?[0-9]+$")).as_py():
+        raise _FallbackNeeded
+    ints = pc.cast(flat, pa.int64())  # regex-validated: cast cannot silently truncate
+    vals = ints.to_numpy(zero_copy_only=False)
+    return pa.table({"src": pa.array(vals[0::2]), "dst": pa.array(vals[1::2])})
+
+
+class _FallbackNeeded(Exception):
+    """Internal: batch contains a malformed line — re-parse per line so
+    the error message names the exact offending line."""
+
+
 def _parse_batch(batch: pa.Table) -> pa.Table:
-    return parse_lines(batch.column("text").to_pylist())
+    try:
+        return parse_lines_vectorized(batch.column("text"))
+    except _FallbackNeeded:
+        return parse_lines(batch.column("text").to_pylist())
+    except pa.ArrowInvalid:  # e.g. int64 overflow in the cast
+        return parse_lines(batch.column("text").to_pylist())
 
 
 def read_edgelist(path: str) -> "ray.data.Dataset":

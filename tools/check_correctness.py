@@ -43,6 +43,60 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _encode_col(s: pd.Series) -> list[str]:
+    """Byte-stable, dtype-sensitive string encoding of one column:
+    ints/bools as i<int64>, floats as the exact float64 bit pattern
+    (NaN canonicalized), datetimes as t<us-since-epoch>, everything
+    else as s<utf-8 repr>. Two columns encode equal iff the driver's
+    value hash would see them equal."""
+    if pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
+        return [f"i{int(v)}" if pd.notna(v) else "null" for v in s]
+    if pd.api.types.is_float_dtype(s):
+        a = s.to_numpy(dtype="float64")
+        return ["fnan" if np.isnan(v) else "f" + np.float64(v).tobytes().hex() for v in a]
+    if pd.api.types.is_datetime64_any_dtype(s):
+        a = s.astype("datetime64[us]")
+        return ["null" if pd.isna(v) else f"t{v.value // 1000}" for v in a]
+    # object: dates/datetimes from DuckDB DATE, ints/floats from pyarrow
+    # list flattening, plain strings
+    import datetime
+
+    out = []
+    for v in s:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out.append("null")
+        elif isinstance(v, bool) or isinstance(v, (int, np.integer)):
+            out.append(f"i{int(v)}")
+        elif isinstance(v, (float, np.floating)):
+            out.append("f" + np.float64(v).tobytes().hex())
+        elif isinstance(v, (pd.Timestamp, datetime.datetime)):
+            out.append(f"t{int(pd.Timestamp(v).value // 1000)}")
+        elif isinstance(v, datetime.date):
+            out.append(f"t{int(pd.Timestamp(v).value // 1000)}")
+        else:
+            out.append("s" + str(v))
+    return out
+
+
+def canonical_hash(df: pd.DataFrame) -> str:
+    """Exact-compare mode (VERDICT r4 #2): hash of row-sorted,
+    column-name-sorted, dtype-canonicalized values with NO float
+    tolerance — the driver's hash compare is exact, and the allclose
+    path below is strictly looser (how the round-4 t_pack_seqs
+    off-by-one token count escaped four rounds of local gating)."""
+    import hashlib
+
+    cols = sorted(df.columns)
+    enc = [_encode_col(df[c]) for c in cols]
+    rows = sorted("\x1f".join(vals) for vals in zip(*enc)) if len(df) else []
+    h = hashlib.sha256()
+    h.update(("\x1e".join(cols)).encode())
+    for r in rows:
+        h.update(b"\x1d")
+        h.update(r.encode())
+    return h.hexdigest()
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(got.columns) != sorted(want.columns):
@@ -105,11 +159,22 @@ def main() -> int:
             n_fail += 1
             continue
         problems = compare(name, got, want)
+        # exact driver-style hash alongside the loose compare: a query
+        # can allclose-pass yet hash-differ (the t_pack_seqs escape) —
+        # surface that loudly even when `problems` is empty.
+        try:
+            hash_ok = canonical_hash(got) == canonical_hash(want)
+        except Exception as e:  # noqa: BLE001
+            hash_ok = False
+            problems.append(f"canonical_hash raised {type(e).__name__}: {e}")
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
+        elif not hash_ok:
+            print(f"HASHDIFF  {name}: allclose passes but exact driver-style hash differs ({dt:.1f}s)")
+            n_fail += 1
         else:
-            print(f"PASS  {name}: {len(got)} rows ({dt:.1f}s)")
+            print(f"PASS  {name}: {len(got)} rows exact-hash ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     ray.shutdown()
