@@ -842,8 +842,22 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+
+def _derived_buckets(ds, num_buckets, rows_per_bucket: int = 4_000_000) -> int:
+    """Size-derived bucket count for the ordered-window family
+    (VERDICT r4 #5). Each hash bucket materializes as ONE pandas group
+    per task, so a fixed default of 32 means ~3% of the events table
+    per task no matter how big it grows. Default (num_buckets=None):
+    ceil(rows / 4M) buckets floored at 32, bounding per-bucket memory
+    at ~4M rows (a few hundred MB for these narrow schemas). The row
+    count comes from parquet metadata on fresh reads — no data scan.
+    Pass an explicit int to override (tests pin odd values)."""
+    if num_buckets is not None:
+        return num_buckets
+    return max(32, -(-ds.count() // rows_per_bucket))
+
 def events_sessions(
-    sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32
+    sf_dir: str, gap_minutes: int = 30, num_buckets: "int | None" = None
 ) -> "ray.data.Dataset":
     """Session windows per user: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``. Output:
@@ -859,6 +873,7 @@ def events_sessions(
     from .temporal import _bucket_of
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    num_buckets = _derived_buckets(ds, num_buckets)
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -901,7 +916,7 @@ def events_sessions(
     )
 
 
-def events_lag_cumsum(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
+def events_lag_cumsum(sf_dir: str, num_buckets: "int | None" = None) -> "ray.data.Dataset":
     """Ordered per-user window functions in one pass: sequence number
     (row_number), gap to the previous event in µs (lag; -1 on each
     user's first event), and the running sum of ``value`` (4dp).
@@ -916,6 +931,7 @@ def events_lag_cumsum(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
     from .temporal import _bucket_of
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    num_buckets = _derived_buckets(ds, num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
@@ -1743,7 +1759,7 @@ def hourly_distinct_users(sf_dir: str, num_shards: int = 8) -> "ray.data.Dataset
     return counts.map_batches(fin, batch_format="pyarrow")
 
 
-def event_transitions(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
+def event_transitions(sf_dir: str, num_buckets: "int | None" = None) -> "ray.data.Dataset":
     """Markov transition counts: (previous event_type → event_type)
     over each user's time-ordered event stream — the funnel/propensity
     matrix behind product analytics.
@@ -1757,6 +1773,7 @@ def event_transitions(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
     from .temporal import _bucket_of
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    num_buckets = _derived_buckets(ds, num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
@@ -2220,7 +2237,7 @@ def funnel(
 
 
 def user_journeys(
-    sf_dir: str, max_steps: int = 8, num_buckets: int = 32
+    sf_dir: str, max_steps: int = 8, num_buckets: "int | None" = None
 ) -> "ray.data.Dataset":
     """Ordered per-user journey strings (grouped ordered string
     aggregation): the first ``max_steps`` event types per user joined
@@ -2235,6 +2252,7 @@ def user_journeys(
     from .temporal import _bucket_of
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    num_buckets = _derived_buckets(ds, num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
@@ -2283,7 +2301,7 @@ def user_journeys(
     )
 
 
-def events_moving_avg(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
+def events_moving_avg(sf_dir: str, num_buckets: "int | None" = None) -> "ray.data.Dataset":
     """Sliding window FRAME: per-user 3-event moving average of
     ``value`` in (ts, event_id) order (ROWS BETWEEN 2 PRECEDING AND
     CURRENT ROW) — the window-frame surface the tumbling/hopping
@@ -2297,6 +2315,7 @@ def events_moving_avg(sf_dir: str, num_buckets: int = 32) -> "ray.data.Dataset":
     from .temporal import _bucket_of
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    num_buckets = _derived_buckets(ds, num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
