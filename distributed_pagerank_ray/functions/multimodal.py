@@ -182,6 +182,24 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
 
 
+
+def _pnm_pixel_offset(b: bytes) -> int:
+    """Offset of the first pixel byte of a binary PNM payload: scan past
+    the four whitespace-separated header tokens (magic, width, height,
+    maxval) and the SINGLE whitespace byte terminating maxval — the
+    spec's framing. Deriving the offset from total length (the old
+    header_len = len(b) - w*h[*3]) silently mis-windows payloads with
+    trailing bytes (e.g. a trailing newline from other encoders) —
+    ADVICE r4: fail loudly instead."""
+    i = 0
+    for _ in range(4):
+        while i < len(b) and b[i : i + 1] in b" \t\n\r\x0b\x0c":
+            i += 1
+        while i < len(b) and b[i : i + 1] not in b" \t\n\r\x0b\x0c":
+            i += 1
+    return i + 1
+
+
 class PpmDecode:
     """REAL image decode stage — no external codec needed: binary PPM
     (P6) is a whitespace header + raw RGB bytes, parseable with numpy
@@ -209,10 +227,10 @@ class PpmDecode:
             w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
             if maxv != 255:
                 raise ValueError("only 8-bit PPM supported")
-            header_len = len(b) - w * h * 3
-            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=header_len)
-            if header_len <= 0 or len(px) != w * h * 3:
-                raise ValueError("truncated PPM payload")
+            off = _pnm_pixel_offset(b)
+            if len(b) - off != w * h * 3:
+                raise ValueError("PPM payload length mismatch (truncated or trailing bytes)")
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off)
             means.append(px.reshape(-1, 3).mean(axis=0))
             widths.append(w)
             heights.append(h)
@@ -278,10 +296,10 @@ class PgmDecode:
             w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
             if maxv != 255:
                 raise ValueError("only 8-bit PGM supported")
-            header_len = len(b) - w * h
-            px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=header_len)
-            if header_len <= 0 or len(px) != w * h:
-                raise ValueError("truncated PGM payload")
+            off = _pnm_pixel_offset(b)
+            if len(b) - off != w * h:
+                raise ValueError("PGM payload length mismatch (truncated or trailing bytes)")
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=off)
             widths.append(w)
             heights.append(h)
             means.append(px.mean())
@@ -340,10 +358,10 @@ class ResizePpm:
             w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
             if maxv != 255:
                 raise ValueError("only 8-bit PPM supported")
-            header_len = len(b) - w * h * 3
-            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=header_len)
-            if header_len <= 0 or len(px) != w * h * 3:
-                raise ValueError("truncated PPM payload")
+            off = _pnm_pixel_offset(b)
+            if len(b) - off != w * h * 3:
+                raise ValueError("PPM payload length mismatch (truncated or trailing bytes)")
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off)
             img = px.reshape(h, w, 3)
             sx = (np.arange(W) * w) // W
             sy = (np.arange(H) * h) // H

@@ -32,6 +32,11 @@ from ..config import RunConfig
 from ..util import compact_for_join, count_i64_keys, ensure_schema
 
 _I64 = pa.int64()
+
+#: filled by two_hop_counts: how many relay vertices the default
+#: max_relay_degree cap silenced this run (the no-silent-caps surface;
+#: also logged as a warning when nonzero).
+TWOHOP_LAST_STATS: dict = {}
 _F64 = pa.float64()
 
 
@@ -175,6 +180,8 @@ def two_hop_counts(
         else pa.table({"m2": pa.array([], _I64), "b": pa.array([], _I64)}),
         batch_format="pyarrow",
     )
+    TWOHOP_LAST_STATS.clear()
+    TWOHOP_LAST_STATS["n_relays_capped"] = 0
     if max_relay_degree is not None:
         # drop hub relays BEFORE the join: their |in|×|out| pair fan-out
         # is the one quadratic term in this metric
@@ -198,7 +205,24 @@ def two_hop_counts(
             if "m2" in t.column_names and len(t)
             else pa.table({"m2": pa.array([], _I64)}),
             batch_format="pyarrow",
-        ).map_batches(
+        ).materialize()
+        n_relays = deg.count()
+        n_capped = n_relays - ok.count()
+        TWOHOP_LAST_STATS["n_relays_capped"] = n_capped
+        if n_capped:
+            # the repo's no-silent-caps rule (ADVICE r4): say loudly how
+            # many hub relays contributed no 2-hop pairs this run
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "two_hop_counts: %d of %d relay vertices exceeded "
+                "max_relay_degree=%d and contribute no 2-hop pairs "
+                "(pass max_relay_degree=None for the exact mode)",
+                n_capped,
+                n_relays,
+                max_relay_degree,
+            )
+        ok = ok.map_batches(
             lambda t: pa.table({"m3": t.column("m2")})
             if "m2" in t.column_names
             else pa.table({"m3": pa.array([], _I64)}),
@@ -597,12 +621,20 @@ def degree_gini(
     n = int(c.sum())
     if n == 0:
         return ray.data.from_items([{"n": 0, "gini": 0.0}])
-    ends = np.cumsum(c)  # 1-based rank block for degree v[i]: (ends-c, ends]
-    starts = ends - c + 1
-    # Σ ranks over the block, then v·(2·Σranks − c·(n+1)); exact ints
-    rank_sums = (starts + ends) * c // 2
-    num = int((v * (2 * rank_sums - c * (n + 1))).sum())
-    den = int(n * (v * c).sum())
+    # Python-int accumulation (ADVICE r4): rank_sums ~ n² and the
+    # numerator terms ~ v·n² silently wrap int64 around n ~ 1e8 with
+    # degrees in the thousands. The histogram is O(distinct degrees)
+    # driver-side rows, so exact bigint arithmetic is free.
+    num = 0
+    den = 0
+    end = 0
+    for vi, ci in zip((int(x) for x in v), (int(x) for x in c)):
+        start = end + 1
+        end += ci
+        rank_sum = (start + end) * ci // 2  # Σ ranks over the block
+        num += vi * (2 * rank_sum - ci * (n + 1))
+        den += vi * ci
+    den *= n
     return ray.data.from_items(
         [{"n": n, "gini": round(num / den, 6) if den else 0.0}]
     )

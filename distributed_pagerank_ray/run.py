@@ -15,8 +15,71 @@ import os
 import sys
 
 
+def watch(run_dir: str, poll_s: float = 1.0, idle_timeout_s: "float | None" = None, out=None) -> int:
+    """Live progress tail over a run directory — closes the reference's
+    one UX gap (its SSE web client, cmd/client/main.go:97-161): the
+    checkpoint layout IS the progress API, so watching a run needs no
+    Ray session and works from any machine that sees the run_dir
+    (file or URI). Prints one JSON line per newly durable iteration
+    (iteration, residual, wall_sec, ...), then a final
+    ``{"done": true}`` line once ``final/ranks`` is published.
+    Returns 0 on completion, 1 on idle timeout."""
+    import time
+
+    from .state import checkpoint as ckpt
+
+    out = out if out is not None else sys.stdout
+    seen = -1
+    idle = 0.0
+    while True:
+        m = ckpt.read_manifest(run_dir)
+        progressed = False
+        if m and m.get("completed_iter") is not None:
+            k = int(m["completed_iter"])
+            while seen < k:
+                seen += 1
+                mt = (
+                    ckpt._read_json(
+                        os.path.join(ckpt.iter_dir(run_dir, seen), "metrics.json")
+                    )
+                    or {}
+                )
+                line = {"iter": seen}
+                line.update(
+                    {
+                        kk: vv
+                        for kk, vv in mt.items()
+                        if isinstance(vv, (int, float, bool, str))
+                    }
+                )
+                print(json.dumps(line), file=out, flush=True)
+                progressed = True
+        if ckpt.exists(os.path.join(run_dir, "final", "ranks")):
+            print(json.dumps({"done": True, "completed_iter": seen}), file=out, flush=True)
+            return 0
+        if progressed:
+            idle = 0.0
+        else:
+            idle += poll_s
+            if idle_timeout_s is not None and idle >= idle_timeout_s:
+                print(
+                    json.dumps({"done": False, "idle_timeout": True, "completed_iter": seen}),
+                    file=out,
+                    flush=True,
+                )
+                return 1
+        time.sleep(poll_s)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--watch",
+        metavar="RUN_DIR",
+        help="tail a run's per-iteration progress (no Ray session) and exit",
+    )
+    p.add_argument("--watch-poll", type=float, default=1.0)
+    p.add_argument("--watch-idle-timeout", type=float, default=None)
     p.add_argument("--algo", default="pagerank", choices=["pagerank", "cc", "lpa", "triangles", "scc"])
     p.add_argument("--pages-parquet")
     p.add_argument("--edges-parquet")
@@ -29,6 +92,9 @@ def main(argv=None) -> int:
     p.add_argument("--outdegree-mode", default="line_count", choices=["line_count", "distinct"])
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.watch:
+        return watch(args.watch, poll_s=args.watch_poll, idle_timeout_s=args.watch_idle_timeout)
 
     import ray
 

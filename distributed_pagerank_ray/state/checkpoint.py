@@ -102,18 +102,31 @@ def replace(src: str, dst: str) -> None:
 
 
 def _read_json(path: str) -> Optional[dict]:
+    """None for missing OR unparseable files. The URI commit path is
+    FileSystem.move, which is copy+delete on object stores — a crash
+    mid-copy can leave a truncated manifest (ADVICE r4). Treating a
+    torn manifest as absent keeps the manifest-as-commit-point contract
+    honest on non-atomic backends: resume falls back to the previous
+    complete iteration (or from scratch) instead of crashing on
+    JSONDecodeError."""
     f, p = fs_path(path)
     if f is None:
         if not os.path.exists(p):
             return None
         with open(p) as fh:
-            return json.load(fh)
+            try:
+                return json.load(fh)
+            except json.JSONDecodeError:
+                return None
     from pyarrow import fs as pafs
 
     if f.get_file_info(p).type == pafs.FileType.NotFound:
         return None
     with f.open_input_stream(p) as fh:
-        return json.loads(fh.read().decode("utf-8"))
+        try:
+            return json.loads(fh.read().decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return None
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:

@@ -195,3 +195,30 @@ def test_y4m_frame_means_roundtrip_and_malformed():
     with pytest.raises(ValueError):  # chroma-subsampled streams are honest errors
         hdr = b"YUV4MPEG2 W2 H2 F25:1 Ip A0:0 C420\n" + b"FRAME\n" + bytes(6)
         Y4mFrameMeans()(pa.table({"payload": pa.array([hdr], pa.binary())}))
+
+
+def test_pnm_trailing_bytes_rejected():
+    """ADVICE r4: trailing bytes (e.g. a trailing newline from another
+    encoder) must raise, not silently shift the pixel window."""
+    import numpy as np
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        PgmDecode,
+        PpmDecode,
+        encode_pgm,
+        encode_ppm,
+    )
+    import pyarrow as pa
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    for enc, dec in ((encode_pgm(gray), PgmDecode()), (encode_ppm(rgb), PpmDecode())):
+        ok = pa.table({"payload": pa.array([enc], pa.binary())})
+        dec(ok)  # clean payload decodes
+        bad = pa.table({"payload": pa.array([enc + b"\n"], pa.binary())})
+        with pytest.raises(ValueError, match="length mismatch"):
+            dec(bad)
+        trunc = pa.table({"payload": pa.array([enc[:-1]], pa.binary())})
+        with pytest.raises(ValueError, match="length mismatch"):
+            dec(trunc)
