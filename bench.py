@@ -195,6 +195,9 @@ def run_bench() -> dict:
         "m_wav_decode",
         "r_user_journeys",
         "r_events_moving_avg",
+        # round-5 families
+        "m_png_decode",
+        "x_edgelist_text",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
@@ -207,6 +210,11 @@ def run_bench() -> dict:
         t, _ = _timed(run)
         t2, _ = _timed(run)
         queries[name] = round(min(t, t2), 3)
+
+    # g_scc_doc: single rep (the heaviest row; round-over-round tracking
+    # of the fused-exchange rework — 109 s in r4, ~33 s after)
+    t, _ = _timed(lambda: qs["g_scc_doc"](sf_dir).count())
+    queries["g_scc_doc"] = round(t, 3)
 
     ray.shutdown()
     return result

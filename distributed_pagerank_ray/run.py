@@ -71,8 +71,49 @@ def watch(run_dir: str, poll_s: float = 1.0, idle_timeout_s: "float | None" = No
         time.sleep(poll_s)
 
 
+def supervise(argv: list[str], max_restarts: int = 3, out=None) -> int:
+    """Automatic failover at the job level — the engine's answer to the
+    reference's bully leader election (pkg/node/worker.go:143-193): the
+    reference keeps a job alive across a master crash by electing a new
+    master; a Ray job's equivalent is a supervisor that relaunches the
+    driver process, which resumes from the checkpoint manifest's
+    ``completed_iter`` (state/checkpoint.py) — no operator in the loop.
+    Runs ``python -m distributed_pagerank_ray.run <argv>`` as a child;
+    on a nonzero exit (crash, OOM-kill, SIGKILL) relaunches up to
+    ``max_restarts`` times. Returns the final child's exit code."""
+    import subprocess
+
+    out = out if out is not None else sys.stderr
+    cmd = [sys.executable, "-m", "distributed_pagerank_ray.run", *argv]
+    attempt = 0
+    while True:
+        rc = subprocess.call(cmd)
+        if rc == 0:
+            return 0
+        attempt += 1
+        if attempt > max_restarts:
+            print(
+                json.dumps({"supervise": "gave_up", "attempts": attempt, "rc": rc}),
+                file=out,
+                flush=True,
+            )
+            return rc
+        print(
+            json.dumps({"supervise": "restarting", "attempt": attempt, "rc": rc}),
+            file=out,
+            flush=True,
+        )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--supervise",
+        action="store_true",
+        help="run the job in a supervised child process; relaunch on crash "
+        "(resumes from the checkpoint manifest) up to --max-restarts times",
+    )
+    p.add_argument("--max-restarts", type=int, default=3)
     p.add_argument(
         "--watch",
         metavar="RUN_DIR",
@@ -95,6 +136,21 @@ def main(argv=None) -> int:
 
     if args.watch:
         return watch(args.watch, poll_s=args.watch_poll, idle_timeout_s=args.watch_idle_timeout)
+    if args.supervise:
+        child_argv = [a for a in (argv if argv is not None else sys.argv[1:])]
+        child_argv = [a for a in child_argv if a != "--supervise"]
+        if "--max-restarts" in child_argv:
+            i = child_argv.index("--max-restarts")
+            del child_argv[i : i + 2]
+        return supervise(child_argv, max_restarts=args.max_restarts)
+
+    crash_marker = os.environ.get("DPR_TEST_CRASH_ONCE")
+    if crash_marker and not os.path.exists(crash_marker):
+        # test-only failover hook: die hard exactly once so the
+        # supervised-restart pytest exercises a REAL crash + relaunch
+        with open(crash_marker, "w") as fh:
+            fh.write("crashed")
+        os._exit(17)
 
     import ray
 

@@ -50,8 +50,15 @@ def test_shingles_deterministic_and_sorted(text):
     assert np.array_equal(a, np.sort(a)) and len(np.unique(a)) == len(a)
     w = word_shingles(text)
     assert np.array_equal(w, word_shingles(text))
-    if not (text or "").split():
+    # tokenization spec is RE2's \s (what the DuckDB oracles split on),
+    # NOT Python str.split (Unicode whitespace): '\x0b' or NBSP is a
+    # token character on both engines — see dedup._re2_word_split
+    from distributed_pagerank_ray.functions.dedup import _re2_word_split
+
+    if not _re2_word_split(text):
         assert len(w) == 0
+    else:
+        assert len(w) >= 1
 
 
 @given(TEXT)

@@ -73,3 +73,77 @@ def test_run_scc(tmp_path):
 
 def test_algorithms_list():
     assert set(ALGORITHMS) == {"pagerank", "cc", "lpa", "triangles", "scc"}
+
+
+def test_supervised_restart_after_crash(tmp_path):
+    """--supervise (round-5): the job-level failover analog of the
+    reference's bully election — a crashed driver is relaunched and the
+    relaunch completes the run (resume via the checkpoint manifest).
+    The child REALLY dies (os._exit via the DPR_TEST_CRASH_ONCE hook);
+    the supervisor's second attempt runs to convergence."""
+    import os
+    import subprocess
+    import sys
+
+    p = tmp_path / "chain.txt"
+    p.write_text(FIXTURE)
+    marker = str(tmp_path / "crashed_once")
+    env = dict(os.environ, DPR_TEST_CRASH_ONCE=marker, RAY_ADDRESS="local")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "distributed_pagerank_ray.run",
+            "--supervise",
+            "--max-restarts",
+            "2",
+            "--algo",
+            "pagerank",
+            "--edgelist-txt",
+            str(p),
+            "--run-dir",
+            str(tmp_path / "run"),
+            "--num-cpus",
+            "2",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.exists(marker)  # first attempt really crashed
+    assert '"supervise": "restarting"' in proc.stderr
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["converged"] and summary["n_vertices"] == 5
+
+
+def test_supervise_gives_up(tmp_path):
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "distributed_pagerank_ray.run",
+            "--supervise",
+            "--max-restarts",
+            "1",
+            "--algo",
+            "pagerank",
+            "--edgelist-txt",
+            str(tmp_path / "missing.txt"),
+            "--run-dir",
+            str(tmp_path / "run"),
+            "--num-cpus",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode != 0
+    assert '"supervise": "gave_up"' in proc.stderr
