@@ -516,6 +516,34 @@ def _t_ngram_dup_pairs(sf_dir):
     )
 
 
+def _t_dup_spans(sf_dir):
+    """Per-doc duplicated-span exposure: the fraction of word-3-gram
+    POSITIONS whose gram occurs in >= 2 distinct documents — the
+    per-doc signal behind exact-substring training-data dedup (Lee et
+    al. 2021). Hash-space engine (64-bit Horner gram hashes) vs a
+    gram-STRING SQL oracle — the t_ngram_dup_pairs guard pattern, so
+    the gate also polices hash collisions."""
+    from distributed_pagerank_ray.functions.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir), k=3, num_shards=8, join_partitions=4)
+
+
+def _t_mixture_sample(sf_dir):
+    """Deterministic target-mixture subsample: 40% of the corpus at
+    integer weights en=30 / fr=50 / zh=20 (de and es excluded —
+    exercises group exclusion; the fr quota exceeds fr's availability
+    at both gate scales — exercises the avail cap). Selection is the
+    quota smallest (double-MINSTD hash, doc_id) rows per lang; pure
+    int quota arithmetic so the SQL twin is exact."""
+    from distributed_pagerank_ray.functions.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        {"en": 30, "fr": 50, "zh": 20},
+        target_frac_pct=40,
+    )
+
+
 def _t_decontam(sf_dir):
     """Train/eval decontamination (GPT-3-style word-n-gram overlap):
     deterministic 80/20 split on the doc-id hash, then every eval doc
@@ -3568,13 +3596,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_moving_avg": _r_events_moving_avg,  # ROWS frame (size-derived buckets, r5)
         "m_png_decode": _m_png_decode,  # REAL PNG inflate+unfilter decode (r5 new)
         "x_edgelist_text": _x_edgelist_text,  # vectorized strict text-edge parse (r5 new)
+        "t_dup_spans": _t_dup_spans,  # duplicated-span exposure per doc, SQL-gated (r5 new)
+        "t_mixture_sample": _t_mixture_sample,  # target-mixture subsample, SQL-gated (r5 new)
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
+        # ---- end of 50-entry driver window ----
+        # (x_incremental_update / x_compact displaced r5 — both carry
+        # driver rows-only green in CORRECTNESS_r03.json)
         "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
         "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
-        # ---- end of 50-entry driver window ----
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots (r4 witnessed 45 of them green)
         # plus the full local exact-hash gate via tools/check_correctness.py
@@ -4383,6 +4415,51 @@ FROM documents
         "t_exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
         ),
+        # positional grams (NOT the DISTINCT _WORD_GRAMS_CTE): docs
+        # with < 3 words emit no grams and are absent from the output,
+        # mirroring the engine's range(1, nw-k+2) exactly
+        "t_dup_spans": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+') AS arr
+  FROM documents WHERE length({_SQL_TRIM.format(col='text')}) > 0
+),
+pos_grams AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM toks, UNNEST(range(1, len(arr) - 2 + 1)) AS t(i)
+  WHERE len(arr) >= 3
+),
+df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM pos_grams GROUP BY g)
+SELECT p.doc_id,
+       count(*) AS total_grams,
+       CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+       round(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM pos_grams p JOIN df d ON d.g = p.g
+GROUP BY p.doc_id
+""",
+        # quota arithmetic is PURE int (// floors like Python); the
+        # double-multiply MINSTD hash per the small-id landmine
+        "t_mixture_sample": """
+WITH h AS (
+  SELECT lang, doc_id,
+         (((doc_id * 48271) % 100000007) * 48271) % 100000007 AS hh
+  FROM documents
+),
+avail AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT count(*) * 40 // 100 AS target FROM documents),
+quota AS (
+  SELECT w.lang, least(a.n, (SELECT target FROM tot) * w.pct // 100) AS q
+  FROM (VALUES ('en', 30), ('fr', 50), ('zh', 20)) AS w(lang, pct)
+  JOIN avail a ON a.lang = w.lang
+),
+ranked AS (
+  SELECT h.lang, h.doc_id,
+         row_number() OVER (PARTITION BY h.lang ORDER BY h.hh, h.doc_id) AS rk
+  FROM h JOIN quota USING (lang)
+)
+SELECT r.lang, r.doc_id
+FROM ranked r JOIN quota q ON q.lang = r.lang
+WHERE r.rk <= q.q
+""",
         "t_ngram_dup_pairs": f"""
 WITH {_WORD_GRAMS_CTE},
 inter AS (

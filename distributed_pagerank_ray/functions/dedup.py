@@ -733,3 +733,151 @@ def simhash_pairs(
             ensure_schema({"a": _I64, "b": _I64, "hamming": _I64}), batch_format="pyarrow"
         )
     )
+
+
+def _gram_pos_rows(texts: "list", doc_ids: np.ndarray, k: int) -> pa.Table:
+    """Per-doc DISTINCT word-k-gram hashes with their position counts,
+    as (gram, doc_id, pos_cnt) rows. Tokens/grams mirror the SQL oracle
+    exactly: RE2-\\s split of the RE2-\\s-trimmed text, grams only for
+    docs with >= k words (no short-doc fallback — the oracle's
+    ``range(1, nw-k+2)`` emits none). One siphash call for the whole
+    batch; Horner combine per doc (no per-gram Python hashing)."""
+    from .textstats import poly_kgram_hashes
+
+    toks = [_re2_word_split(t) for t in texts]
+    lens = [len(w) for w in toks]
+    total = sum(lens)
+    g_out: list[np.ndarray] = []
+    d_out: list[np.ndarray] = []
+    c_out: list[np.ndarray] = []
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in toks:
+            flat[pos : pos + len(w)] = w
+            pos += len(w)
+        h = hash_str_array(flat)
+        pos = 0
+        for i, L in enumerate(lens):
+            if L >= k:
+                u, c = np.unique(poly_kgram_hashes(h[pos : pos + L], k), return_counts=True)
+                g_out.append(u.view(np.int64))
+                d_out.append(np.full(len(u), doc_ids[i], dtype=np.int64))
+                c_out.append(c.astype(np.int64))
+            pos += L
+    if not g_out:
+        return pa.table(
+            {
+                "gram": pa.array([], _I64),
+                "doc_id": pa.array([], _I64),
+                "pos_cnt": pa.array([], _I64),
+            }
+        )
+    return pa.table(
+        {
+            "gram": pa.array(np.concatenate(g_out)),
+            "doc_id": pa.array(np.concatenate(d_out)),
+            "pos_cnt": pa.array(np.concatenate(c_out)),
+        }
+    )
+
+
+def dup_span_stats(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    num_shards: int = 16,
+    join_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Duplicated-span exposure per document: the fraction of a doc's
+    word-k-gram POSITIONS whose gram occurs in >= 2 distinct documents
+    — the per-doc signal behind exact-substring training-data dedup
+    (Lee et al. 2021's "how much of this doc is corpus-duplicated
+    text"; the reference has no text stack, repo-new capability).
+
+    Shape (all BSP / one hash join — never all-pairs, never per-group
+    Python):
+      1. one ``map_batches`` pass emits per-doc DISTINCT gram hashes
+         with position counts — O(tokens) work, O(distinct grams/doc)
+         rows out;
+      2. gram document-frequency = ``count_i64_keys`` over those rows
+         (each doc contributes a gram once, so count == df); grams
+         with df >= 2 form the dup side;
+      3. one Acero inner join tags each (doc, gram) row dup/not;
+      4. two weighted count-BSPs fold position counts per doc
+         (numerator over the joined rows, denominator over all rows);
+      5. a small left join + vectorized divide emits
+         (doc_id, total_grams, dup_grams, dup_frac).
+
+    Docs with fewer than k words have no grams and are absent from the
+    output (mirrored by the oracle). 64-bit Horner gram hashes stand in
+    for gram strings (collision odds ~n²/2^61 — the t_ngram_dup_pairs
+    precedent)."""
+    from ..util import count_i64_keys
+
+    def rows_fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return _gram_pos_rows([], np.zeros(0, dtype=np.int64), k)
+        return _gram_pos_rows(
+            t.column("text").to_pylist(),
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
+        )
+
+    rows = docs.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    df_tbl = count_i64_keys(rows, "gram", num_shards=num_shards, count_col="df")
+    def keep_dup(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "gram" not in t.column_names:
+            return pa.table({"gram": pa.array([], _I64)})
+        return t.filter(pc.greater_equal(t.column("df"), 2)).select(["gram"])
+
+    dup_grams = df_tbl.map_batches(keep_dup, batch_format="pyarrow")
+    tagged = compact_for_join(rows, join_partitions).join(
+        compact_for_join(dup_grams, join_partitions),
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("gram",),
+    )
+    dup_per_doc = count_i64_keys(
+        tagged, "doc_id", num_shards=num_shards, count_col="dup_grams", weight_col="pos_cnt"
+    )
+    tot_per_doc = count_i64_keys(
+        rows, "doc_id", num_shards=num_shards, count_col="total_grams", weight_col="pos_cnt"
+    )
+    joined = compact_for_join(
+        tot_per_doc.map_batches(
+            ensure_schema({"doc_id": _I64, "total_grams": _I64}), batch_format="pyarrow"
+        ),
+        join_partitions,
+    ).join(
+        compact_for_join(
+            dup_per_doc.map_batches(
+                ensure_schema({"doc_id": _I64, "dup_grams": _I64}), batch_format="pyarrow"
+            ),
+            join_partitions,
+        ),
+        join_type="left_outer",
+        num_partitions=join_partitions,
+        on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": _I64, "total_grams": _I64, "dup_grams": _I64}
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {c: pa.array([], dt) for c, dt in cols.items()}
+                | {"dup_frac": pa.array([], pa.float64())}
+            )
+        tot = t.column("total_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = t.column("dup_grams").to_numpy(zero_copy_only=False)
+        dup = np.nan_to_num(dup.astype(np.float64), nan=0.0).astype(np.int64)
+        frac = np.round(dup * 1.0 / tot, 6)  # structure mirrors the SQL
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(_I64),
+                "total_grams": pa.array(tot),
+                "dup_grams": pa.array(dup),
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

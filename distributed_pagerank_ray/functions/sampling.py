@@ -174,3 +174,105 @@ def pack_sequences(
         )
 
     return sorted_ds.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def _hash2_ids(ids: np.ndarray) -> np.ndarray:
+    """Double-multiply MINSTD: ``((id*48271) % M * 48271) % M``. The
+    single multiply never wraps for ids < 2072 (ordering == id order,
+    a non-sample over small-id tables like sf0.01 documents); the
+    second round mixes any id range. Intermediate < 1e8 * 48271 —
+    always int64-exact."""
+    return (_hash_ids(ids) * _MULT) % _MOD
+
+
+def mixture_sample(
+    docs: "ray.data.Dataset",
+    weights_pct: dict[str, int],
+    target_frac_pct: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Target-mixture subsampling: pick a deterministic subset whose
+    per-group composition follows integer percent weights — the
+    "assemble a training mixture from a multi-language corpus" step.
+    ``quota_g = min(avail_g, total*target_frac_pct//100 * w_g//100)``
+    (PURE int arithmetic, SQL-exact); groups missing from
+    ``weights_pct`` are excluded. Within a group the sample is the
+    quota smallest (double-MINSTD hash, id) rows.
+
+    Scale shape: one tiny per-group count pass (O(groups × blocks)
+    driver rows), then the partial-prune per-group selection — each
+    batch locally keeps at most quota_g candidates per group, so the
+    one shuffle moves O(Σ quotas × blocks) rows, never the corpus."""
+    counted = docs.map_batches(
+        lambda t: (
+            pa.table({group_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+            if len(t) == 0 or group_col not in t.column_names
+            else pa.table(
+                {
+                    group_col: pa.array(
+                        pd.Series(t.column(group_col).to_numpy(zero_copy_only=False))
+                        .value_counts()
+                        .index.to_numpy(dtype=object)
+                    ),
+                    "n": pa.array(
+                        pd.Series(t.column(group_col).to_numpy(zero_copy_only=False))
+                        .value_counts()
+                        .to_numpy(dtype=np.int64)
+                    ),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    avail = counted.groupby(group_col)["n"].sum().to_dict()
+    total = int(sum(avail.values()))
+    target = total * target_frac_pct // 100
+    quotas = {
+        g: min(int(avail.get(g, 0)), target * w // 100) for g, w in weights_pct.items()
+    }
+    max_q = max(quotas.values(), default=0)
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or id_col not in t.column_names:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "_h": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                group_col: t.column(group_col).to_numpy(zero_copy_only=False),
+                id_col: t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        df["_h"] = _hash2_ids(df[id_col].to_numpy())
+        df = df.sort_values(["_h", id_col], kind="stable")
+        q = df[group_col].map(quotas).fillna(0).astype(np.int64).to_numpy()
+        r = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        pruned = df[r < np.minimum(q, max_q)]
+        return pa.table(
+            {
+                group_col: pa.array(pruned[group_col].to_numpy(dtype=object), pa.string()),
+                id_col: pa.array(pruned[id_col].to_numpy(dtype=np.int64)),
+                "_h": pa.array(pruned["_h"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g[[group_col, id_col]]
+        n = quotas.get(g[group_col].iloc[0], 0)
+        return g.sort_values(["_h", id_col], kind="stable").head(n)[[group_col, id_col]]
+
+    return (
+        docs.map_batches(local, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+        .map_batches(
+            ensure_schema({group_col: pa.string(), id_col: pa.int64()}),
+            batch_format="pyarrow",
+        )
+    )

@@ -1,0 +1,110 @@
+"""Round-5 operators: duplicated-span exposure + target-mixture
+sampling, both vs brute-force Python oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from distributed_pagerank_ray.functions.dedup import _re2_word_split, dup_span_stats
+from distributed_pagerank_ray.functions.sampling import mixture_sample
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOCS = [
+    {"doc_id": 0, "text": BASE},
+    {"doc_id": 1, "text": BASE},  # exact dup: every gram shared
+    {"doc_id": 2, "text": "alpha beta gamma UNIQUE words here only"},  # 1 shared gram
+    {"doc_id": 3, "text": "nothing in common with anything else at all"},
+    {"doc_id": 4, "text": "two words"},  # < k words: absent from output
+    {"doc_id": 5, "text": ""},  # empty: absent
+    {"doc_id": 6, "text": "  \t alpha beta gamma \n "},  # trim + exactly k words
+    {"doc_id": 7, "text": "alpha alpha alpha alpha"},  # repeated gram positions
+    {"doc_id": 8, "text": "alpha alpha alpha"},  # shares the repeated gram
+]
+
+
+def _brute_dup_spans(docs, k=3):
+    grams = {}  # doc_id -> list of positional gram tuples
+    for d in docs:
+        w = _re2_word_split(d["text"])
+        if len(w) >= k:
+            grams[d["doc_id"]] = [tuple(w[i : i + k]) for i in range(len(w) - k + 1)]
+    df = {}
+    for did, gs in grams.items():
+        for g in set(gs):
+            df[g] = df.get(g, 0) + 1
+    out = {}
+    for did, gs in grams.items():
+        dup = sum(1 for g in gs if df[g] >= 2)
+        out[did] = (len(gs), dup, round(dup / len(gs), 6))
+    return out
+
+
+def test_dup_span_stats_matches_brute_force():
+    got = (
+        dup_span_stats(ray.data.from_items(DOCS), k=3, num_shards=2, join_partitions=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _brute_dup_spans(DOCS)
+    assert set(got.index) == set(want)  # 4 and 5 absent
+    for did, (tot, dup, frac) in want.items():
+        row = got.loc[did]
+        assert (row["total_grams"], row["dup_grams"]) == (tot, dup), did
+        assert row["dup_frac"] == pytest.approx(frac, abs=1e-9)
+    # planted invariants: exact dups are fully covered, singleton isn't
+    assert got.loc[0, "dup_frac"] == 1.0 and got.loc[1, "dup_frac"] == 1.0
+    assert got.loc[3, "dup_frac"] == 0.0
+    assert got.loc[2, "dup_grams"] == 1  # exactly the "alpha beta gamma" position
+    assert got.loc[7, "total_grams"] == 2 and got.loc[7, "dup_grams"] == 2
+
+
+def _mix_ds(n=1000, blocks=7):
+    langs = np.array(["en", "fr", "zh", "de", "es"])[
+        np.arange(n) * 7 % 5
+    ]  # deterministic, skewed off the id order
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "lang": pa.array(langs)}
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _brute_mixture(n, weights, target_pct):
+    langs = np.array(["en", "fr", "zh", "de", "es"])[np.arange(n) * 7 % 5]
+    ids = np.arange(n, dtype=np.int64)
+    h = ((ids * 48271) % 100_000_007 * 48271) % 100_000_007
+    target = n * target_pct // 100
+    out = []
+    for g, w in weights.items():
+        m = langs == g
+        q = min(int(m.sum()), target * w // 100)
+        order = np.lexsort((ids[m], h[m]))
+        out.extend((g, i) for i in ids[m][order][:q])
+    return set(out)
+
+
+def test_mixture_sample_matches_brute_force():
+    weights = {"en": 50, "fr": 30, "zh": 20}
+    got = mixture_sample(_mix_ds(), weights, target_frac_pct=40).to_pandas()
+    want = _brute_mixture(1000, weights, 40)
+    assert set(zip(got["lang"], got["doc_id"])) == want
+    # de/es excluded entirely
+    assert set(got["lang"]) <= set(weights)
+    # quota arithmetic: target 400 -> en 200, fr 120, zh 80 (all < avail 200)
+    counts = got.groupby("lang").size().to_dict()
+    assert counts == {"en": 200, "fr": 120, "zh": 80}
+
+
+def test_mixture_sample_availability_cap_and_block_invariance():
+    # fr weight so high its quota exceeds availability -> capped at avail
+    weights = {"fr": 90, "en": 10}
+    a = mixture_sample(_mix_ds(blocks=3), weights, target_frac_pct=80).to_pandas()
+    b = mixture_sample(_mix_ds(blocks=17), weights, target_frac_pct=80).to_pandas()
+    key = lambda df: sorted(zip(df["lang"], df["doc_id"]))
+    assert key(a) == key(b)  # block-split invariant
+    counts = a.groupby("lang").size().to_dict()
+    # target 800 -> fr quota min(200, 720)=200 (capped), en min(200, 80)=80
+    assert counts == {"fr": 200, "en": 80}
+    assert key(a) == sorted(_brute_mixture(1000, weights, 80))
