@@ -3602,10 +3602,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
-        # ---- end of 50-entry driver window ----
-        # (x_incremental_update / x_compact displaced r5 — both carry
-        # driver rows-only green in CORRECTNESS_r03.json)
         "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
+        # ---- end of 50-entry driver window ----
+        # (x_compact displaced r5 by the two new SQL-gated ops — it
+        # carries a driver rows-only green row in CORRECTNESS_r03.json)
         "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots (r4 witnessed 45 of them green)

@@ -198,6 +198,8 @@ def run_bench() -> dict:
         # round-5 families
         "m_png_decode",
         "x_edgelist_text",
+        "t_dup_spans",
+        "t_mixture_sample",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
