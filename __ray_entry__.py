@@ -544,6 +544,42 @@ def _t_mixture_sample(sf_dir):
     )
 
 
+def _t_budget_trim(sf_dir):
+    """Token-budget corpus selection: keep the highest-quality docs
+    that WHOLLY fit a 20000-token global budget — the "pick the best
+    N-token subset" step of training-data assembly. Quality prio =
+    1000*n_long//n_tokens (integer per-mille of tokens >= 4 chars —
+    the short-token quality ratio), ties by doc_id; selection = a
+    prefix-sum cut over (prio DESC, doc_id) via the distributed
+    prefix scan (pack_sequences' two-pass shape). Planted ws pads
+    witness trim parity; pure int arithmetic keeps the SQL twin
+    exact (window SUM cast per the HUGEINT rule)."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.sampling import budget_trim
+    from distributed_pagerank_ray.functions.textstats import (
+        long_token_count_batch,
+        token_count_batch,
+    )
+
+    def prep(t):
+        t = _plant_ws_pad(t.select(["doc_id", "text"]))
+        t = long_token_count_batch(token_count_batch(t))
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = t.column("n_long").to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = np.where(n > 0, (1000 * nl) // np.maximum(n, 1), 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n),
+                "prio": pa.array(prio),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return budget_trim(docs, budget=20000)
+
+
 def _t_decontam(sf_dir):
     """Train/eval decontamination (GPT-3-style word-n-gram overlap):
     deterministic 80/20 split on the doc-id hash, then every eval doc
@@ -2871,6 +2907,56 @@ def _g_scc_doc(sf_dir):
     )
 
 
+def _g_betweenness_doc(sf_dir):
+    """Betweenness centrality (Brandes through the per-shard BSP
+    matrix exchanges, pipelines/centrality.py) on a PLANTED graph:
+    consecutive groups of 8 doc ids each form a diamond (TWO shortest
+    0→3 paths — path-count splitting is exercised, not just tree BFS)
+    plus a 4-hop tail; groups are disjoint, so per-position
+    betweenness has a closed form — hard-coded in the SQL oracle
+    ([1, 5, 5, 25, 24, 20, 12, 0] over ordered pairs) and
+    independently asserted vs brute-force Brandes in
+    tests/test_betweenness.py. Vertex set capped at 2048 (full groups
+    only) so the EXACT all-landmarks run stays gate-cheap at both
+    scales."""
+    import tempfile
+
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.centrality import betweenness_centrality
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        # per-group edges keyed by the LOWER endpoint's position:
+        # diamond (0,1),(0,2),(1,3),(2,3) + tail (3,4),(4,5),(5,6),(6,7)
+        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
+            sel = i[p == pos]
+            for o in offs:
+                srcs.append(sel)
+                dsts.append(sel + o)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    g = build_graph(
+        docs.map_batches(make, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix="dpr_bc_gate_"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
+    )
+    return betweenness_centrality(g, batch_k=512, directed=False)
+
+
 def _g_distsummary_org(sf_dir):
     """Exact diameter + mean shortest-path length of the (symmetrized)
     org graph via the all-landmarks matrix-BFS (the harmonic engine's
@@ -3598,14 +3684,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_edgelist_text": _x_edgelist_text,  # vectorized strict text-edge parse (r5 new)
         "t_dup_spans": _t_dup_spans,  # duplicated-span exposure per doc, SQL-gated (r5 new)
         "t_mixture_sample": _t_mixture_sample,  # target-mixture subsample, SQL-gated (r5 new)
+        "t_budget_trim": _t_budget_trim,  # token-budget corpus selection, SQL-gated (r5 new)
+        "g_betweenness_doc": _g_betweenness_doc,  # Brandes betweenness, planted closed-form oracle (r5 new)
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
+        # ---- end of 50-entry driver window ----
+        # (x_compact / x_incremental_update / x_line_dedup displaced r5
+        # by the four new SQL-gated ops — all three carry driver
+        # rows-only green rows in CORRECTNESS_r03/r04.json)
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
         "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
-        # ---- end of 50-entry driver window ----
-        # (x_compact displaced r5 by the two new SQL-gated ops — it
-        # carries a driver rows-only green row in CORRECTNESS_r03.json)
         "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
         # families below all carry driver green rows in committed
         # CORRECTNESS_r0x.json snapshots (r4 witnessed 45 of them green)
@@ -4459,6 +4548,47 @@ ranked AS (
 SELECT r.lang, r.doc_id
 FROM ranked r JOIN quota q ON q.lang = r.lang
 WHERE r.rk <= q.q
+""",
+        # closed-form per-position betweenness of the planted
+        # diamond+tail 8-groups (see _g_betweenness_doc; constants
+        # independently asserted vs brute-force Brandes in
+        # tests/test_betweenness.py)
+        "g_betweenness_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents)
+SELECT doc_id AS id,
+       CAST(CASE CAST(doc_id % 8 AS INTEGER)
+         WHEN 0 THEN 1.0 WHEN 1 THEN 5.0 WHEN 2 THEN 5.0
+         WHEN 3 THEN 25.0 WHEN 4 THEN 24.0 WHEN 5 THEN 20.0
+         WHEN 6 THEN 12.0 ELSE 0.0 END AS DOUBLE) AS betweenness
+FROM documents, nn WHERE doc_id < nf
+""",
+        # tokenizer matches t_token_counts (planted pad + RE2-\s trim);
+        # prio and the prefix cut are pure int; window SUM cast BIGINT
+        # per the HUGEINT rule
+        "t_budget_trim": f"""
+WITH {_SQL_PAD_CTE},
+t AS (
+  SELECT doc_id,
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+')) END AS n_tokens,
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+'),
+                                   x -> length(x) >= 4)) END AS n_long
+  FROM padded
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * n_long) // n_tokens END AS prio
+  FROM t
+),
+c AS (
+  SELECT doc_id, prio, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY prio DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM p
+)
+SELECT doc_id, prio, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 20000
 """,
         "t_ngram_dup_pairs": f"""
 WITH {_WORD_GRAMS_CTE},

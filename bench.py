@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "x_edgelist_text",
         "t_dup_spans",
         "t_mixture_sample",
+        "t_budget_trim",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

@@ -276,3 +276,84 @@ def mixture_sample(
             batch_format="pyarrow",
         )
     )
+
+
+def budget_trim(
+    ds: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    prio_col: str = "prio",
+) -> "ray.data.Dataset":
+    """Token-budget corpus selection: keep the highest-priority
+    documents whose token payload WHOLLY fits a global token budget —
+    the "pick the best N-token subset of a web corpus" step of
+    training-data assembly. Documents are laid head-to-tail in
+    (``prio_col`` DESC, ``id_col`` ASC) order and a document is kept
+    iff its cumulative end ``prefix_sum(n_tokens) <= budget`` (pure
+    int arithmetic, SQL-exact: a window SUM over the same ordering).
+
+    Same engine primitive as :func:`pack_sequences`: a DISTRIBUTED
+    PREFIX SCAN — sort, (pass 1) one (first_prio, first_id, block_sum)
+    row per block to the driver, prefix offsets computed there,
+    (pass 2) per-block vectorized cumsum + offset + filter. O(blocks)
+    driver state, never O(rows); blocks wholly past the budget emit
+    zero rows without scanning their payloads.
+    """
+    sorted_ds = ds.sort([prio_col, id_col], descending=[True, False]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "fp": pa.array([], pa.int64()),
+                    "fi": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "fp": t.column(prio_col).slice(0, 1).cast(pa.int64()),
+                "fi": t.column(id_col).slice(0, 1).cast(pa.int64()),
+                "s": pa.array(
+                    [int(t.column(tokens_col).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    meta = sorted_ds.map_batches(block_meta, batch_size=None, batch_format="pyarrow").take_all()
+    meta.sort(key=lambda m: (-m["fp"], m["fi"]))
+    offsets: dict = {}
+    acc = 0
+    for m in meta:
+        offsets[(m["fp"], m["fi"])] = acc
+        acc += m["s"]
+
+    def select(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                prio_col: pa.array([], pa.int64()),
+                tokens_col: pa.array([], pa.int64()),
+                "cum_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        key = (int(t.column(prio_col)[0].as_py()), int(t.column(id_col)[0].as_py()))
+        n = t.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_end = offsets[key] + np.cumsum(n)
+        keep = cum_end <= budget
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                prio_col: t.column(prio_col).filter(pa.array(keep)).cast(pa.int64()),
+                tokens_col: pa.array(n[keep]),
+                "cum_tokens": pa.array(cum_end[keep]),
+            }
+        )
+
+    return sorted_ds.map_batches(select, batch_size=None, batch_format="pyarrow")

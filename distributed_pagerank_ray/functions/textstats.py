@@ -58,6 +58,30 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(n))
 
 
+def long_token_count_batch(batch: pa.Table, text_col: str = "text", min_len: int = 4) -> pa.Table:
+    """n_long = number of tokens (RE2-\\s runs, same split as
+    ``token_count_batch``) of length >= ``min_len`` characters — the
+    integer numerator of the short-token quality ratio. Fully
+    vectorized: one regex split, one utf8_length, one reduceat-style
+    per-list sum over the ListArray offsets; no Python loop. Blank /
+    null docs count 0 (their single empty split token is < min_len).
+    SQL twin: ``len(list_filter(regexp_split_to_array(trimmed,
+    '\\s+'), x -> length(x) >= min_len))`` — both engines count
+    characters, not bytes."""
+    trimmed = pc.utf8_trim(pc.fill_null(batch.column(text_col), ""), characters=RE2_WS)
+    splits = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    la = splits.combine_chunks() if isinstance(splits, pa.ChunkedArray) else splits
+    ok = (
+        pc.greater_equal(pc.utf8_length(la.values), min_len)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    offs = np.asarray(la.offsets)
+    csum = np.concatenate([[0], np.cumsum(ok)])
+    n_long = (csum[offs[1:]] - csum[offs[:-1]]).astype(np.int64)
+    return batch.append_column("n_long", pa.array(n_long))
+
+
 def bpe_ish_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Regex token count: words + punctuation marks counted separately
     (an approximation of BPE-style pre-tokenization)."""

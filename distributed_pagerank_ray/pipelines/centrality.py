@@ -316,3 +316,356 @@ def distance_summary(
             }
         ]
     )
+
+
+# ------------------------------------------------------- betweenness (Brandes)
+#
+# bc(v) = Σ_{s≠v≠t} σ_st(v) / σ_st over ORDERED (s, t) pairs (the
+# directed-sum convention; on a symmetrized graph every unordered pair
+# contributes twice). Exact with landmarks=None; a landmark sample is
+# the standard Brandes source-sampling estimator scaled by n/K
+# (Brandes 2001; Bader et al. 2007 sampling).
+#
+# Engine shape: the same per-shard BSP matrix exchanges as the
+# landmark BFS above, three phases per landmark batch —
+#  1. FUSED forward sweep: one (dist, sigma) payload per exchange.
+#     Synchronous unit-weight relaxation reaches level-t vertices in
+#     round t with ALL their shortest-path counts in that same round
+#     (in-neighbors at t-1 are final by induction), so the reduce
+#     accepts sigma only on a STRICT distance improvement — later
+#     rounds re-deliver equal-distance duplicates, which are rejected.
+#     O(diameter) exchanges, no separate sigma pass.
+#  2. Backward dependency sweep, one level per exchange from the
+#     deepest level down: along reversed edges w→v, partial sums of
+#     (1+δ_w)/σ_w masked to d_w == lev are routed to v's shard, where
+#     δ_v += σ_v · P only on rows with d_v == lev-1 (non-tree edges
+#     contribute nothing). O(diameter) exchanges.
+#  3. bc_v += Σ_k δ[v, k] with each landmark's own row zeroed
+#     (v ≠ s, t by definition). Additive per batch — the resumable
+#     unit is the landmark batch, as in harmonic_centrality.
+
+
+@ray.remote
+def _bc_init_shard(s: int, n: int, shard_rows: int, landmarks: np.ndarray):
+    lo = s * shard_rows
+    size = min(shard_rows, n - lo)
+    d = np.full((size, len(landmarks)), np.inf)
+    sg = np.zeros((size, len(landmarks)))
+    here = (landmarks >= lo) & (landmarks < lo + size)
+    d[landmarks[here] - lo, np.nonzero(here)[0]] = 0.0
+    sg[landmarks[here] - lo, np.nonzero(here)[0]] = 1.0
+    return d, sg
+
+
+def _bc_payload(payload: bytes):
+    K = int(np.frombuffer(payload[:8], dtype=np.int64)[0])
+    body = payload[8:]
+    k = len(body) // (8 + 16 * K)
+    idx = np.frombuffer(body[: k * 8], dtype=np.int64)
+    mats = np.frombuffer(body[k * 8 :], dtype=np.float64)
+    return K, idx, mats[: k * K].reshape(k, K), mats[k * K :].reshape(k, K)
+
+
+def _bc_merge(K, idx, dmat, smat):
+    """(min dist, Σ sigma over min-achievers) per (vertex, landmark)."""
+    uniq, inv = np.unique(idx, return_inverse=True)
+    dmin = np.full((len(uniq), K), np.inf)
+    np.minimum.at(dmin, inv, dmat)
+    contrib = np.where(dmat == dmin[inv], smat, 0.0)
+    ssum = np.zeros((len(uniq), K))
+    np.add.at(ssum, inv, contrib)
+    return uniq, dmin, ssum
+
+
+def _bc_pack(K, idx, dmat, smat) -> bytes:
+    return (
+        np.array([K], dtype=np.int64).tobytes()
+        + idx.astype(np.int64).tobytes()
+        + dmat.tobytes()
+        + smat.tobytes()
+    )
+
+
+@ray.remote
+def _bc_gather(block, state_refs: list, n: int, shard_rows: int, S: int, K: int):
+    """Per-block (d[src]+1, sigma[src]) candidates, min/sum-merged per
+    dst and routed per shard."""
+    src = block.column("src").to_numpy(zero_copy_only=False)
+    dst = block.column("dst").to_numpy(zero_copy_only=False)
+    out: list = [None] * S
+    if len(src) == 0:
+        return tuple(out) if S > 1 else None
+    lo, hi = int(src.min()), int(src.max())
+    s0, s1 = lo // shard_rows, hi // shard_rows
+    parts = ray.get(state_refs[s0 : s1 + 1])
+    D = np.concatenate([p[0] for p in parts]) if s1 > s0 else parts[0][0]
+    SG = np.concatenate([p[1] for p in parts]) if s1 > s0 else parts[0][1]
+    rel = src - s0 * shard_rows
+    # only finite-distance sources can relax anything this round
+    cand_d = D[rel] + 1.0
+    cand_s = SG[rel]
+    uniq, dmin, ssum = _bc_merge(K, dst, cand_d, cand_s)
+    shard_of = uniq // shard_rows
+    for s in np.unique(shard_of):
+        a, b = np.searchsorted(shard_of, [s, s + 1])
+        out[int(s)] = _bc_pack(
+            K, uniq[a:b] - s * shard_rows, dmin[a:b], ssum[a:b]
+        )
+    return tuple(out) if S > 1 else out[0]
+
+
+@ray.remote
+def _bc_combine(*payloads):
+    K, idxs, ds, ss = None, [], [], []
+    for p in payloads:
+        if p is None:
+            continue
+        K, i, d, s = _bc_payload(p)
+        idxs.append(i)
+        ds.append(d)
+        ss.append(s)
+    if not idxs:
+        return None
+    uniq, dmin, ssum = _bc_merge(
+        K, np.concatenate(idxs), np.concatenate(ds), np.concatenate(ss)
+    )
+    return _bc_pack(K, uniq, dmin, ssum)
+
+
+@ray.remote(num_returns=2)
+def _bc_reduce(state, *payloads):
+    """Strict-improvement acceptance: a (vertex, landmark) cell takes
+    the merged candidate ONLY when its distance is strictly better —
+    equal-distance re-deliveries from later rounds are duplicates of
+    sigma already counted and are rejected (see phase-1 note above)."""
+    acc_d, acc_s = state[0].copy(), state[1].copy()
+    K, idxs, ds, ss = None, [], [], []
+    for p in payloads:
+        if p is None:
+            continue
+        K, i, d, s = _bc_payload(p)
+        idxs.append(i)
+        ds.append(d)
+        ss.append(s)
+    if not idxs:
+        return 0, (acc_d, acc_s)
+    uniq, dmin, ssum = _bc_merge(
+        K, np.concatenate(idxs), np.concatenate(ds), np.concatenate(ss)
+    )
+    D = acc_d[uniq]
+    SG = acc_s[uniq]
+    take = dmin < D
+    D[take] = dmin[take]
+    SG[take] = ssum[take]
+    acc_d[uniq] = D
+    acc_s[uniq] = SG
+    return int(take.sum()), (acc_d, acc_s)
+
+
+@ray.remote
+def _bc_back_gather(
+    block, state_refs: list, dep_refs: list, lev: int, n: int, shard_rows: int, S: int, K: int
+):
+    """One backward level over REVERSED edge blocks (src column = w,
+    dst column = v): Σ (1+δ_w)/σ_w masked to d_w == lev, per-dst
+    summed and routed to v's shard."""
+    w = block.column("src").to_numpy(zero_copy_only=False)
+    v = block.column("dst").to_numpy(zero_copy_only=False)
+    out: list = [None] * S
+    if len(w) == 0:
+        return tuple(out) if S > 1 else None
+    lo, hi = int(w.min()), int(w.max())
+    s0, s1 = lo // shard_rows, hi // shard_rows
+    parts = ray.get(state_refs[s0 : s1 + 1])
+    D = np.concatenate([p[0] for p in parts]) if s1 > s0 else parts[0][0]
+    SG = np.concatenate([p[1] for p in parts]) if s1 > s0 else parts[0][1]
+    deps = ray.get(dep_refs[s0 : s1 + 1])
+    DL = np.concatenate(deps) if s1 > s0 else deps[0]
+    rel = w - s0 * shard_rows
+    mask = D[rel] == float(lev)  # (e, K) — only level-`lev` w rows emit
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.where(mask & (SG[rel] > 0), (1.0 + DL[rel]) / SG[rel], 0.0)
+    uniq, inv = np.unique(v, return_inverse=True)
+    sums = np.zeros((len(uniq), K))
+    np.add.at(sums, inv, c)
+    shard_of = uniq // shard_rows
+    header = np.array([K], dtype=np.int64).tobytes()
+    for s in np.unique(shard_of):
+        a, b = np.searchsorted(shard_of, [s, s + 1])
+        out[int(s)] = (
+            header
+            + (uniq[a:b] - s * shard_rows).astype(np.int64).tobytes()
+            + sums[a:b].tobytes()
+        )
+    return tuple(out) if S > 1 else out[0]
+
+
+@ray.remote
+def _bc_sum_combine(*payloads):
+    """Tree-combine node for the BACKWARD sweep: payloads are partial
+    SUMS, so the merge is addition (associative — tree == flat), not
+    the min-merge of the distance sweeps."""
+    K, idxs, mats = None, [], []
+    for p in payloads:
+        if p is None:
+            continue
+        K, i, m = _lm_payload(p)
+        idxs.append(i)
+        mats.append(m)
+    if not idxs:
+        return None
+    idx = np.concatenate(idxs)
+    mat = np.concatenate(mats)
+    uniq, inv = np.unique(idx, return_inverse=True)
+    sums = np.zeros((len(uniq), K))
+    np.add.at(sums, inv, mat)
+    return np.array([K], dtype=np.int64).tobytes() + uniq.tobytes() + sums.tobytes()
+
+
+@ray.remote
+def _bc_back_reduce(state, dep, lev: int, *payloads):
+    """δ_v += σ_v · P on rows with d_v == lev-1 (others discard — a
+    routed sum along a non-tree edge must not contribute)."""
+    acc = dep.copy()
+    D, SG = state
+    for p in payloads:
+        if p is None:
+            continue
+        K, idx, mat = _lm_payload(p)
+        upd = np.where(D[idx] == float(lev - 1), SG[idx] * mat, 0.0)
+        acc[idx] += upd
+    return acc
+
+
+@ray.remote
+def _bc_fold(acc_prev, dep: np.ndarray, s: int, shard_rows: int, landmarks: np.ndarray):
+    """bc_v += Σ_k δ[v, k], zeroing each landmark's own row first."""
+    d = dep.copy()
+    lo = s * shard_rows
+    here = (landmarks >= lo) & (landmarks < lo + len(d))
+    d[landmarks[here] - lo, np.nonzero(here)[0]] = 0.0
+    out = d.sum(axis=1)
+    return out if acc_prev is None else acc_prev + out
+
+
+def betweenness_centrality(
+    graph: GraphTables,
+    landmarks: "np.ndarray | list[int] | None" = None,
+    batch_k: int = 64,
+    max_iters: int = 100,
+    directed: bool = False,
+    combine_fanin: int = 0,
+) -> "ray.data.Dataset":
+    """(id, betweenness) for every vertex — Brandes over ordered
+    (source, target) pairs. ``landmarks=None`` uses ALL vertices
+    (exact — small graphs / oracle gates); otherwise the
+    source-sampled estimate scaled by n/K. Cost per landmark batch:
+    O(diameter) forward exchanges (fused dist+sigma) + O(diameter)
+    backward exchanges, each a full edge sweep through the per-shard
+    BSP combine — the same scale contract as harmonic_centrality."""
+    n, shard_rows = graph.n, graph.shard_rows
+    if landmarks is None:
+        landmarks = np.arange(n, dtype=np.int64)
+    else:
+        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
+        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
+            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
+    scale = n / len(landmarks)
+
+    if directed:
+        edge_src = graph.edges()
+    else:
+        edge_src = ray.data.read_parquet(
+            symmetrize_edges(graph), columns=["src", "dst"]
+        )
+    S = n_shards(n, shard_rows)
+    edges_mat = edge_src.materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
+    blocks_ds = edges_mat.repartition(target_blocks).materialize()
+    blocks = blocks_ds.to_arrow_refs()
+    # reversed blocks for the backward sweep (src column = w)
+    rblocks = (
+        blocks_ds.map_batches(
+            lambda t: pa.table({"src": t.column("dst"), "dst": t.column("src")})
+            if len(t)
+            else pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+        .to_arrow_refs()
+    )
+
+    from ..util import tree_combine_refs
+
+    bc_refs: list = [None] * S
+    for b0 in range(0, len(landmarks), batch_k):
+        lms = landmarks[b0 : b0 + batch_k]
+        K = len(lms)
+        state_refs = [_bc_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
+        # ---- fused forward sweep: dist + sigma in one exchange stream
+        rounds = 0
+        for _ in range(max_iters):
+            gathers = [
+                _bc_gather.options(num_returns=S).remote(
+                    b, state_refs, n, shard_rows, S, K
+                )
+                for b in blocks
+            ]
+            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+            if combine_fanin > 0:
+                cols = [
+                    tree_combine_refs(cols[s], _bc_combine, combine_fanin)
+                    for s in range(S)
+                ]
+            outs = [_bc_reduce.remote(state_refs[s], *cols[s]) for s in range(S)]
+            changed = int(sum(ray.get([o[0] for o in outs])))
+            state_refs = [o[1] for o in outs]
+            rounds += 1
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"betweenness forward sweep did not converge in {max_iters} rounds"
+            )
+        # ---- backward dependency sweep, deepest level first
+        max_lev = rounds - 1  # last round changed nothing → levels < rounds
+        dep_refs = [
+            ray.put(np.zeros_like(ray.get(state_refs[s])[0])) for s in range(S)
+        ]
+        for lev in range(max_lev, 0, -1):
+            gathers = [
+                _bc_back_gather.options(num_returns=S).remote(
+                    b, state_refs, dep_refs, lev, n, shard_rows, S, K
+                )
+                for b in rblocks
+            ]
+            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+            if combine_fanin > 0:
+                cols = [
+                    tree_combine_refs(cols[s], _bc_sum_combine, combine_fanin)
+                    for s in range(S)
+                ]
+            dep_refs = [
+                _bc_back_reduce.remote(state_refs[s], dep_refs[s], lev, *cols[s])
+                for s in range(S)
+            ]
+        bc_refs = [
+            _bc_fold.remote(bc_refs[s], dep_refs[s], s, shard_rows, lms)
+            for s in range(S)
+        ]
+
+    @ray.remote
+    def to_table(s: int, bc):
+        lo = s * shard_rows
+        vals = np.zeros(min(shard_rows, n - lo)) if bc is None else bc
+        return pa.table(
+            {
+                "id": pa.array(np.arange(lo, lo + len(vals), dtype=np.int64)),
+                "betweenness": pa.array(np.round(vals * scale, 6)),
+            }
+        )
+
+    return ray.data.from_arrow_refs([to_table.remote(s, bc_refs[s]) for s in range(S)])

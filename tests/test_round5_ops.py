@@ -108,3 +108,93 @@ def test_mixture_sample_availability_cap_and_block_invariance():
     # target 800 -> fr quota min(200, 720)=200 (capped), en min(200, 80)=80
     assert counts == {"fr": 200, "en": 80}
     assert key(a) == sorted(_brute_mixture(1000, weights, 80))
+
+# ---------------------------------------------------------------- budget trim
+
+
+def _trim_ds(n=400, blocks=9, seed=7):
+    # deterministic docs with varied token counts and long-token ratios
+    rng = np.random.default_rng(seed)
+    words = np.array(["a", "of", "the", "word", "alpha", "gamma", "betaflow", "x1"])
+    texts = [
+        " ".join(words[rng.integers(0, len(words), rng.integers(1, 40))])
+        for _ in range(n)
+    ]
+    texts[0] = ""  # blank doc: n_tokens 0, prio 0
+    texts[1] = "\t tiny doc padded \n"
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": pa.array(texts)}
+    )
+    return t, ray.data.from_arrow(t).repartition(blocks)
+
+
+def _brute_budget_trim(t, budget, min_len=4):
+    rows = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = _re2_word_split(text)
+        n = len(w)
+        nl = sum(1 for x in w if len(x) >= min_len)
+        prio = (1000 * nl) // n if n else 0
+        rows.append((did, prio, n))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out, cum = [], 0
+    for did, prio, n in rows:
+        cum += n
+        if cum <= budget:
+            out.append((did, prio, n, cum))
+    return out
+
+
+def test_budget_trim_matches_brute_force_and_block_invariant():
+    from distributed_pagerank_ray.functions.sampling import budget_trim
+    from distributed_pagerank_ray.functions.textstats import (
+        long_token_count_batch,
+        token_count_batch,
+    )
+
+    t, ds = _trim_ds()
+
+    def prep(b):
+        b = long_token_count_batch(token_count_batch(b))
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = b.column("n_long").to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = np.where(n > 0, (1000 * nl) // np.maximum(n, 1), 0).astype(np.int64)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "n_tokens": pa.array(n), "prio": pa.array(prio)}
+        )
+
+    budget = 2500
+    got = (
+        budget_trim(ds.map_batches(prep, batch_format="pyarrow"), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = _brute_budget_trim(t, budget)
+    assert sorted(zip(got["doc_id"], got["prio"], got["n_tokens"], got["cum_tokens"])) == sorted(
+        want
+    )
+    # strict subset that nearly fills the budget (cut actually bites)
+    assert 0 < len(got) < 400
+    assert got["cum_tokens"].max() <= budget
+    # block-split invariance
+    _, ds17 = _trim_ds(blocks=17)
+    got17 = (
+        budget_trim(ds17.map_batches(prep, batch_format="pyarrow"), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got17.values.tolist() == got.values.tolist()
+
+
+def test_long_token_count_vectorized_matches_python():
+    from distributed_pagerank_ray.functions.textstats import long_token_count_batch
+
+    texts = ["", "a bb ccc dddd eeeee", "\t word \n", "αβγδ εζ", None, "x " * 50]
+    b = pa.table({"text": pa.array(texts, pa.string())})
+    got = long_token_count_batch(b).column("n_long").to_pylist()
+    want = [
+        sum(1 for w in _re2_word_split(x or "") if len(w) >= 4) for x in texts
+    ]
+    assert got == want
+    # unicode: characters, not bytes (αβγδ is 4 chars -> counts)
+    assert got[3] == 1
