@@ -4414,10 +4414,15 @@ SELECT event_type, round(stddev_samp(value), 4) AS std_value, count(*) AS n
 FROM events GROUP BY event_type
 """,
         "r_orders_rollup": """
+-- money as exact integer cents: float SUM at ~3.75e10 magnitude is
+-- only accurate past the 4th decimal by luck, so engine and DuckDB
+-- float sums round to different cents at sf>=0.1 (r5 HASHDIFF).
+-- CAST(double AS BIGINT) rounds in DuckDB; x*100 is ~1e-9 from the
+-- integer so the rounding is unambiguous.
 SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
        COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS revenue
+       sum(CAST(o_totalprice * 100 AS BIGINT)) / 100.0 AS revenue
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
         "r_parts_both_years": """
@@ -4736,9 +4741,11 @@ sp AS (SELECT s, v, min(d) AS d FROM allp WHERE s != v GROUP BY s, v)
 SELECT v AS id, round(sum(1.0 / d), 6) AS harmonic FROM sp GROUP BY v
 """,
         "r_orders_cube": """
+-- exact integer-cents money (see r_orders_rollup)
 SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-       count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice * 100 AS BIGINT)) / 100.0 AS revenue
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
         "t_surprisal": """

@@ -294,6 +294,48 @@ def customer_urgent_counts(sf_dir: str, num_partitions: int = 8) -> "ray.data.Da
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def _money_cents(t: pa.Table) -> pa.Table:
+    """Project (priority, status, o_totalprice) → exact int64 cents.
+    o_totalprice is a 2-decimal money value stored as float64, so
+    x*100 is within ~1e-9 of an integer and rint is unambiguous."""
+    return pa.table(
+        {
+            "o_orderpriority": t.column("o_orderpriority"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "cents": pa.array(
+                np.rint(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64)
+            ),
+        }
+    )
+
+
+def _cents_to_revenue(t: pa.Table) -> pa.Table:
+    """Finalize grouped cents → revenue float64 (cents/100.0 — exact
+    division of an exact integer; identical bytes vs the SQL oracle's
+    sum(CAST(x*100 AS BIGINT))/100.0)."""
+    if "o_orderpriority" not in t.column_names:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "n_orders": pa.array([], _I64),
+                "revenue": pa.array([], _F64),
+            }
+        )
+    return pa.table(
+        {
+            "o_orderpriority": t.column("o_orderpriority"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "n_orders": t.column("n_orders").cast(_I64),
+            "revenue": pa.array(
+                t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+            ),
+        }
+    )
+
+
 def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     """ROLLUP-style aggregation: order counts + revenue at three
     grouping levels — (priority, status), (priority), and grand total —
@@ -302,18 +344,25 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
 
     Scale shape: the finest level is ONE grouped aggregate over the
     fact table; the two coarser levels re-aggregate the (tiny) finest
-    result — never a second scan of the input."""
+    result — never a second scan of the input.
+
+    Money is summed as EXACT integer cents: at sf0.1 the grand total is
+    ~3.75e10, where float64 summation error exceeds the 4th decimal, so
+    a float Sum rounds to different cents than DuckDB's (r5 HASHDIFF).
+    int64 cents are exact to 2^53/100 dollars and divide back to
+    identical float64 bytes on both engines."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
     fine = (
-        ds.groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        ds.map_batches(_money_cents, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .map_batches(
             ensure_schema(
                 {
                     "o_orderpriority": pa.string(),
                     "o_orderstatus": pa.string(),
                     "n_orders": _I64,
-                    "revenue": _F64,
+                    "cents": _I64,
                 }
             ),
             batch_format="pyarrow",
@@ -327,7 +376,7 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     # in operator startup than the whole query
     fdf = fine.to_pandas()
     mid = (
-        fdf.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue"]]
+        fdf.groupby("o_orderpriority", as_index=False)[["n_orders", "cents"]]
         .sum()
         .assign(o_orderstatus="ALL")
     )
@@ -336,7 +385,7 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
             "o_orderpriority": ["ALL"],
             "o_orderstatus": ["ALL"],
             "n_orders": [fdf["n_orders"].sum()],
-            "revenue": [fdf["revenue"].sum()],
+            "cents": [fdf["cents"].sum()],
         }
     )
     coarse = pa.table(
@@ -350,32 +399,15 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
             "n_orders": pa.array(
                 np.concatenate([mid["n_orders"].to_numpy(), top["n_orders"].to_numpy()]).astype(np.int64)
             ),
-            "revenue": pa.array(
-                np.concatenate([mid["revenue"].to_numpy(), top["revenue"].to_numpy()]).astype(np.float64)
+            "cents": pa.array(
+                np.concatenate([mid["cents"].to_numpy(), top["cents"].to_numpy()]).astype(np.int64)
             ),
         }
     )
 
-    def fin(t: pa.Table) -> pa.Table:
-        if "o_orderpriority" not in t.column_names:
-            return pa.table(
-                {
-                    "o_orderpriority": pa.array([], pa.string()),
-                    "o_orderstatus": pa.array([], pa.string()),
-                    "n_orders": pa.array([], _I64),
-                    "revenue": pa.array([], _F64),
-                }
-            )
-        return pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "o_orderstatus": t.column("o_orderstatus"),
-                "n_orders": t.column("n_orders").cast(_I64),
-                "revenue": pa.array(_round4(t.column("revenue").to_numpy(zero_copy_only=False))),
-            }
-        )
-
-    return fine.union(ray.data.from_arrow(coarse)).map_batches(fin, batch_format="pyarrow")
+    return fine.union(ray.data.from_arrow(coarse)).map_batches(
+        _cents_to_revenue, batch_format="pyarrow"
+    )
 
 
 def orders_cube(sf_dir: str) -> "ray.data.Dataset":
@@ -387,18 +419,21 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
     fact table at the finest level; every coarser grouping set
     re-aggregates that tiny result on the driver (|p|×|s| rows) — the
     input is scanned exactly once however many grouping sets CUBE
-    expands to."""
+    expands to. Money is exact int64 cents end-to-end (see
+    orders_rollup's docstring for why float sums can't hash-match at
+    this magnitude)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
     fine = (
-        ds.groupby(["o_orderpriority", "o_orderstatus"])
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        ds.map_batches(_money_cents, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
         .map_batches(
             ensure_schema(
                 {
                     "o_orderpriority": pa.string(),
                     "o_orderstatus": pa.string(),
                     "n_orders": _I64,
-                    "revenue": _F64,
+                    "cents": _I64,
                 }
             ),
             batch_format="pyarrow",
@@ -409,10 +444,10 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
     levels = [fdf]
     for keep in (["o_orderpriority"], ["o_orderstatus"], []):
         agg = (
-            fdf.groupby(keep, as_index=False)[["n_orders", "revenue"]].sum()
+            fdf.groupby(keep, as_index=False)[["n_orders", "cents"]].sum()
             if keep
             else pd.DataFrame(
-                {"n_orders": [fdf["n_orders"].sum()], "revenue": [fdf["revenue"].sum()]}
+                {"n_orders": [fdf["n_orders"].sum()], "cents": [fdf["cents"].sum()]}
             )
         )
         for c in ("o_orderpriority", "o_orderstatus"):
@@ -421,13 +456,15 @@ def orders_cube(sf_dir: str) -> "ray.data.Dataset":
         levels.append(agg)
     out = pd.concat(levels, ignore_index=True)
     return ray.data.from_arrow(
-        pa.table(
-            {
-                "o_orderpriority": pa.array(list(out["o_orderpriority"]), pa.string()),
-                "o_orderstatus": pa.array(list(out["o_orderstatus"]), pa.string()),
-                "n_orders": pa.array(out["n_orders"].to_numpy().astype(np.int64)),
-                "revenue": pa.array(_round4(out["revenue"].to_numpy().astype(np.float64))),
-            }
+        _cents_to_revenue(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array(list(out["o_orderpriority"]), pa.string()),
+                    "o_orderstatus": pa.array(list(out["o_orderstatus"]), pa.string()),
+                    "n_orders": pa.array(out["n_orders"].to_numpy().astype(np.int64)),
+                    "cents": pa.array(out["cents"].to_numpy().astype(np.int64)),
+                }
+            )
         )
     )
 
