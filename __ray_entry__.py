@@ -580,6 +580,50 @@ def _t_budget_trim(sf_dir):
     return budget_trim(docs, budget=20000)
 
 
+def _t_chunk_overlap(sf_dir):
+    """RAG-style overlapping token chunking (window C=32, stride
+    S=24): one row per chunk with its token start offset and covered
+    token count; chunk count is the MINIMUM cover
+    (1 if n<=C else 1 + ceil((n-C)/S)). Chunk arithmetic is pure int
+    from the planted-pad tokenizer's n_tokens, so the SQL twin
+    (range() unnest over the same CASE) is exact; the ws pads witness
+    trim parity. Engine = functions/sampling.chunk_spans — a pure
+    per-batch vectorized flat-map, no shuffle."""
+    from distributed_pagerank_ray.functions.sampling import chunk_spans
+    from distributed_pagerank_ray.functions.textstats import token_count_batch
+
+    toks = _docs(sf_dir).map_batches(
+        lambda t: token_count_batch(_plant_ws_pad(t.select(["doc_id", "text"]))).select(
+            ["doc_id", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+    return chunk_spans(toks, chunk_tokens=32, stride=24)
+
+
+def _t_weighted_sample(sf_dir):
+    """Weighted sampling without replacement, k=100 winners
+    (functions/sampling.weighted_priority_sample): the
+    Efraimidis–Spirakis priority shape with the uniform draw replaced
+    by the deterministic double-MINSTD id hash — priority
+    p = hash2(doc_id) / w with weight w = 1 + char length(text).
+    One IEEE double division of exact ints, so numpy and DuckDB agree
+    bit-for-bit (no libm transcendentals). Engine = per-batch partial
+    top-k prune + tiny global sort/limit; SQL twin = ORDER BY the same
+    expression LIMIT k (ties broken by doc_id on both sides)."""
+    import pyarrow.compute as pc
+
+    from distributed_pagerank_ray.functions.sampling import weighted_priority_sample
+
+    def prep(t):
+        txt = pc.fill_null(t.column("text"), "")
+        w = pc.add(pc.utf8_length(txt), 1).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "w": w})
+
+    docs = _docs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return weighted_priority_sample(docs, k=100, weight_col="w")
+
+
 def _t_decontam(sf_dir):
     """Train/eval decontamination (GPT-3-style word-n-gram overlap):
     deterministic 80/20 split on the doc-id hash, then every eval doc
@@ -3686,13 +3730,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_mixture_sample": _t_mixture_sample,  # target-mixture subsample, SQL-gated (r5 new)
         "t_budget_trim": _t_budget_trim,  # token-budget corpus selection, SQL-gated (r5 new)
         "g_betweenness_doc": _g_betweenness_doc,  # Brandes betweenness, planted closed-form oracle (r5 new)
+        "t_chunk_overlap": _t_chunk_overlap,  # RAG overlapping-chunk spans, SQL-gated (r5 new)
+        "t_weighted_sample": _t_weighted_sample,  # E-S weighted sample w/o replacement, SQL-gated (r5 new)
+        # ---- end of 50-entry driver window (one slot follows below) ----
+        # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
+        # late-r5 by new SQL-gated ops — all three are rows-only entries
+        # with driver rows-only green in CORRECTNESS_r01/r02.json;
+        # x_compact / x_incremental_update / x_line_dedup displaced
+        # earlier in r5 — driver rows-only green in CORRECTNESS_r03/r04)
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
-        # ---- end of 50-entry driver window ----
-        # (x_compact / x_incremental_update / x_line_dedup displaced r5
-        # by the four new SQL-gated ops — all three carry driver
-        # rows-only green rows in CORRECTNESS_r03/r04.json)
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
         "x_incremental_update": _x_incremental_update,  # rows-only + in-query rebuild-parity assertion
         "x_compact": _x_compact,  # rows-only + in-query content-identity assertion
@@ -4594,6 +4642,40 @@ c AS (
 )
 SELECT doc_id, prio, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum <= 20000
+""",
+        # chunk arithmetic mirrors sampling.chunk_spans: minimum cover,
+        # non-negative operands only so // parity holds
+        "t_chunk_overlap": f"""
+WITH {_SQL_PAD_CTE},
+t AS (
+  SELECT doc_id,
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+')) END AS n
+  FROM padded
+),
+nz AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END AS nc
+  FROM t WHERE n > 0
+)
+SELECT doc_id,
+       CAST(j AS BIGINT) AS chunk_id,
+       CAST(j * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - j * 24) AS BIGINT) AS n_chunk
+FROM nz, UNNEST(range(0, nc)) AS u(j)
+""",
+        # p = one IEEE division of exact ints — bit-identical numpy vs
+        # DuckDB; selection boundary ties broken by doc_id on both sides
+        "t_weighted_sample": """
+WITH t AS (
+  SELECT doc_id,
+         1 + length(COALESCE(text, '')) AS w,
+         CAST(((doc_id * 48271) % 100000007) * 48271 % 100000007 AS DOUBLE)
+           / (1 + length(COALESCE(text, ''))) AS p
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, round(p, 6) AS prio
+FROM t ORDER BY p, doc_id LIMIT 100
 """,
         "t_ngram_dup_pairs": f"""
 WITH {_WORD_GRAMS_CTE},

@@ -278,6 +278,131 @@ def mixture_sample(
     )
 
 
+def chunk_spans(
+    ds: "ray.data.Dataset",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> "ray.data.Dataset":
+    """RAG/pretraining chunking: split each document's token run into
+    overlapping windows of ``chunk_tokens`` tokens advancing by
+    ``stride`` (stride < chunk ⇒ overlap), emitting one row per chunk
+    ``(id, chunk_id, start_tok, n_chunk)``. The chunk count is the
+    MINIMUM number of windows covering every token:
+    ``n_chunks = 1 if n <= C else 1 + ceil((n - C)/S)`` — no trailing
+    window that is wholly contained in its predecessor. Documents with
+    zero tokens emit no rows (mirrors the tokenizer CTE's absence).
+
+    Pure int arithmetic (SQL-exact) and a pure per-batch flat-map: no
+    shuffle, no state — embarrassingly parallel at any corpus size.
+    Fully vectorized: the per-chunk expansion is one np.repeat + one
+    arange-minus-offsets, never a Python loop over docs."""
+    C, S = int(chunk_tokens), int(stride)
+    if C <= 0 or S <= 0 or S > C:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_chunk": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0 or tokens_col not in t.column_names:
+            return empty
+        n = t.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        n, ids = n[keep], ids[keep]
+        if len(n) == 0:
+            return empty
+        # ceil((n-C)/S) with non-negative operands only (SQL // parity)
+        reps = np.where(n <= C, 1, 1 + (np.maximum(n - C, 0) + S - 1) // S)
+        doc_rep = np.repeat(ids, reps)
+        n_rep = np.repeat(n, reps)
+        first = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        j = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(first, reps)
+        start = j * S
+        return pa.table(
+            {
+                id_col: pa.array(doc_rep),
+                "chunk_id": pa.array(j),
+                "start_tok": pa.array(start),
+                "n_chunk": pa.array(np.minimum(C, n_rep - start)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def weighted_priority_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement, k winners: the
+    Efraimidis–Spirakis priority-sample shape with the uniform draw
+    replaced by the repo's deterministic double-MINSTD id hash —
+    priority ``p = hash2(id) / w`` (higher weight ⇒ smaller expected
+    priority ⇒ more likely selected), winners = the k smallest
+    ``(p, id)``. Reproducible across runs/engines: ``p`` is one IEEE
+    double division of exact integers, so numpy and any SQL engine
+    produce bit-identical doubles (no transcendental libm calls — the
+    reason for hash/w instead of the textbook u^(1/w)).
+
+    Scale shape: per-batch partial top-k prune (each batch keeps at
+    most k candidates), then a tiny global sort+limit over
+    O(k × blocks) rows — the corpus itself is never shuffled.
+    Weights must be integers >= 1."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or weight_col not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.int64()),
+                    "_p": pa.array([], pa.float64()),
+                }
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and int(w.min()) < 1:
+            raise ValueError("weights must be >= 1")
+        p = _hash2_ids(ids).astype(np.float64) / w
+        order = np.lexsort((ids, p))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                weight_col: pa.array(w[order]),
+                "_p": pa.array(p[order]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                weight_col: t.column(weight_col),
+                "prio": pa.array(
+                    np.round(t.column("_p").to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .sort(["_p", id_col])
+        .limit(k)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def budget_trim(
     ds: "ray.data.Dataset",
     budget: int,

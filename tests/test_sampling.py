@@ -108,3 +108,90 @@ def test_pack_sequences_multiblock_prefix_scan():
     prev = np.cumsum(toks) - toks
     assert np.array_equal(got["seq_id"].to_numpy(), prev // 256)
     assert np.array_equal(got["n_tokens"].to_numpy(), toks)
+
+
+def test_chunk_spans_brute_force_and_edges():
+    """chunk_spans == per-doc brute-force minimum-cover windows; zero-
+    token docs absent; every token covered; no chunk wholly contained
+    in its predecessor."""
+    import numpy as np
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.sampling import chunk_spans
+
+    C, S = 32, 24
+    # adversarial sizes: 0, 1, S, S+1, C-1, C, C+1, 2C, exact multiples, big
+    sizes = [0, 1, 23, 24, 25, 31, 32, 33, 48, 49, 56, 57, 64, 200, 1000]
+    ids = np.arange(len(sizes), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(np.array(sizes, np.int64))})
+    ).repartition(4)
+    got = chunk_spans(ds, C, S).to_pandas().sort_values(["doc_id", "chunk_id"])
+
+    exp = []
+    for i, n in zip(ids, sizes):
+        if n == 0:
+            continue
+        starts = [0]
+        while starts[-1] + C < n:
+            starts.append(starts[-1] + S)
+        for j, st in enumerate(starts):
+            exp.append((i, j, st, min(C, n - st)))
+    assert [tuple(r) for r in got.to_numpy()] == exp
+    # coverage: last chunk reaches the end
+    last = got.groupby("doc_id").tail(1)
+    assert (last["start_tok"] + last["n_chunk"] == [s for s in sizes if s > 0]).all()
+
+
+def test_chunk_spans_rejects_bad_stride():
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.sampling import chunk_spans
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([1]), "n_tokens": pa.array([5])}))
+    with pytest.raises(ValueError):
+        chunk_spans(ds, 8, 9)
+    with pytest.raises(ValueError):
+        chunk_spans(ds, 8, 0)
+
+
+def test_weighted_priority_sample_matches_brute_force():
+    """Winners == the k smallest (hash2(id)/w, id) computed brute-force;
+    heavier rows win more often than a uniform draw."""
+    import numpy as np
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.sampling import (
+        _hash2_ids,
+        weighted_priority_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    n, k = 4000, 50
+    ids = rng.permutation(n).astype(np.int64)
+    w = rng.integers(1, 500, n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    ).repartition(9)
+    got = weighted_priority_sample(ds, k).to_pandas()
+    assert len(got) == k
+
+    p = _hash2_ids(ids).astype(np.float64) / w
+    order = np.lexsort((ids, p))[:k]
+    assert list(got["doc_id"]) == list(ids[order])
+    assert list(got["w"]) == list(w[order])
+    assert np.allclose(got["prio"], np.round(p[order], 6))
+    # weighted: mean weight of winners must exceed the population mean
+    assert w[order].mean() > w.mean()
+
+
+def test_weighted_priority_sample_rejects_nonpositive_weights():
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.sampling import weighted_priority_sample
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2]), "w": pa.array([3, 0])})
+    )
+    with pytest.raises(Exception):
+        weighted_priority_sample(ds, 1).to_pandas()
