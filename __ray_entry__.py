@@ -3001,6 +3001,44 @@ def _g_betweenness_doc(sf_dir):
     return betweenness_centrality(g, batch_k=512, directed=False)
 
 
+def _g_ktruss_doc(sf_dir):
+    """4-truss (pipelines/ktruss.py: iterative support peel through the
+    triangle join path + BSP adjacency) on a PLANTED graph: consecutive
+    groups of 8 doc ids carry a K4 on positions {0,1,2,3}, a
+    triangle CHAIN (3,4),(3,5),(4,5),(4,6),(5,6) and a tail (6,7).
+    The chain makes the peel genuinely CASCADE: (4,5) has support 2 in
+    round 1 and only dies in round 2 after its flanking triangles are
+    peeled — so the gate witnesses the iteration, not one support
+    pass. Closed form: the 4-truss is exactly each group's K4, every
+    edge with support 2 (hard-coded in the SQL oracle; independently
+    asserted vs brute force in tests/test_ktruss.py). Vertex set
+    capped at 2048 ids (full groups) to keep the gate constant-cost at
+    both scales."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.ktruss import ktruss
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        pairs = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                 (3, 4), (3, 5), (4, 5), (4, 6), (5, 6), (6, 7))
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        for lo, hi in pairs:
+            sel = i[p == lo]
+            srcs.append(sel)
+            dsts.append(sel + (hi - lo))
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    return ktruss(docs.map_batches(make, batch_format="pyarrow"), k=4)
+
+
 def _g_distsummary_org(sf_dir):
     """Exact diameter + mean shortest-path length of the (symmetrized)
     org graph via the all-landmarks matrix-BFS (the harmonic engine's
@@ -3732,7 +3770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_betweenness_doc": _g_betweenness_doc,  # Brandes betweenness, planted closed-form oracle (r5 new)
         "t_chunk_overlap": _t_chunk_overlap,  # RAG overlapping-chunk spans, SQL-gated (r5 new)
         "t_weighted_sample": _t_weighted_sample,  # E-S weighted sample w/o replacement, SQL-gated (r5 new)
-        # ---- end of 50-entry driver window (one slot follows below) ----
+        "g_ktruss_doc": _g_ktruss_doc,  # 4-truss cascade peel, planted closed-form oracle (r5 new)
+        # ---- end of 50-entry driver window ----
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -4614,6 +4653,21 @@ SELECT doc_id AS id,
          WHEN 3 THEN 25.0 WHEN 4 THEN 24.0 WHEN 5 THEN 20.0
          WHEN 6 THEN 12.0 ELSE 0.0 END AS DOUBLE) AS betweenness
 FROM documents, nn WHERE doc_id < nf
+""",
+        # planted K4 + cascading triangle chain per 8-group: the
+        # 4-truss is exactly the K4, support 2 per edge (closed form;
+        # brute-force parity in tests/test_ktruss.py)
+        "g_ktruss_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents)
+SELECT doc_id + CAST(CASE CAST(j AS INTEGER)
+         WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+         WHEN 3 THEN 1 WHEN 4 THEN 1 ELSE 2 END AS BIGINT) AS a,
+       doc_id + CAST(CASE CAST(j AS INTEGER)
+         WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+         WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 3 END AS BIGINT) AS b,
+       CAST(2 AS BIGINT) AS support
+FROM documents, nn, UNNEST(range(0, 6)) AS u(j)
+WHERE doc_id % 8 = 0 AND doc_id < nf
 """,
         # tokenizer matches t_token_counts (planted pad + RE2-\s trim);
         # prio and the prefix cut are pure int; window SUM cast BIGINT
