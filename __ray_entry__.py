@@ -2731,6 +2731,19 @@ def _g_adamic_adar_parts(sf_dir):
     return adamic_adar_scores(part_cooccurrence_edges(sf_dir), k=20, num_partitions=8)
 
 
+def _g_edge_jaccard_parts(sf_dir):
+    """Neighborhood Jaccard of the part co-occurrence graph's own edges
+    (top-20): |N(a)∩N(b)| / (deg a + deg b − |N(a)∩N(b)|). The
+    common-neighbor count rides the ktruss triangle join path
+    (O(triangles), not the AA wedge expansion); zero-triangle edges
+    re-enter via a packed-key BSP sum union, never an outer join. The
+    SQL twin evaluates the identical rounded expression and ordering."""
+    from distributed_pagerank_ray.pipelines.metrics import edge_jaccard
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+
+    return edge_jaccard(part_cooccurrence_edges(sf_dir), k=20, num_partitions=8)
+
+
 def _e_cov_matrix(sf_dir):
     """Embedding covariance matrix (upper triangle, d=64): mergeable
     (n, Σx, Σxxᵀ) moment partials — O(blocks·d²) exchange — with the
@@ -3752,7 +3765,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_counts": _t_token_counts,  # planted-pad trim-parity witness (r5)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5)
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,  # RE2-\s word shingles (r5)
-        "t_near_dedup_keep": _t_near_dedup_keep,  # RE2-\s word shingles (r5)
         "t_decontam": _t_decontam,  # RE2-\s word shingles (r5)
         "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
         "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated LSH, never driver-witnessed
@@ -3771,7 +3783,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_chunk_overlap": _t_chunk_overlap,  # RAG overlapping-chunk spans, SQL-gated (r5 new)
         "t_weighted_sample": _t_weighted_sample,  # E-S weighted sample w/o replacement, SQL-gated (r5 new)
         "g_ktruss_doc": _g_ktruss_doc,  # 4-truss cascade peel, planted closed-form oracle (r5 new)
+        "g_edge_jaccard_parts": _g_edge_jaccard_parts,  # edge-neighborhood Jaccard top-20, SQL-gated (r5 new)
         # ---- end of 50-entry driver window ----
+        # (t_near_dedup_keep displaced late-r5 for g_edge_jaccard_parts:
+        # its r5 tokenizer change is already witnessed twice in-window
+        # via t_ngram_dup_pairs + t_decontam, and it carries driver
+        # green from r2; still in the full local exact-hash gate)
+        "t_near_dedup_keep": _t_near_dedup_keep,  # RE2-\s word shingles (r5)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5230,6 +5248,34 @@ scores AS (
 SELECT s.a, s.b, round(s.score, 6) AS score
 FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
 ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
+LIMIT 20
+""",
+        # edge-neighborhood Jaccard: same und/sym/deg CTEs as AA; the
+        # wedge count per existing edge IS |N(a) ∩ N(b)|; zero-common
+        # edges enter via the LEFT JOIN coalesce
+        "g_edge_jaccard_parts": """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a),
+common AS (
+  SELECT s1.a AS u, s2.b AS w, count(*) AS c
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+  WHERE s1.a < s2.b
+  GROUP BY s1.a, s2.b
+)
+SELECT e.a, e.b,
+       round(CAST(coalesce(c.c, 0) AS DOUBLE)
+             / (da.d + db.d - coalesce(c.c, 0)), 6) AS jaccard
+FROM und e
+JOIN deg da ON da.v = e.a
+JOIN deg db ON db.v = e.b
+LEFT JOIN common c ON c.u = e.a AND c.w = e.b
+ORDER BY round(CAST(coalesce(c.c, 0) AS DOUBLE)
+               / (da.d + db.d - coalesce(c.c, 0)), 6) DESC, e.a ASC, e.b ASC
 LIMIT 20
 """,
         # covariance via the same sum/n - mean*mean structure

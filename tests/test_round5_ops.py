@@ -198,3 +198,54 @@ def test_long_token_count_vectorized_matches_python():
     assert got == want
     # unicode: characters, not bytes (αβγδ is 4 chars -> counts)
     assert got[3] == 1
+
+
+def test_edge_jaccard_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import edge_jaccard
+
+    rng = np.random.default_rng(23)
+    raw = {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 25, 150), rng.integers(0, 25, 150))
+        if a != b
+    }
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in und], pa.int64()),
+                "b": pa.array([e[1] for e in und], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = edge_jaccard(ds, k=12, num_partitions=2, num_shards=2).to_pandas()
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    for a, b in und:
+        c = len(adj[a] & adj[b])
+        want.append((a, b, round(c / (len(adj[a]) + len(adj[b]) - c), 6)))
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+    gl = [(int(r.a), int(r.b), float(r.jaccard)) for r in got.itertuples(index=False)]
+    assert gl == want[:12]
+
+
+def test_edge_jaccard_zero_common_edges_present():
+    # a path graph has no triangles: every edge must surface with 0.0
+    from distributed_pagerank_ray.pipelines.metrics import edge_jaccard
+
+    und = [(i, i + 1) for i in range(6)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in und], pa.int64()),
+                "b": pa.array([e[1] for e in und], pa.int64()),
+            }
+        )
+    )
+    got = edge_jaccard(ds, k=10, num_partitions=2, num_shards=2).to_pandas()
+    assert len(got) == 6
+    assert (got["jaccard"] == 0.0).all()
