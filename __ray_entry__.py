@@ -2626,6 +2626,43 @@ def _m_pgm_decode(sf_dir):
     return decode_pgm(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_bmp_decode(sf_dir):
+    """Third REAL image decode gate (24-bit BI_RGB Windows BMP):
+    deterministic payloads from doc_id with R=(id+x)%256,
+    G=(7·id+y)%256, B=(13·id)%256, width 5+id%6 (strides cycle through
+    1/2/3/0-byte row padding), height 3+id%3, ALTERNATING bottom-up /
+    top-down storage by id parity, and 0xAB padding bytes. The SQL
+    oracle computes the channel means analytically AND the top-row G
+    mean (7·id)%256 — the orientation witness: whole-image means are
+    flip-invariant, ``top_g`` is not, so matching requires honoring
+    the header height sign and the 4-byte stride."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_bmp, encode_bmp
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = 5 + int(i) % 6, 3 + int(i) % 3
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[:, :, 0] = ((int(i) + x) % 256)[None, :]
+            rgb[:, :, 1] = ((int(i) * 7 + y) % 256)[:, None]
+            rgb[:, :, 2] = (int(i) * 13) % 256
+            payloads.append(encode_bmp(rgb, top_down=bool(int(i) % 2), pad_byte=0xAB))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_bmp(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _x_edgelist_text(sf_dir):
     """SQL-gated conformance parse of the reference text edge-list
     format (graph.go:178-196 semantics) through the VECTORIZED parser
@@ -3771,7 +3808,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
         # ---- driver window: round-5 behavior changes / new ops ----
         "g_scc_doc": _g_scc_doc,  # SCC, fused F+B exchanges (r5 rework)
-        "r_events_sessions": _r_events_sessions,  # size-derived num_buckets (r5)
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG (size-derived buckets, r5)
         "r_events_moving_avg": _r_events_moving_avg,  # ROWS frame (size-derived buckets, r5)
         "m_png_decode": _m_png_decode,  # REAL PNG inflate+unfilter decode (r5 new)
@@ -3784,7 +3820,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_weighted_sample": _t_weighted_sample,  # E-S weighted sample w/o replacement, SQL-gated (r5 new)
         "g_ktruss_doc": _g_ktruss_doc,  # 4-truss cascade peel, planted closed-form oracle (r5 new)
         "g_edge_jaccard_parts": _g_edge_jaccard_parts,  # edge-neighborhood Jaccard top-20, SQL-gated (r5 new)
+        "m_bmp_decode": _m_bmp_decode,  # REAL BMP decode w/ orientation witness, SQL-gated (r5 new)
         # ---- end of 50-entry driver window ----
+        # (r_events_sessions displaced late-r5 for m_bmp_decode: the r5
+        # size-derived-buckets change stays witnessed in-window twice
+        # via r_user_journeys + r_events_moving_avg, and sessions
+        # carries driver green from r2; still in the full local gate)
+        "r_events_sessions": _r_events_sessions,  # size-derived num_buckets (r5)
         # (t_near_dedup_keep displaced late-r5 for g_edge_jaccard_parts:
         # its r5 tokenizer change is already witnessed twice in-window
         # via t_ngram_dup_pairs + t_decontam, and it carries driver
@@ -5183,6 +5225,21 @@ SELECT doc_id,
        (SELECT max((3 * doc_id + 5 * g.x + 11 * q.y) % 256)
         FROM UNNEST(range(6 + doc_id % 7)) AS g(x),
              UNNEST(range(3 + doc_id % 5)) AS q(y)) AS max_gray
+FROM documents
+""",
+        # BMP: analytic channel means from the generation formula plus
+        # the top-row G orientation witness (7·id)%256 — flip-variant,
+        # so a decoder ignoring the height sign hashes apart
+        "m_bmp_decode": """
+SELECT doc_id,
+       5 + doc_id % 6 AS width,
+       3 + doc_id % 3 AS height,
+       round((SELECT avg((doc_id + g.x) % 256)
+              FROM UNNEST(range(5 + doc_id % 6)) AS g(x)), 6) AS mean_r,
+       round((SELECT avg((doc_id * 7 + q.y) % 256)
+              FROM UNNEST(range(3 + doc_id % 3)) AS q(y)), 6) AS mean_g,
+       round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS mean_b,
+       round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS top_g
 FROM documents
 """,
         # regeneration of the planted text edge-list in _x_edgelist_text

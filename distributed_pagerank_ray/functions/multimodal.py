@@ -772,3 +772,100 @@ def decode_png(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- real BMP codec
+
+
+def encode_bmp(rgb: np.ndarray, top_down: bool = False, pad_byte: int = 0) -> bytes:
+    """Minimal 24-bit uncompressed (BI_RGB) Windows BMP encoder for an
+    (h, w, 3) uint8 array — the test-payload generator for the real
+    decoder below. BMP's three byte-layout quirks, all exercised here:
+    rows are stored BOTTOM-UP when the header height is positive
+    (``top_down=True`` writes a negative height, the top-down variant),
+    channels are BGR, and every row is padded to a 4-byte stride
+    (``pad_byte`` lets tests plant nonzero padding the decoder must
+    skip)."""
+    import struct
+
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    stride = (3 * w + 3) & ~3
+    pad = bytes([pad_byte]) * (stride - 3 * w)
+    rows = rgb if top_down else rgb[::-1]
+    body = b"".join(r[:, ::-1].tobytes() + pad for r in rows)
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + body
+
+
+class BmpDecode:
+    """REAL BMP decode stage — stdlib ``struct`` + numpy only: 24-bit
+    BI_RGB payloads, both bottom-up (positive header height) and
+    top-down (negative) row orders, 4-byte row stride, BGR channel
+    order. Emits width, height, per-channel means AND ``top_g`` (mean
+    G of the visually TOP row, 6 dp) — the orientation witness: a
+    decoder that forgets the bottom-up flip reports the bottom row's
+    value there, while whole-image means are flip-invariant.
+
+    Malformed payloads (wrong magic, bpp != 24, compressed, truncated,
+    or trailing bytes beyond the padded raster) raise ValueError —
+    fail loudly, same contract as PpmDecode.
+    """
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        widths, heights, means, top_gs = [], [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            if b is None or len(b) < 54 or not b.startswith(b"BM"):
+                raise ValueError("not a BMP payload")
+            _, _, _, _, off = struct.unpack_from("<2sIHHI", b, 0)
+            ih_size, w, hh, planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+            if ih_size < 40 or planes != 1:
+                raise ValueError("unsupported BMP header")
+            if bpp != 24 or comp != 0:
+                raise ValueError("only 24-bit uncompressed (BI_RGB) BMP supported")
+            top_down, h = hh < 0, abs(hh)
+            stride = (3 * w + 3) & ~3
+            if len(b) - off != stride * h:
+                raise ValueError("BMP payload length mismatch (truncated or trailing bytes)")
+            raster = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
+            px = raster[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+            if not top_down:
+                px = px[::-1]
+            means.append(px.reshape(-1, 3).mean(axis=0))
+            top_gs.append(round(float(px[0, :, 1].mean()), 6))
+            widths.append(w)
+            heights.append(h)
+        m = np.array(means) if means else np.zeros((0, 3))
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("width", pa.array(np.array(widths, dtype=np.int64)))
+        out = out.append_column("height", pa.array(np.array(heights, dtype=np.int64)))
+        for i, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            out = out.append_column(name, pa.array(np.round(m[:, i], 6), pa.float64()))
+        out = out.append_column("top_g", pa.array(np.array(top_gs, dtype=np.float64)))
+        return out
+
+
+def decode_bmp(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool BMP decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        BmpDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

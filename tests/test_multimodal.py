@@ -222,3 +222,47 @@ def test_pnm_trailing_bytes_rejected():
         trunc = pa.table({"payload": pa.array([enc[:-1]], pa.binary())})
         with pytest.raises(ValueError, match="length mismatch"):
             dec(trunc)
+
+
+def test_bmp_roundtrip_both_orientations_and_padding():
+    from distributed_pagerank_ray.functions.multimodal import BmpDecode, encode_bmp
+
+    rng = np.random.default_rng(5)
+    # w=5 -> stride 16 (1 pad byte); w=6 -> stride 20 (2); w=4 -> stride 12 (0)
+    for w, h in ((5, 3), (6, 4), (4, 2), (7, 1)):
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for td in (False, True):
+            enc = encode_bmp(rgb, top_down=td, pad_byte=0xAB)  # nonzero pad must be skipped
+            out = BmpDecode()(pa.table({"payload": pa.array([enc], pa.binary())}))
+            assert out.column("width")[0].as_py() == w
+            assert out.column("height")[0].as_py() == h
+            assert out.column("mean_r")[0].as_py() == round(float(rgb[:, :, 0].mean()), 6)
+            assert out.column("mean_g")[0].as_py() == round(float(rgb[:, :, 1].mean()), 6)
+            assert out.column("mean_b")[0].as_py() == round(float(rgb[:, :, 2].mean()), 6)
+            # orientation witness: TOP row regardless of storage order
+            assert out.column("top_g")[0].as_py() == round(float(rgb[0, :, 1].mean()), 6)
+
+
+def test_bmp_malformed_rejected():
+    from distributed_pagerank_ray.functions.multimodal import BmpDecode, encode_bmp
+
+    rgb = np.arange(45, dtype=np.uint8).reshape(3, 5, 3)
+    enc = encode_bmp(rgb)
+    dec = BmpDecode()
+    with pytest.raises(ValueError, match="length mismatch"):
+        dec(pa.table({"payload": pa.array([enc + b"\x00"], pa.binary())}))
+    with pytest.raises(ValueError, match="length mismatch"):
+        dec(pa.table({"payload": pa.array([enc[:-1]], pa.binary())}))
+    with pytest.raises(ValueError, match="not a BMP"):
+        dec(pa.table({"payload": pa.array([b"PNG" + enc], pa.binary())}))
+    # compressed (BI_RLE8) and non-24bpp headers are honest errors
+    import struct
+
+    bad_bpp = bytearray(enc)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="24-bit"):
+        dec(pa.table({"payload": pa.array([bytes(bad_bpp)], pa.binary())}))
+    bad_comp = bytearray(enc)
+    struct.pack_into("<I", bad_comp, 30, 1)
+    with pytest.raises(ValueError, match="24-bit"):
+        dec(pa.table({"payload": pa.array([bytes(bad_comp)], pa.binary())}))
