@@ -3564,6 +3564,34 @@ def _g_katz3_org(sf_dir):
     return katz_fixed(org_edges(sf_dir), iters=3, beta=0.05, num_partitions=4)
 
 
+def _g_eigen3_doc(sf_dir):
+    """Eigenvector centrality (3-step undamped power iteration, single
+    final normalization) on the PLANTED doc functional graph — each doc
+    i emits (i, (17i+5) mod N) and (i, (29i+11) mod N), the reciprocity
+    gate's recipe: the org DAG has depth 2, so 3-step path counts would
+    all be zero there; the hash successors give cycles and varied
+    counts. Path counts stay exact int64 through all iterations on
+    BOTH engines (the float-parity rule: one division at the end, none
+    inside the recurrence); oracle is the unrolled integer
+    recurrence."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.pagerank_weighted import eigencentrality_fixed
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(17 * i + 5) % n, (29 * i + 11) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return eigencentrality_fixed(
+        docs.map_batches(make, batch_format="pyarrow"), iters=3, num_partitions=4
+    )
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -3854,6 +3882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
         "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
         "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
+        "g_eigen3_doc": _g_eigen3_doc,  # eigenvector centrality, int-exact unrolled oracle (r5 new)
         "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
         "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
         "t_heavy_hitters": _t_heavy_hitters,  # weighted count BSP + CMS gate
@@ -4065,6 +4094,39 @@ def _walks_sql(length: int = 3) -> str:
         + ",\n".join(steps)
         + "\n"
         + "\nUNION ALL ".join(selects)
+    )
+
+
+def _eigen_sql(iters: int = 3) -> str:
+    """Unrolled integer power-iteration recurrence on the planted doc
+    functional graph (the reciprocity gate's edge recipe); counts are
+    BIGINT-exact, the single final division is the only float op."""
+    steps = []
+    prev = "x0"
+    for st in range(1, iters + 1):
+        steps.append(
+            f"""x{st} AS (
+  SELECT verts.v, CAST(COALESCE(s.s, 0) AS BIGINT) AS x
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(p.x) AS s FROM e JOIN {prev} p ON p.v = e.src GROUP BY e.dst
+  ) s USING (v)
+)"""
+        )
+        prev = f"x{st}"
+    return (
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (17 * doc_id + 5) % nn.n AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (29 * doc_id + 11) % nn.n FROM documents, nn
+), verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+x0 AS (SELECT v, CAST(1 AS BIGINT) AS x FROM verts),
+"""
+        + ",\n".join(steps)
+        + f""",
+tot AS (SELECT sum(x) AS t FROM {prev})
+SELECT v AS vertex, round(CAST(x AS DOUBLE) / CAST(t AS DOUBLE), 6) AS eig
+FROM {prev}, tot"""
     )
 
 
@@ -5701,6 +5763,7 @@ FROM a FULL JOIN b ON a.event_id = b.event_id
 WHERE a.event_id IS NULL OR b.event_id IS NULL OR a.value != b.value
 """,
         "g_katz3_org": _katz_sql(3, 0.05),
+        "g_eigen3_doc": _eigen_sql(3),
         "r_item_pairs": """
 WITH x AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events

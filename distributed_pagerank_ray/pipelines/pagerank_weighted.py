@@ -261,3 +261,128 @@ def katz_fixed(
         )
 
     return ranks.map_batches(fin, batch_format="pyarrow")
+
+
+def eigencentrality_fixed(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "ray.data.Dataset":
+    """Eigenvector centrality via a FIXED-count power iteration with one
+    FINAL normalization:
+
+        x_{t+1}(v) = Σ_{(u,v)∈E} x_t(u),  x_0 ≡ 1;
+        eig(v) = x_iters(v) / Σ_w x_iters(w)
+
+    — the undamped A^T power method (x_t(v) counts the directed
+    t-step paths ending at v), the third member of the path-counting
+    family next to :func:`katz_fixed` (β-damped, +1 restart) and
+    pagerank (degree-normalized, teleport-damped). Per-iteration
+    normalization would be the textbook form, but every intermediate
+    float division multiplies float-parity surfaces; counts stay EXACT
+    int64 through all iterations (engine and SQL oracle both sum
+    BIGINTs) and the single final division is the only float op (the
+    repo's float-parity rule). int64 bounds the reach: counts grow as
+    Δ_in^iters, so ``iters`` beyond ~5 on a hub-heavy web graph needs
+    the normalized variant instead — overflow raises loudly here.
+
+    Same join plan as katz_fixed: one ranks⋈edges hash join + grouped
+    sum + left-outer update per iteration; driver holds one scalar
+    (the final total). Returns (vertex, eig) rounded 6 dp."""
+    P = num_partitions
+
+    norm_edges = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column(src_col).cast(_I64),
+                "dst": t.column(dst_col).cast(_I64),
+            }
+        )
+        if src_col in t.column_names
+        else pa.table({"src": pa.array([], _I64), "dst": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    E = compact_for_join(norm_edges, P).materialize()
+
+    from ..util import count_i64_keys
+
+    both = norm_edges.map_batches(
+        lambda t: pa.table({"v": t.column("src")}), batch_format="pyarrow"
+    ).union(
+        norm_edges.map_batches(
+            lambda t: pa.table({"v": t.column("dst")}), batch_format="pyarrow"
+        )
+    )
+    verts = (
+        count_i64_keys(both, "v")
+        .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
+        .materialize()
+    )
+
+    ranks = verts.map_batches(
+        lambda t: pa.table({"v": t.column("v"), "x": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        j = compact_for_join(ranks, P).join(
+            E, join_type="inner", num_partitions=P, on=("v",), right_on=("src",)
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if "dst" not in t.column_names:
+                return pa.table({"dst": pa.array([], _I64), "c": pa.array([], _I64)})
+            return pa.table({"dst": t.column("dst"), "c": t.column("x")})
+
+        sums = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(ensure_schema({"dst": _I64, "s": _I64}), batch_format="pyarrow")
+        )
+        j2 = compact_for_join(verts, P).join(
+            compact_for_join(sums, P),
+            join_type="left_outer",
+            num_partitions=P,
+            on=("v",),
+            right_on=("dst",),
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            if "v" not in t.column_names:
+                return pa.table({"v": pa.array([], _I64), "x": pa.array([], _I64)})
+            s = t.column("s") if "s" in t.column_names else pa.nulls(len(t), _I64)
+            s = pc.fill_null(s.cast(_I64) if s.type != _I64 else s, 0)
+            x = s.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(x) and int(x.max()) > (1 << 60):
+                raise OverflowError(
+                    "eigencentrality path counts near int64 range — "
+                    "use fewer iters or a normalized variant"
+                )
+            return pa.table({"v": t.column("v"), "x": pa.array(x)})
+
+        ranks = j2.map_batches(update, batch_format="pyarrow").materialize()
+
+    total = ranks.map_batches(
+        lambda t: pa.table({"s": pa.array([int(t.column("x").to_numpy(zero_copy_only=False).sum())], _I64)})
+        if "x" in t.column_names
+        else pa.table({"s": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    ).sum("s")
+    if not total:
+        raise ValueError("eigencentrality total mass is zero (empty or sink-only graph)")
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "v" not in t.column_names:
+            return pa.table({"vertex": pa.array([], _I64), "eig": pa.array([], _F64)})
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vertex": t.column("v"),
+                "eig": pa.array(np.round(x / float(total), 6), _F64),
+            }
+        )
+
+    return ranks.map_batches(fin, batch_format="pyarrow")

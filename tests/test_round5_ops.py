@@ -249,3 +249,35 @@ def test_edge_jaccard_zero_common_edges_present():
     got = edge_jaccard(ds, k=10, num_partitions=2, num_shards=2).to_pandas()
     assert len(got) == 6
     assert (got["jaccard"] == 0.0).all()
+
+
+def test_eigencentrality_fixed_brute_force():
+    from distributed_pagerank_ray.pipelines.pagerank_weighted import eigencentrality_fixed
+
+    rng = np.random.default_rng(31)
+    edges = sorted({(int(a), int(b)) for a, b in zip(rng.integers(0, 20, 80), rng.integers(0, 20, 80))})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        eigencentrality_fixed(ds, iters=3, num_partitions=2)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    x = np.ones(len(verts), dtype=np.int64)
+    for _ in range(3):
+        nxt = np.zeros_like(x)
+        for a, b in edges:
+            nxt[idx[b]] += x[idx[a]]
+        x = nxt
+    want = np.round(x.astype(np.float64) / x.sum(), 6)
+    assert got["vertex"].tolist() == verts
+    assert got["eig"].tolist() == want.tolist()
