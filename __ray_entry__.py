@@ -2333,6 +2333,14 @@ def _r_events_cume(sf_dir):
     return events_cume_dist(sf_dir)
 
 
+def _r_events_quartile(sf_dir):
+    """Tie-stable per-group quantile-bucket assignment (RANK-based
+    NTILE sibling — ties share a tile, arithmetic all-integer)."""
+    from distributed_pagerank_ray.pipelines.relational import events_quartile_tiles
+
+    return events_quartile_tiles(sf_dir, k=4)
+
+
 def _t_word_pmi(sf_dir):
     """Windowed word co-occurrence PMI (phrase-mining statistics)."""
     from distributed_pagerank_ray.functions.textstats import word_pair_pmi
@@ -3855,6 +3863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via r_user_journeys + r_events_moving_avg, and sessions
         # carries driver green from r2; still in the full local gate)
         "r_events_sessions": _r_events_sessions,  # size-derived num_buckets (r5)
+        "r_events_quartile": _r_events_quartile,  # tie-stable quantile binning, int-exact (r5 new)
         # (t_near_dedup_keep displaced late-r5 for g_edge_jaccard_parts:
         # its r5 tokenizer change is already witnessed twice in-window
         # via t_ngram_dup_pairs + t_decontam, and it carries driver
@@ -5177,6 +5186,14 @@ FROM events
         "r_events_cume": """
 SELECT event_id, event_type,
        round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6) AS cd
+FROM events
+""",
+        # tie-stable NTILE sibling: RANK shares tiles across ties and
+        # ((rank-1)*k)//n is integer-exact on both engines
+        "r_events_quartile": """
+SELECT event_id, event_type,
+       1 + ((rank() OVER (PARTITION BY event_type ORDER BY value) - 1) * 4)
+           // (count(*) OVER (PARTITION BY event_type)) AS tile
 FROM events
 """,
         # tokenizer/window/formula mirror textstats.word_pair_pmi

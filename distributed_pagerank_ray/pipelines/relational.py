@@ -1754,6 +1754,82 @@ def events_cume_dist(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def events_quartile_tiles(sf_dir: str, k: int = 4) -> "ray.data.Dataset":
+    """Per-group quantile-bucket assignment (feature binning): tile =
+    ``1 + ((rank − 1) · k) // n`` with SQL ``rank() OVER (PARTITION BY
+    event_type ORDER BY value)`` — the tie-STABLE sibling of NTILE
+    (NTILE splits ties across buckets by physical row order, which is
+    nondeterministic across engines; RANK gives every tied row the
+    same tile, and the arithmetic is all-integer, so parity is exact
+    with zero float ops).
+
+    Same two-pass quantile-combiner shape as events_cume_dist:
+    per-(group, value) histogram partials → small grouped sum → the
+    merged histogram becomes a broadcast exclusive-cumsum (= rank−1)
+    lookup; pass 2 is a vectorized searchsorted per batch. No
+    per-group sort of the full table; bounded-cardinality value
+    domain assumed (the quantile operators' contract)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_numpy(zero_copy_only=False),
+                "v": t.column("value").to_numpy(zero_copy_only=False),
+            }
+        )
+        c = df.groupby(["g", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "g": pa.array(c["g"]),
+                "v": pa.array(c["v"].astype(np.float64)),
+                "n": pa.array(c["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .dropna(subset=["g"])
+        .sort_values(["g", "v"], kind="stable")
+    )
+    lookup: dict = {}
+    for g, sub in hist.groupby("g", sort=False):
+        vals = sub["v"].to_numpy(dtype=np.float64)
+        n = sub["n"].to_numpy(dtype=np.int64)
+        rank_lt = np.concatenate([[0], np.cumsum(n)[:-1]])  # rows strictly below
+        lookup[g] = (vals, rank_lt, int(n.sum()))
+
+    def f(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "event_id" not in t.column_names:
+            return pa.table(
+                {
+                    "event_id": pa.array([], _I64),
+                    "event_type": pa.array([], pa.string()),
+                    "tile": pa.array([], _I64),
+                }
+            )
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        tile = np.empty(len(v), dtype=np.int64)
+        for g in pd.unique(types):
+            m = types == g
+            vals, rank_lt, n_g = lookup[g]
+            lt = rank_lt[np.searchsorted(vals, v[m], side="left")]
+            tile[m] = 1 + (lt * k) // n_g
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "tile": pa.array(tile),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def hourly_distinct_users(sf_dir: str, num_shards: int = 8) -> "ray.data.Dataset":
     """Windowed DISTINCT counting: distinct users per tumbling hour —
     the shape behind DAU/HAU-style reach metrics. The (hour, user)

@@ -281,3 +281,31 @@ def test_eigencentrality_fixed_brute_force():
     want = np.round(x.astype(np.float64) / x.sum(), 6)
     assert got["vertex"].tolist() == verts
     assert got["eig"].tolist() == want.tolist()
+
+
+def test_events_quartile_tiles_tie_stable(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import events_quartile_tiles
+
+    # heavy ties: 10 rows of value 1.0 must ALL share one tile
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(16, dtype=np.int64),
+            "event_type": ["a"] * 12 + ["b"] * 4,
+            "value": [1.0] * 10 + [2.0, 3.0] + [5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        events_quartile_tiles(str(tmp_path), k=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # group a: rank(1.0)=1 -> tile 1 for all ten; rank(2.0)=11 -> 1+(10*4)//12=4
+    assert got.loc[:9, "tile"].tolist() == [1] * 10
+    assert got.loc[10, "tile"] == 4
+    assert got.loc[11, "tile"] == 1 + (11 * 4) // 12
+    # group b: 4 distinct values over k=4 -> tiles 1..4
+    assert got.loc[12:, "tile"].tolist() == [1, 2, 3, 4]
