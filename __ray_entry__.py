@@ -336,6 +336,42 @@ def _g_triangles_parts(sf_dir):
     return ray.data.from_items([{"n_triangles": int(n)}])
 
 
+def _t_bpe_merges(sf_dir):
+    """Distributed BPE tokenizer training (20 merges) over the
+    documents corpus — rows-only for the driver (the merge loop is an
+    iterative argmax fixpoint, not SQL-expressible), but self-gated
+    in-query at gate scale: word counts re-derived INDEPENDENTLY
+    (Python re with the pinned RE2 whitespace class, not the engine's
+    Arrow kernels) feed the pure-Python classic get_stats/merge_vocab
+    replica, and the distributed merge table must match it exactly —
+    pair counts, tie-breaks, leftmost-greedy application, all 20
+    rows."""
+    import re
+
+    import pandas as pd
+
+    from distributed_pagerank_ray.functions.bpe import bpe_brute_force, bpe_train
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    got = bpe_train(docs, num_merges=20)
+
+    # independent brute-force replica (gate scale only)
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
+    wc: dict = {}
+    for t in texts:
+        for w in re.split("[\t\n\f\r ]+", (t or "").strip("\t\n\f\r ")):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want = bpe_brute_force(wc, 20)
+    got_rows = [
+        (r["left"], r["right"], r["merged"], r["count"]) for r in got.to_pylist()
+    ]
+    assert got_rows == want, "distributed BPE diverged from the classic replica"
+    return got
+
+
 def _g_pagerank_lineitem(sf_dir):
     """Converged PageRank over the lineitem graph (threshold 1e-8).
     Rows-only for the driver (an iterative fixpoint is not
@@ -3875,6 +3911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # x_compact / x_incremental_update / x_line_dedup displaced
         # earlier in r5 — driver rows-only green in CORRECTNESS_r03/r04)
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
+        "t_bpe_merges": _t_bpe_merges,  # BPE tokenizer training, in-query classic-replica gate (r5 new)
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity

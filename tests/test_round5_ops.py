@@ -309,3 +309,56 @@ def test_events_quartile_tiles_tie_stable(tmp_path):
     assert got.loc[11, "tile"] == 1 + (11 * 4) // 12
     # group b: 4 distinct values over k=4 -> tiles 1..4
     assert got.loc[12:, "tile"].tolist() == [1, 2, 3, 4]
+
+
+def _bpe_docs(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_bpe_train_matches_brute_force():
+    from distributed_pagerank_ray.functions.bpe import bpe_brute_force, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ]
+    got = bpe_train(_bpe_docs(texts), num_merges=12).to_pandas()
+    wc: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_brute_force(wc, 12)
+    assert [tuple(r) for r in got[["left", "right", "merged", "count"]].to_numpy()] == want
+
+
+def test_bpe_same_symbol_runs_leftmost_greedy():
+    from distributed_pagerank_ray.functions.bpe import bpe_brute_force, bpe_train
+
+    # "aaaa" x3: (a,a) counts overlapping occurrences (3 per word), and
+    # the merge applies leftmost-first -> "aa","aa"; next round merges
+    # (aa,aa). Distributed and brute replicas must agree on all of it.
+    texts = ["aaaa aaaa aaaa", "aaa b aaa", "ab ab"]
+    got = bpe_train(_bpe_docs(texts), num_merges=4).to_pandas()
+    wc: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_brute_force(wc, 4)
+    assert [tuple(r) for r in got[["left", "right", "merged", "count"]].to_numpy()] == want
+    assert got.loc[0, ["left", "right"]].tolist() == ["a", "a"]
+
+
+def test_bpe_early_stop_single_chars():
+    from distributed_pagerank_ray.functions.bpe import bpe_train
+
+    got = bpe_train(_bpe_docs(["a b c d", "e f g"]), num_merges=5).to_pandas()
+    assert len(got) == 0  # no adjacent pairs anywhere
