@@ -336,6 +336,39 @@ def _g_triangles_parts(sf_dir):
     return ray.data.from_items([{"n_triangles": int(n)}])
 
 
+def _e_pca_project(sf_dir):
+    """PCA projection of the embeddings table onto the top-2 principal
+    components — rows-only for the driver (eigendecomposition isn't
+    SQL-expressible), self-gated in-query: a driver-side numpy replica
+    (same moments → eigh → sign convention) must match the distributed
+    projection to 1e-4 on every row at gate scale."""
+    import pandas as pd
+
+    from distributed_pagerank_ray.functions.similarity import pca_project
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = pca_project(ds, id_col="vec_id", k=2)
+
+    out = got.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ref = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    E = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    mean = E.mean(axis=0)
+    cov = (E.T @ E) / len(E) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    W = v[:, np.argsort(w)[::-1][:2]]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(2)])
+    flip[flip == 0] = 1.0
+    P = (E - mean[None, :]) @ (W * flip[None, :])
+    want = pd.DataFrame({"vec_id": ref["vec_id"], "pc1": P[:, 0], "pc2": P[:, 1]})
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    assert np.allclose(out[["pc1", "pc2"]].to_numpy(), want[["pc1", "pc2"]].to_numpy(), atol=1e-4), (
+        "distributed PCA diverged from the numpy replica"
+    )
+    return got
+
+
 def _t_bpe_merges(sf_dir):
     """Distributed BPE tokenizer training (20 merges) over the
     documents corpus — rows-only for the driver (the merge loop is an
@@ -3912,6 +3945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # earlier in r5 — driver rows-only green in CORRECTNESS_r03/r04)
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
         "t_bpe_merges": _t_bpe_merges,  # BPE tokenizer training, in-query classic-replica gate (r5 new)
+        "e_pca_project": _e_pca_project,  # top-2 PCA projection, in-query numpy-replica gate (r5 new)
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity

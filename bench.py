@@ -201,6 +201,10 @@ def run_bench() -> dict:
         "t_dup_spans",
         "t_mixture_sample",
         "t_budget_trim",
+        "g_edge_jaccard_parts",
+        "g_eigen3_doc",
+        "r_events_quartile",
+        "m_bmp_decode",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
@@ -218,6 +222,13 @@ def run_bench() -> dict:
     # of the fused-exchange rework — 109 s in r4, ~33 s after)
     t, _ = _timed(lambda: qs["g_scc_doc"](sf_dir).count())
     queries["g_scc_doc"] = round(t, 3)
+
+    # iterative round-5 ops: single rep (multi-round AllToAll floors
+    # dominate; round-over-round numbers, not microbenchmarks)
+    t, _ = _timed(lambda: qs["g_ktruss_doc"](sf_dir).count())
+    queries["g_ktruss_doc"] = round(t, 3)
+    t, _ = _timed(lambda: len(qs["t_bpe_merges"](sf_dir)))
+    queries["t_bpe_merges"] = round(t, 3)
 
     ray.shutdown()
     return result

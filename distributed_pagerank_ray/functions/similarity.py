@@ -627,3 +627,91 @@ def quantize_int8_stats(
         )
 
     return ray.data.from_arrow_refs([fold_err.remote(scales_ref, *ep.to_arrow_refs())])
+
+
+def pca_moments(
+    ds: "ray.data.Dataset", emb_col: str = "embedding"
+) -> "tuple[float, np.ndarray, np.ndarray]":
+    """(n, mean[d], cov[d,d]) from the covariance_matrix moment-partial
+    pass — O(blocks·d²) exchange, one remote fold, the driver holds
+    d²+d+1 floats."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or emb_col not in t.column_names:
+            return pa.table({"blob": pa.array([], pa.binary()), "d": pa.array([], _I64)})
+        E = _batch_matrix(t, emb_col).astype(np.float64)
+        n = np.array([float(len(E))])
+        blob = np.concatenate([n, E.sum(axis=0), (E.T @ E).ravel()]).tobytes()
+        return pa.table(
+            {"blob": pa.array([blob], pa.binary()), "d": pa.array([E.shape[1]], _I64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def fold(*blocks):
+        acc, d = None, 0
+        for b in blocks:
+            if "blob" not in b.column_names or len(b) == 0:
+                continue
+            for blob, dd in zip(b.column("blob").to_pylist(), b.column("d").to_pylist()):
+                v = np.frombuffer(blob, dtype=np.float64)
+                d = int(dd)
+                acc = v if acc is None else acc + v
+        if acc is None:
+            raise ValueError("pca_moments: empty embedding input")
+        return acc, d
+
+    acc, d = ray.get(fold.remote(*partials.to_arrow_refs()))
+    n = acc[0]
+    mean = acc[1 : 1 + d] / n
+    cov = acc[1 + d :].reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "doc_id",
+    k: int = 2,
+    round_dp: int = 6,
+) -> "ray.data.Dataset":
+    """Project embeddings onto their top-``k`` principal components —
+    the standard 2-D corpus-map / drift-monitoring view of an
+    embedding table.
+
+    Scale shape: phase 1 is :func:`pca_moments` (mergeable moment
+    partials, O(blocks·d²) exchange); the d×d eigendecomposition runs
+    ON THE DRIVER (d is the embedding width — trivial) with a
+    DETERMINISTIC sign convention (each component's largest-|loading|
+    coordinate is made positive; eigh's sign is otherwise
+    build-dependent); phase 2 broadcasts (mean, W) in the task closure
+    and projects each batch with one float64 matmul. Output
+    (id, pc1..pck) rounded ``round_dp``; eigenvalue ties would make
+    component ORDER data-dependent — fine for monitoring, and the
+    in-query gate compares against a driver-side numpy replica, not a
+    fixed fixture."""
+    n, mean, cov = pca_moments(ds, emb_col)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    W = v[:, order]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
+    flip[flip == 0] = 1.0
+    W = W * flip[None, :]
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        if len(t) == 0 or emb_col not in t.column_names:
+            cols[id_col] = pa.array([], _I64)
+            for j in range(k):
+                cols[f"pc{j + 1}"] = pa.array([], _F64)
+            return pa.table(cols)
+        E = _batch_matrix(t, emb_col).astype(np.float64)
+        P = (E - mean[None, :]) @ W
+        cols[id_col] = t.column(id_col)
+        for j in range(k):
+            cols[f"pc{j + 1}"] = pa.array(np.round(P[:, j], round_dp), _F64)
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -141,3 +141,37 @@ def test_random_sign_projection():
         .reset_index(drop=True)
     )
     assert np.array_equal(P, out2[[f"p{c}" for c in range(8)]].to_numpy())
+
+
+def test_pca_project_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from distributed_pagerank_ray.functions.similarity import pca_project
+
+    rng = np.random.default_rng(9)
+    # anisotropic cloud so the top components are unambiguous
+    E = rng.normal(size=(300, 8)) * np.array([10, 5, 1, 1, 0.5, 0.3, 0.2, 0.1])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                "embedding": pa.array(list(E.astype(np.float32))),
+            }
+        )
+    ).repartition(4)
+    got = pca_project(ds, id_col="vec_id", k=3).to_pandas().sort_values("vec_id")
+
+    X = E.astype(np.float32).astype(np.float64)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    W = v[:, np.argsort(w)[::-1][:3]]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(3)])
+    P = (X - mean[None, :]) @ (W * flip[None, :])
+    assert np.allclose(got[["pc1", "pc2", "pc3"]].to_numpy(), P, atol=1e-5)
+    # variance ordering: pc1 spread >= pc2 >= pc3
+    sd = got[["pc1", "pc2", "pc3"]].std().to_numpy()
+    assert sd[0] > sd[1] > sd[2]
