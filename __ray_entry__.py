@@ -3128,22 +3128,14 @@ def _g_betweenness_doc(sf_dir):
     return betweenness_centrality(g, batch_k=512, directed=False)
 
 
-def _g_ktruss_doc(sf_dir):
-    """4-truss (pipelines/ktruss.py: iterative support peel through the
-    triangle join path + BSP adjacency) on a PLANTED graph: consecutive
-    groups of 8 doc ids carry a K4 on positions {0,1,2,3}, a
-    triangle CHAIN (3,4),(3,5),(4,5),(4,6),(5,6) and a tail (6,7).
-    The chain makes the peel genuinely CASCADE: (4,5) has support 2 in
-    round 1 and only dies in round 2 after its flanking triangles are
-    peeled — so the gate witnesses the iteration, not one support
-    pass. Closed form: the 4-truss is exactly each group's K4, every
-    edge with support 2 (hard-coded in the SQL oracle; independently
-    asserted vs brute force in tests/test_ktruss.py). Vertex set
-    capped at 2048 ids (full groups) to keep the gate constant-cost at
-    both scales."""
+def _planted_k4_chain_edges(sf_dir):
+    """The planted cohesive-subgraph gate graph: consecutive groups of
+    8 doc ids carry a K4 on positions {0,1,2,3}, a triangle CHAIN
+    (3,4),(3,5),(4,5),(4,6),(5,6) and a tail (6,7); capped at 2048 ids
+    (full groups) so the gate is constant-cost at both scales. Shared
+    by g_ktruss_doc and g_coreness_doc — both peels genuinely CASCADE
+    on it."""
     import ray.data
-
-    from distributed_pagerank_ray.pipelines.ktruss import ktruss
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     nf = min(2048, docs.count() // 8 * 8)
@@ -3163,7 +3155,36 @@ def _g_ktruss_doc(sf_dir):
             {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
         )
 
-    return ktruss(docs.map_batches(make, batch_format="pyarrow"), k=4)
+    return docs.map_batches(make, batch_format="pyarrow")
+
+
+def _g_ktruss_doc(sf_dir):
+    """4-truss (pipelines/ktruss.py: iterative support peel through the
+    triangle join path + BSP adjacency) on the planted K4+chain graph.
+    The chain makes the peel genuinely CASCADE: (4,5) has support 2 in
+    round 1 and only dies in round 2 after its flanking triangles are
+    peeled — so the gate witnesses the iteration, not one support
+    pass. Closed form: the 4-truss is exactly each group's K4, every
+    edge with support 2 (hard-coded in the SQL oracle; independently
+    asserted vs brute force in tests/test_ktruss.py)."""
+    from distributed_pagerank_ray.pipelines.ktruss import ktruss
+
+    return ktruss(_planted_k4_chain_edges(sf_dir), k=4)
+
+
+def _g_coreness_doc(sf_dir):
+    """Full core decomposition (kcore.core_numbers: peel_edges iterated
+    on the shrinking edge set, one min-BSP fold of the stamped levels)
+    on the planted K4+chain graph. The level-3 peel CASCADES (tail 7 →
+    hinge 6 → chain 4,5), so the gate witnesses iteration inside a
+    level, not just the level loop. Closed form per position:
+    coreness = [3,3,3,3,2,2,2,1]."""
+    from distributed_pagerank_ray.pipelines.kcore import core_numbers
+    from distributed_pagerank_ray.pipelines.triangles import canonical_undirected
+
+    return core_numbers(
+        canonical_undirected(_planted_k4_chain_edges(sf_dir)), num_partitions=4
+    )
 
 
 def _g_distsummary_org(sf_dir):
@@ -3946,6 +3967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
         "t_bpe_merges": _t_bpe_merges,  # BPE tokenizer training, in-query classic-replica gate (r5 new)
         "e_pca_project": _e_pca_project,  # top-2 PCA projection, in-query numpy-replica gate (r5 new)
+        "g_coreness_doc": _g_coreness_doc,  # full core decomposition, planted closed-form oracle (r5 new)
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
@@ -4870,6 +4892,16 @@ SELECT doc_id + CAST(CASE CAST(j AS INTEGER)
        CAST(2 AS BIGINT) AS support
 FROM documents, nn, UNNEST(range(0, 6)) AS u(j)
 WHERE doc_id % 8 = 0 AND doc_id < nf
+""",
+        # planted K4+chain coreness closed form: positions 0-3 are the
+        # K4 (3-core), 4-6 the triangle chain (2-core), 7 the tail
+        "g_coreness_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents)
+SELECT doc_id AS v,
+       CAST(CASE WHEN doc_id % 8 <= 3 THEN 3
+                 WHEN doc_id % 8 <= 6 THEN 2
+                 ELSE 1 END AS BIGINT) AS coreness
+FROM documents, nn WHERE doc_id < nf
 """,
         # tokenizer matches t_token_counts (planted pad + RE2-\s trim);
         # prio and the prefix cut are pure int; window SUM cast BIGINT

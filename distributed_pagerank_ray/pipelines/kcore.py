@@ -57,6 +57,27 @@ def kcore_peel(
     Kill sets up to ``broadcast_kill_limit`` are broadcast (one filter
     pass, no AllToAll); larger ones — typically only round 1 at low k —
     go through two ``left_anti`` shuffle joins, driver-free."""
+    return _sym_degrees(
+        peel_edges(
+            edges,
+            k,
+            rounds=rounds,
+            broadcast_kill_limit=broadcast_kill_limit,
+            num_partitions=num_partitions,
+        )
+    )
+
+
+def peel_edges(
+    edges: "ray.data.Dataset",
+    k: int,
+    rounds: int | None = None,
+    broadcast_kill_limit: int = 1 << 20,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """The k-core's surviving EDGE set (kcore_peel's engine, exposed so
+    core_numbers can iterate on shrinking edge sets: the (k+1)-core of
+    the k-core's edges IS the (k+1)-core of the full graph)."""
     from ..util import compact_for_join, ensure_schema
 
     edges = edges.materialize()
@@ -104,4 +125,69 @@ def kcore_peel(
             ).map_batches(
                 ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
             ).materialize()
-    return _sym_degrees(edges)
+    return edges
+
+
+def core_numbers(
+    edges: "ray.data.Dataset",
+    max_k: int = 1 << 16,
+    broadcast_kill_limit: int = 1 << 20,
+    num_partitions: int = 8,
+    num_shards: int = 16,
+) -> "ray.data.Dataset":
+    """Full core decomposition: (v, coreness) for every vertex with at
+    least one edge (coreness(v) = max k such that v is in the k-core;
+    isolated vertices never enter an edge list and are out of scope).
+
+    Shape: iterate ``peel_edges`` on the SHRINKING edge set — the
+    (k+1)-core of the k-core's edges equals the (k+1)-core of the full
+    graph, so each level pays only for the surviving subgraph. Every
+    level's vertex set is stamped with ``-k`` and the union folds
+    through ONE ``min_i64_by_key`` BSP at the end (min of -k = max k);
+    the union's size is Σ_k |V_k| ≤ degeneracy · |V| rows of two int64s
+    — no driver-side vertex sets. Raises if ``max_k`` levels don't
+    exhaust the graph (no silent truncation)."""
+    from ..util import min_i64_by_key
+
+    levels = []
+    cur = edges.materialize()
+    k = 1
+    while True:
+        if k > max_k:
+            raise RuntimeError(f"core_numbers: degeneracy exceeds max_k={max_k}")
+        verts_k = _sym_degrees(cur).map_batches(
+            lambda t, kk=k: pa.table(
+                {"v": t.column("v"), "negk": pa.array(np.full(len(t), -kk, np.int64))}
+            )
+            if "v" in t.column_names
+            else pa.table({"v": pa.array([], _I64), "negk": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        )
+        levels.append(verts_k)
+        cur = peel_edges(
+            cur,
+            k + 1,
+            broadcast_kill_limit=broadcast_kill_limit,
+            num_partitions=num_partitions,
+        )
+        if cur.count() == 0:
+            break
+        k += 1
+
+    u = levels[0]
+    for lv in levels[1:]:
+        u = u.union(lv)
+    folded = min_i64_by_key(u, "v", "negk", num_shards=num_shards)
+    return folded.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t.column("v"),
+                "coreness": pa.array(
+                    -t.column("negk").to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        if "v" in t.column_names
+        else pa.table({"v": pa.array([], _I64), "coreness": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )

@@ -362,3 +362,71 @@ def test_bpe_early_stop_single_chars():
 
     got = bpe_train(_bpe_docs(["a b c d", "e f g"]), num_merges=5).to_pandas()
     assert len(got) == 0  # no adjacent pairs anywhere
+
+
+def _brute_coreness(pairs):
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    core = {}
+    k = 1
+    while edges:
+        # peel to (k+1)-core
+        cur = set(edges)
+        verts_k = {v for e in cur for v in e}
+        while True:
+            deg: dict = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            kill = {v for v, d in deg.items() if d < k + 1}
+            if not kill:
+                break
+            cur = {e for e in cur if e[0] not in kill and e[1] not in kill}
+        verts_next = {v for e in cur for v in e}
+        for v in verts_k - verts_next:
+            core[v] = k
+        edges = cur
+        k += 1
+    return core
+
+
+def test_core_numbers_brute_force():
+    from distributed_pagerank_ray.pipelines.kcore import core_numbers
+    from distributed_pagerank_ray.pipelines.triangles import canonical_undirected
+
+    rng = np.random.default_rng(41)
+    pairs = [tuple(rng.integers(0, 30, 2)) for _ in range(180)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = core_numbers(canonical_undirected(ds), num_partitions=2).to_pandas()
+    want = _brute_coreness(pairs)
+    assert {(r.v, r.coreness) for r in got.itertuples()} == set(want.items())
+
+
+def test_core_numbers_planted_closed_form():
+    import itertools
+
+    from distributed_pagerank_ray.pipelines.kcore import core_numbers
+    from distributed_pagerank_ray.pipelines.triangles import canonical_undirected
+
+    k4 = list(itertools.combinations(range(4), 2))
+    chain = [(3, 4), (3, 5), (4, 5), (4, 6), (5, 6), (6, 7)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in k4 + chain], pa.int64()),
+                "dst": pa.array([e[1] for e in k4 + chain], pa.int64()),
+            }
+        )
+    )
+    got = (
+        core_numbers(canonical_undirected(ds), num_partitions=2)
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert got["coreness"].tolist() == [3, 3, 3, 3, 2, 2, 2, 1]
