@@ -3890,12 +3890,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green rows in CORRECTNESS_r02/r03 (committed) plus pytest; the
     # full 114+-query run is reproducible via tools/check_correctness.py.
     return {
-        # ---- driver window: flagship core (5, pinned every round) ----
+        # ---- driver window: flagship core (2 pinned; cc/lpa/triangles
+        # displaced late-r5 — all three carry driver green in r4 with
+        # unchanged semantics, freeing slots for the three never-yet-
+        # witnessed SQL-gated r5 ops below) ----
         "g_edges": _g_edges,
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
-        "g_cc_org": _g_cc_org,
-        "g_lpa_org": _g_lpa_org,
-        "g_triangles_parts": _g_triangles_parts,
+        "r_events_quartile": _r_events_quartile,  # tie-stable quantile binning, int-exact (r5 new)
+        "g_coreness_doc": _g_coreness_doc,  # full core decomposition, planted closed-form oracle (r5 new)
+        "g_eigen3_doc": _g_eigen3_doc,  # eigenvector centrality, int-exact unrolled oracle (r5 new)
         # ---- driver window: the 23 queries never driver-witnessed in
         # r1-r4 (VERDICT r4 item #3) — local-gate green every round ----
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
@@ -3948,12 +3951,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_edge_jaccard_parts": _g_edge_jaccard_parts,  # edge-neighborhood Jaccard top-20, SQL-gated (r5 new)
         "m_bmp_decode": _m_bmp_decode,  # REAL BMP decode w/ orientation witness, SQL-gated (r5 new)
         # ---- end of 50-entry driver window ----
+        # (g_cc_org / g_lpa_org / g_triangles_parts displaced late-r5:
+        # driver green in CORRECTNESS_r04.json with unchanged semantics;
+        # still in the full local exact-hash gate)
+        "g_cc_org": _g_cc_org,
+        "g_lpa_org": _g_lpa_org,
+        "g_triangles_parts": _g_triangles_parts,
         # (r_events_sessions displaced late-r5 for m_bmp_decode: the r5
         # size-derived-buckets change stays witnessed in-window twice
         # via r_user_journeys + r_events_moving_avg, and sessions
         # carries driver green from r2; still in the full local gate)
         "r_events_sessions": _r_events_sessions,  # size-derived num_buckets (r5)
-        "r_events_quartile": _r_events_quartile,  # tie-stable quantile binning, int-exact (r5 new)
         # (t_near_dedup_keep displaced late-r5 for g_edge_jaccard_parts:
         # its r5 tokenizer change is already witnessed twice in-window
         # via t_ngram_dup_pairs + t_decontam, and it carries driver
@@ -3967,7 +3975,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_pagerank_lineitem": _g_pagerank_lineitem,  # converged PR, numpy-oracle in-query gate
         "t_bpe_merges": _t_bpe_merges,  # BPE tokenizer training, in-query classic-replica gate (r5 new)
         "e_pca_project": _e_pca_project,  # top-2 PCA projection, in-query numpy-replica gate (r5 new)
-        "g_coreness_doc": _g_coreness_doc,  # full core decomposition, planted closed-form oracle (r5 new)
         "t_simhash_pairs": _t_simhash_pairs,  # rows-only + in-query brute-force gate
         "t_winnow_fp": _t_winnow,  # rows-only + in-query stability self-gate
         "x_line_dedup": _x_line_dedup,  # rows-only + in-query brute-force parity
@@ -3984,7 +3991,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_walk_pairs_org": _g_walk_pairs_org,  # skip-gram pairs from walk corpus
         "g_twohop_org": _g_twohop_org,  # friends-of-friends neighborhood sizes
         "g_katz3_org": _g_katz3_org,  # Katz centrality, unrolled-SQL oracle
-        "g_eigen3_doc": _g_eigen3_doc,  # eigenvector centrality, int-exact unrolled oracle (r5 new)
         "g_sparsify_lineitem": _g_sparsify_lineitem,  # degree-capped edge sampling
         "g_powerlaw_lineitem": _g_powerlaw_lineitem,  # degree power-law MLE
         "t_heavy_hitters": _t_heavy_hitters,  # weighted count BSP + CMS gate
