@@ -3690,6 +3690,202 @@ def _g_eigen3_doc(sf_dir):
     )
 
 
+def _g_dagdepth_doc(sf_dir):
+    """DAG longest-path depth (critical-path layering) on the PLANTED
+    layered doc DAG — layer(i) = i mod 12; each doc below the final
+    layer links to a quadratic-hash target in the NEXT layer (plus a
+    second target when i % 3 == 0), so the graph is acyclic by
+    construction and depth(v) = longest derivation chain ending at v,
+    in [0, 11]. Quadratic mixes per the small-id multiplier rule
+    (affine maps lattice-cluster under a small modulus). The engine is
+    pipelines/dagdepth.py's max-plus BSP (one join + one negated-min
+    BSP per round, monotone-sum convergence, max_rounds raise = cycle
+    detector); the oracle is a depth-bounded recursive CTE whose
+    UNION-dedup recursion caps rows at n×12 (no path-count blowup)."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.dagdepth import dag_longest_path
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = i % 12
+        sel = k < 11
+        i1, k1 = i[sel], k[sel]
+        m = (n - (k1 + 1) + 11) // 12  # size of layer k+1
+        d1 = ((i1 * i1 + 61 * i1 + 7) % m) * 12 + (k1 + 1)
+        s2 = i1 % 3 == 0
+        d2 = ((i1[s2] * i1[s2] * 5 + 23 * i1[s2] + 3) % m[s2]) * 12 + (k1[s2] + 1)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([i1, i1[s2]])),
+                "dst": pa.array(np.concatenate([d1, d2])),
+            }
+        )
+
+    edges = docs.map_batches(make, batch_format="pyarrow")
+    verts = docs.map_batches(
+        lambda t: pa.table({"v": t.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return dag_longest_path(edges, verts, num_partitions=4, num_shards=4, max_rounds=16)
+
+
+def _r_winsorize(sf_dir):
+    """Winsorized revenue report: clamp l_extendedprice (as exact
+    integer cents, the r_orders_rollup money rule) to its GLOBAL
+    [p01, p99] discrete quantiles, then per-returnflag count /
+    winsorized sum / clip counts. Bounds come from the exact merged
+    value-histogram (functions/quantiles.py, DuckDB quantile_disc rule
+    ceil(q·n)−1); the clamp pass is one vectorized map + grouped SUM
+    of per-batch partials. Money never touches float."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+    from distributed_pagerank_ray.util import ensure_schema
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "f": t.column("l_returnflag"),
+                "cents": pa.array(c),
+                "g": pa.array(np.zeros(len(c), np.int64)),
+            }
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    q = grouped_discrete_quantiles(
+        cds, "g", "cents", qs=(0.01, 0.99), q_names=("lo", "hi")
+    ).to_pandas()
+    lo, hi = int(q["lo"].iloc[0]), int(q["hi"].iloc[0])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if len(t) == 0 or "cents" not in t.column_names:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_w_cents": pa.array([], pa.int64()),
+                    "n_lo": pa.array([], pa.int64()),
+                    "n_hi": pa.array([], pa.int64()),
+                }
+            )
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "f": t.column("f").to_numpy(zero_copy_only=False),
+                "w": np.clip(c, lo, hi),
+                "is_lo": (c < lo).astype(np.int64),
+                "is_hi": (c > hi).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby("f", sort=False)
+            .agg(n=("w", "size"), sum_w_cents=("w", "sum"), n_lo=("is_lo", "sum"), n_hi=("is_hi", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["f"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                "sum_w_cents": pa.array(g["sum_w_cents"].to_numpy(dtype=np.int64)),
+                "n_lo": pa.array(g["n_lo"].to_numpy(dtype=np.int64)),
+                "n_hi": pa.array(g["n_hi"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    out = (
+        cds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_w_cents", alias_name="sum_w_cents"),
+            Sum("n_lo", alias_name="n_lo"),
+            Sum("n_hi", alias_name="n_hi"),
+        )
+    )
+    return out.map_batches(
+        ensure_schema(
+            {
+                "l_returnflag": pa.string(),
+                "n": pa.int64(),
+                "sum_w_cents": pa.int64(),
+                "n_lo": pa.int64(),
+                "n_hi": pa.int64(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _t_edit_dist(sf_dir):
+    """Edit-distance verification of candidate near-dup pairs —
+    byte-exact Levenshtein over the 40-char prefix, DP vectorized
+    across the pair batch (functions/editdist.py; DuckDB levenshtein
+    operates on UTF-8 BYTES, verified 'éx'→'ex' = 2, so the engine
+    DP runs over the UTF-8 encoding of the codepoint prefix). Pairs
+    here are consecutive doc ids (a deterministic stand-in for any
+    candidate generator's output feeding this verify stage)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.editdist import levenshtein_bytes
+    from distributed_pagerank_ray.util import compact_for_join, ensure_schema
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def right(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table({"j": pa.array([], pa.int64()), "text_b": pa.array([], pa.string())})
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "j": pc.subtract(t.column("doc_id").cast(pa.int64()), 1),
+                "text_b": t.column("text"),
+            }
+        )
+
+    pairs = compact_for_join(docs, 4).join(
+        compact_for_join(docs.map_batches(right, batch_format="pyarrow"), 4),
+        join_type="inner",
+        num_partitions=4,
+        on=("doc_id",),
+        right_on=("j",),
+    )
+
+    def dist(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "text" not in t.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = levenshtein_bytes(
+            t.column("text").to_pylist(), t.column("text_b").to_pylist(), prefix_chars=40
+        )
+        return pa.table({"a": pa.array(ids), "b": pa.array(ids + 1), "dist": pa.array(d)})
+
+    return pairs.map_batches(dist, batch_format="pyarrow").map_batches(
+        ensure_schema({"a": pa.int64(), "b": pa.int64(), "dist": pa.int64()}),
+        batch_format="pyarrow",
+    )
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -3931,10 +4127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_counts": _t_token_counts,  # planted-pad trim-parity witness (r5)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5)
         "t_ngram_dup_pairs": _t_ngram_dup_pairs,  # RE2-\s word shingles (r5)
-        "t_decontam": _t_decontam,  # RE2-\s word shingles (r5)
-        "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
         "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated LSH, never driver-witnessed
-        "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
+        "g_dagdepth_doc": _g_dagdepth_doc,  # DAG longest-path depth, recursive-CTE oracle (r5 new)
+        "r_winsorize": _r_winsorize,  # exact-quantile winsorized money report (r5 new)
+        "t_edit_dist": _t_edit_dist,  # byte-exact vectorized Levenshtein verify (r5 new)
         # ---- driver window: round-5 behavior changes / new ops ----
         "g_scc_doc": _g_scc_doc,  # SCC, fused F+B exchanges (r5 rework)
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG (size-derived buckets, r5)
@@ -3967,6 +4163,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via t_ngram_dup_pairs + t_decontam, and it carries driver
         # green from r2; still in the full local exact-hash gate)
         "t_near_dedup_keep": _t_near_dedup_keep,  # RE2-\s word shingles (r5)
+        # (t_decontam / t_corpus_prep / t_exact_dedup displaced late-r5
+        # for g_dagdepth_doc / r_winsorize / t_edit_dist: each r5
+        # semantic change they carry stays witnessed in-window —
+        # RE2-\s trim via t_pack_seqs + t_token_counts, word shingles
+        # via t_ngram_dup_pairs — all three are driver-green from
+        # earlier rounds and stay in the full local exact-hash gate)
+        "t_decontam": _t_decontam,  # RE2-\s word shingles (r5)
+        "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
+        "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -4908,6 +5113,56 @@ SELECT doc_id AS v,
                  WHEN doc_id % 8 <= 6 THEN 2
                  ELSE 1 END AS BIGINT) AS coreness
 FROM documents, nn WHERE doc_id < nf
+""",
+        # planted layered DAG (layer = id mod 12, quadratic-hash next-
+        # layer targets); UNION-dedup recursion caps rows at n*12
+        "g_dagdepth_doc": """
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+base AS (
+  SELECT d.doc_id AS i, d.doc_id % 12 AS k,
+         (nn.n - (d.doc_id % 12 + 1) + 11) // 12 AS m
+  FROM documents d, nn WHERE d.doc_id % 12 < 11
+),
+e AS (
+  SELECT i AS src, ((i*i + 61*i + 7) % m) * 12 + (k + 1) AS dst FROM base
+  UNION ALL
+  SELECT i AS src, ((i*i*5 + 23*i + 3) % m) * 12 + (k + 1) AS dst
+  FROM base WHERE i % 3 = 0
+),
+lp AS (
+  SELECT doc_id AS v, 0 AS d FROM documents
+  UNION
+  SELECT e.dst AS v, lp.d + 1 AS d FROM lp JOIN e ON e.src = lp.v
+)
+SELECT v, CAST(MAX(d) AS BIGINT) AS depth FROM lp GROUP BY v ORDER BY v
+""",
+        # money as exact integer cents (r_orders_rollup rule); bounds
+        # are quantile_disc = element at ceil(q*n)-1, matching
+        # functions/quantiles.py's discrete path; SUM cast BIGINT per
+        # the HUGEINT rule
+        "r_winsorize": """
+WITH c AS (SELECT l_returnflag,
+                  CAST(l_extendedprice * 100 AS BIGINT) AS cents
+           FROM lineitem),
+b AS (SELECT quantile_disc(cents, 0.01) AS lo,
+             quantile_disc(cents, 0.99) AS hi FROM c)
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CASE WHEN cents < b.lo THEN b.lo
+                     WHEN cents > b.hi THEN b.hi
+                     ELSE cents END) AS BIGINT) AS sum_w_cents,
+       CAST(sum(CASE WHEN cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM c, b GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        # DuckDB levenshtein is BYTE-based on UTF-8 ('éx'->'ex' = 2);
+        # substr is codepoint-based — both match functions/editdist.py
+        "t_edit_dist": """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+ORDER BY a
 """,
         # tokenizer matches t_token_counts (planted pad + RE2-\s trim);
         # prio and the prefix cut are pure int; window SUM cast BIGINT

@@ -1,0 +1,91 @@
+"""Byte-exact Levenshtein distance, vectorized across a pair batch.
+
+Verification-stage kernel for the near-dup stack: candidate pairs from
+the cheap generators (n-gram Jaccard, MinHash, SimHash — see
+functions/dedup.py) get an EXACT edit distance over a bounded prefix,
+so borderline candidates are accepted/rejected on real evidence
+instead of sketch estimates. A capability beyond the reference's scope
+(lioia/distributed-pagerank implements only PageRank).
+
+Semantics pinned to DuckDB's ``levenshtein``, which operates on UTF-8
+BYTES, not codepoints (verified: ``levenshtein('éx','ex') = 2`` — 'é'
+is two bytes). The DP therefore runs over the UTF-8 encoding of the
+CHARACTER-prefix (``s[:prefix_chars]`` == SQL ``substr(s,1,n)``; both
+are codepoint-based).
+
+Vectorization: the classic O(La·Lb) DP is swept one A-row at a time
+with every pair in the batch advancing together — per row, deletion
+and substitution are elementwise minima against the previous row, and
+the sequential insertion dependency ``cur[j-1]+1`` collapses to a
+running minimum (``cur[j] = j + min_{k<=j}(t[k]-k)``, one
+``np.minimum.accumulate``). Per-row Python appears only in the
+C-level ``str.encode`` while packing the padded byte matrix.
+Cost O(batch · Lmax²) with Lmax bounded by ``prefix_chars`` (×4 for
+non-ASCII); size ``prefix_chars`` to the verification budget.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_I64 = pa.int64()
+
+
+def _pad_utf8(col, prefix_chars: int) -> tuple[np.ndarray, np.ndarray]:
+    """(batch, Lmax) uint8 matrix of zero-padded UTF-8 prefixes +
+    per-row byte lengths. NUL padding is safe: positions past each
+    row's length never influence its answer (extracted at la/lb)."""
+    bs = [("" if s is None else s)[:prefix_chars].encode("utf-8") for s in col]
+    n = len(bs)
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    lmax = int(lens.max()) if n else 0
+    out = np.zeros((n, max(lmax, 1)), np.uint8)
+    if lmax:
+        cat = np.frombuffer(b"".join(bs), np.uint8)
+        row = np.repeat(np.arange(n), lens)
+        pos = np.arange(len(cat)) - np.repeat(np.cumsum(lens) - lens, lens)
+        out[row, pos] = cat
+    return out, lens
+
+
+def levenshtein_bytes(col_a, col_b, prefix_chars: int = 40) -> np.ndarray:
+    """int64 edit distances between ``col_a[i]`` and ``col_b[i]``
+    (python/arrow string sequences), each truncated to its first
+    ``prefix_chars`` CHARACTERS then compared byte-wise — exactly
+    DuckDB ``levenshtein(substr(a,1,n), substr(b,1,n))``."""
+    A, la = _pad_utf8(col_a, prefix_chars)
+    B, lb = _pad_utf8(col_b, prefix_chars)
+    P, _ = A.shape
+    Lb = B.shape[1]
+    res = np.where(la == 0, lb, np.int64(-1))
+    jidx = np.arange(Lb + 1, dtype=np.int64)
+    prev = np.broadcast_to(jidx, (P, Lb + 1)).copy()
+    la_max = int(la.max()) if P else 0
+    for i in range(1, la_max + 1):
+        cost = (A[:, i - 1 : i] != B).astype(np.int64)
+        t = np.empty_like(prev)
+        t[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=t[:, 1:])
+        cur = np.minimum.accumulate(t - jidx, axis=1) + jidx
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res.astype(np.int64)
+
+
+def levenshtein_brute(a: str, b: str) -> int:
+    """Reference DP over UTF-8 bytes (test oracle)."""
+    x, y = a.encode("utf-8"), b.encode("utf-8")
+    prev = list(range(len(y) + 1))
+    for i in range(1, len(x) + 1):
+        cur = [i] + [0] * len(y)
+        for j in range(1, len(y) + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (x[i - 1] != y[j - 1]),
+            )
+        prev = cur
+    return prev[len(y)]
