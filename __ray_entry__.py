@@ -2740,6 +2740,49 @@ def _m_bmp_decode(sf_dir):
     return decode_bmp(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_tiff_decode(sf_dir):
+    """Fourth REAL image decode gate (baseline TIFF, 8-bit gray):
+    deterministic payloads from doc_id with pixel(y,x) =
+    (5·id + 3·x + 11·y) % 256, width 4+id%5, height 4+id%4,
+    RowsPerStrip=2 (multi-strip, strips written to the file in
+    REVERSE order — offsets must be honored), byte order ALTERNATING
+    II/MM by id parity (every IFD field swaps), and
+    PhotometricInterpretation 0 (WhiteIsZero) when id%3==0 else 1.
+    The SQL oracle computes the LUMINANCE stats analytically plus
+    ``top_lum`` (raster row 0) — the strip-order witness: assembling
+    strips in file order permutes rows, which whole-image stats are
+    blind to."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_tiff, encode_tiff
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = 4 + int(i) % 5, 4 + int(i) % 4
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            g = ((5 * int(i) + 3 * x[None, :] + 11 * y[:, None]) % 256).astype(np.uint8)
+            payloads.append(
+                encode_tiff(
+                    g,
+                    big_endian=bool(int(i) % 2),
+                    photometric=0 if int(i) % 3 == 0 else 1,
+                    rows_per_strip=2,
+                )
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_tiff(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _x_edgelist_text(sf_dir):
     """SQL-gated conformance parse of the reference text edge-list
     format (graph.go:178-196 semantics) through the VECTORIZED parser
@@ -4086,12 +4129,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green rows in CORRECTNESS_r02/r03 (committed) plus pytest; the
     # full 114+-query run is reproducible via tools/check_correctness.py.
     return {
-        # ---- driver window: flagship core (2 pinned; cc/lpa/triangles
+        # ---- driver window: flagship core (1 pinned; cc/lpa/triangles
         # displaced late-r5 — all three carry driver green in r4 with
-        # unchanged semantics, freeing slots for the three never-yet-
-        # witnessed SQL-gated r5 ops below) ----
-        "g_edges": _g_edges,
+        # unchanged semantics — and g_edges displaced last (driver
+        # green r1-r4 every round; entry() smoke-drives the same build
+        # path), freeing slots for never-yet-witnessed SQL-gated r5
+        # ops below) ----
         "g_pagerank3_lineitem": _g_pagerank3,  # fixed 3 iterations, SQL-checked
+        "m_tiff_decode": _m_tiff_decode,  # REAL TIFF decode w/ byte-order+strip witnesses (r5 new)
         "r_events_quartile": _r_events_quartile,  # tie-stable quantile binning, int-exact (r5 new)
         "g_coreness_doc": _g_coreness_doc,  # full core decomposition, planted closed-form oracle (r5 new)
         "g_eigen3_doc": _g_eigen3_doc,  # eigenvector centrality, int-exact unrolled oracle (r5 new)
@@ -4172,6 +4217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_decontam": _t_decontam,  # RE2-\s word shingles (r5)
         "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
         "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
+        "g_edges": _g_edges,  # displaced late-r5 for m_tiff_decode (driver green r1-r4)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5683,6 +5729,38 @@ SELECT doc_id,
               FROM UNNEST(range(3 + doc_id % 3)) AS q(y)), 6) AS mean_g,
        round(CAST(doc_id * 13 % 256 AS DOUBLE), 6) AS mean_b,
        round(CAST(doc_id * 7 % 256 AS DOUBLE), 6) AS top_g
+FROM documents
+""",
+        # TIFF: analytic LUMINANCE stats from the generation formula
+        # (photometric 0 inverts) plus the row-0 strip-order witness —
+        # strips are stored back-to-front, so a decoder walking file
+        # order instead of StripOffsets permutes rows and top_lum
+        # hashes apart while whole-image stats stay blind
+        "m_tiff_decode": """
+SELECT doc_id,
+       4 + doc_id % 5 AS width,
+       4 + doc_id % 4 AS height,
+       (4 + doc_id % 4 + 1) // 2 AS n_strips,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+       round((SELECT avg(CASE WHEN doc_id % 3 = 0
+                              THEN 255 - ((5 * doc_id + 3 * g.x + 11 * q.y) % 256)
+                              ELSE (5 * doc_id + 3 * g.x + 11 * q.y) % 256 END)
+              FROM UNNEST(range(4 + doc_id % 5)) AS g(x),
+                   UNNEST(range(4 + doc_id % 4)) AS q(y)), 6) AS mean_lum,
+       (SELECT min(CASE WHEN doc_id % 3 = 0
+                        THEN 255 - ((5 * doc_id + 3 * g.x + 11 * q.y) % 256)
+                        ELSE (5 * doc_id + 3 * g.x + 11 * q.y) % 256 END)
+        FROM UNNEST(range(4 + doc_id % 5)) AS g(x),
+             UNNEST(range(4 + doc_id % 4)) AS q(y)) AS min_lum,
+       (SELECT max(CASE WHEN doc_id % 3 = 0
+                        THEN 255 - ((5 * doc_id + 3 * g.x + 11 * q.y) % 256)
+                        ELSE (5 * doc_id + 3 * g.x + 11 * q.y) % 256 END)
+        FROM UNNEST(range(4 + doc_id % 5)) AS g(x),
+             UNNEST(range(4 + doc_id % 4)) AS q(y)) AS max_lum,
+       round((SELECT avg(CASE WHEN doc_id % 3 = 0
+                              THEN 255 - ((5 * doc_id + 3 * g.x) % 256)
+                              ELSE (5 * doc_id + 3 * g.x) % 256 END)
+              FROM UNNEST(range(4 + doc_id % 5)) AS g(x)), 6) AS top_lum
 FROM documents
 """,
         # regeneration of the planted text edge-list in _x_edgelist_text

@@ -205,6 +205,9 @@ def run_bench() -> dict:
         "g_eigen3_doc",
         "r_events_quartile",
         "m_bmp_decode",
+        "r_winsorize",
+        "t_edit_dist",
+        "m_tiff_decode",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
@@ -229,6 +232,8 @@ def run_bench() -> dict:
     queries["g_ktruss_doc"] = round(t, 3)
     t, _ = _timed(lambda: len(qs["t_bpe_merges"](sf_dir)))
     queries["t_bpe_merges"] = round(t, 3)
+    t, _ = _timed(lambda: qs["g_dagdepth_doc"](sf_dir).count())
+    queries["g_dagdepth_doc"] = round(t, 3)
 
     ray.shutdown()
     return result

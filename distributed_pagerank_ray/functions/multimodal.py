@@ -869,3 +869,186 @@ def decode_bmp(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+def encode_tiff(
+    gray: np.ndarray,
+    big_endian: bool = False,
+    photometric: int = 1,
+    rows_per_strip: int = 2,
+) -> bytes:
+    """Minimal baseline TIFF encoder for an (h, w) uint8 grayscale
+    array — the test-payload generator for the real decoder below.
+    Exercises TIFF's three structural quirks: BOTH byte orders
+    (``II*\\0`` little / ``MM\\0*`` big — every IFD field swaps),
+    multi-strip rasters whose strips are written to the file in
+    REVERSE order (offsets must be honored; assuming contiguity after
+    the header reads rows out of order), and PhotometricInterpretation
+    0 (WhiteIsZero: stored 0 = white) vs 1 (BlackIsZero)."""
+    import struct
+
+    h, w = gray.shape
+    assert gray.dtype == np.uint8 and photometric in (0, 1)
+    e = ">" if big_endian else "<"
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = [
+        gray[s * rows_per_strip : (s + 1) * rows_per_strip].tobytes()
+        for s in range(n_strips)
+    ]
+    # layout: header(8) | IFD | offsets arr | counts arr | strips REVERSED
+    n_tags = 9
+    ifd_off = 8
+    ifd_len = 2 + 12 * n_tags + 4
+    arr_off = ifd_off + ifd_len
+    # spec rule: values that FIT the 4-byte value field are stored
+    # inline, so a 1-strip file has no offset/count arrays at all
+    arr_bytes = 4 * n_strips if n_strips > 1 else 0
+    counts_off = arr_off + arr_bytes
+    data_off = counts_off + arr_bytes
+    offs = [0] * n_strips
+    pos = data_off
+    for s in reversed(range(n_strips)):  # strips stored back-to-front
+        offs[s] = pos
+        pos += len(strips[s])
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(e + "HHII", tag, typ, cnt, val)
+
+    # single-count SHORT values live in the value field's LOW half,
+    # which under MM is the HIGH-order bytes — pack as two u16
+    def entry_short(tag, val):
+        return struct.pack(e + "HHIHH", tag, 3, 1, val, 0)
+
+    entries = [
+        entry_short(256, w),                 # ImageWidth
+        entry_short(257, h),                 # ImageLength
+        entry_short(258, 8),                 # BitsPerSample
+        entry_short(259, 1),                 # Compression: none
+        entry_short(262, photometric),       # PhotometricInterpretation
+        # StripOffsets / StripByteCounts (LONG[]): inline when count 1
+        entry(273, 4, n_strips, offs[0] if n_strips == 1 else arr_off),
+        entry_short(277, 1),                 # SamplesPerPixel
+        entry_short(278, rows_per_strip),    # RowsPerStrip
+        entry(279, 4, n_strips, len(strips[0]) if n_strips == 1 else counts_off),
+    ]
+    hdr = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
+    ifd = struct.pack(e + "H", n_tags) + b"".join(entries) + struct.pack(e + "I", 0)
+    arrs = b"" if n_strips == 1 else struct.pack(
+        e + f"{n_strips}I", *offs
+    ) + struct.pack(e + f"{n_strips}I", *(len(s) for s in strips))
+    body = b"".join(strips[s] for s in reversed(range(n_strips)))
+    return hdr + ifd + arrs + body
+
+
+class TiffDecode:
+    """REAL baseline-TIFF decode stage — stdlib ``struct`` + numpy
+    only: 8-bit grayscale, uncompressed, BOTH byte orders, multi-strip
+    rasters with arbitrary strip placement, photometric 0/1. Emits
+    width, height, n_strips, byte_order, and LUMINANCE stats
+    (photometric-normalized: 0 = black on both conventions) — mean /
+    min / max plus ``top_lum`` (mean of raster row 0, 6 dp), the
+    strip-order witness: assembling strips in file order instead of
+    StripOffsets order permutes rows, which whole-image stats can't
+    see.
+
+    Malformed payloads (bad magic, compression != 1, bits != 8,
+    strip byte counts disagreeing with the raster size) raise
+    ValueError — fail loudly, same contract as PpmDecode/BmpDecode.
+    """
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        ws, hs, ns, bo, means, mins, maxs, tops = [], [], [], [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            if b is None or len(b) < 8 or b[:2] not in (b"II", b"MM"):
+                raise ValueError("not a TIFF payload")
+            e = "<" if b[:2] == b"II" else ">"
+            try:
+                magic, ifd_off = struct.unpack_from(e + "HI", b, 2)
+                if magic != 42:
+                    raise ValueError("bad TIFF magic")
+                (n_tags,) = struct.unpack_from(e + "H", b, ifd_off)
+                tags: dict[int, tuple[int, int, int]] = {}
+                for i in range(n_tags):
+                    tag, typ, cnt, val = struct.unpack_from(
+                        e + "HHII", b, ifd_off + 2 + 12 * i
+                    )
+                    if typ == 3 and cnt == 1:  # SHORT in the value field
+                        (val,) = struct.unpack_from(
+                            e + "H", b, ifd_off + 2 + 12 * i + 8
+                        )
+                    tags[tag] = (typ, cnt, val)
+            except struct.error as exc:  # truncated header/IFD
+                raise ValueError(f"truncated TIFF payload: {exc}") from exc
+
+            def req(tag):
+                if tag not in tags:
+                    raise ValueError(f"TIFF missing required tag {tag}")
+                return tags[tag][2]
+
+            w, h = req(256), req(257)
+            if req(259) != 1:
+                raise ValueError("only uncompressed TIFF supported")
+            if req(258) != 8 or tags.get(277, (0, 0, 1))[2] != 1:
+                raise ValueError("only 8-bit single-sample TIFF supported")
+            photometric = req(262)
+            if photometric not in (0, 1):
+                raise ValueError("only bilevel-gray photometric 0/1 supported")
+            _, n_strips, arr_off = tags[273]
+            _, n_counts, counts_off = tags[279]
+            if n_counts != n_strips:
+                raise ValueError("StripOffsets/StripByteCounts count mismatch")
+            if n_strips == 1:  # single LONG lives in the value field
+                offs, cnts = [arr_off], [counts_off]
+            else:
+                try:
+                    offs = list(struct.unpack_from(e + f"{n_strips}I", b, arr_off))
+                    cnts = list(struct.unpack_from(e + f"{n_strips}I", b, counts_off))
+                except struct.error as exc:  # arrays past end of payload
+                    raise ValueError(f"truncated TIFF payload: {exc}") from exc
+            if sum(cnts) != w * h:
+                raise ValueError("TIFF strip byte counts disagree with raster size")
+            raster = np.concatenate(
+                [np.frombuffer(b, np.uint8, c, o) for o, c in zip(offs, cnts)]
+            ).reshape(h, w)
+            lum = raster if photometric == 1 else (255 - raster.astype(np.int64))
+            lum = lum.astype(np.int64)
+            ws.append(w)
+            hs.append(h)
+            ns.append(n_strips)
+            bo.append("II" if e == "<" else "MM")
+            means.append(round(float(lum.mean()), 6))
+            mins.append(int(lum.min()))
+            maxs.append(int(lum.max()))
+            tops.append(round(float(lum[0].mean()), 6))
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("width", pa.array(np.array(ws, dtype=np.int64)))
+        out = out.append_column("height", pa.array(np.array(hs, dtype=np.int64)))
+        out = out.append_column("n_strips", pa.array(np.array(ns, dtype=np.int64)))
+        out = out.append_column("byte_order", pa.array(bo, pa.string()))
+        out = out.append_column("mean_lum", pa.array(means, pa.float64()))
+        out = out.append_column("min_lum", pa.array(np.array(mins, dtype=np.int64)))
+        out = out.append_column("max_lum", pa.array(np.array(maxs, dtype=np.int64)))
+        out = out.append_column("top_lum", pa.array(tops, pa.float64()))
+        return out
+
+
+def decode_tiff(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool TIFF decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        TiffDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

@@ -266,3 +266,64 @@ def test_bmp_malformed_rejected():
     struct.pack_into("<I", bad_comp, 30, 1)
     with pytest.raises(ValueError, match="24-bit"):
         dec(pa.table({"payload": pa.array([bytes(bad_comp)], pa.binary())}))
+
+
+def test_tiff_roundtrip_orders_photometrics_strips():
+    from distributed_pagerank_ray.functions.multimodal import TiffDecode, encode_tiff
+
+    rng = np.random.default_rng(3)
+    dec = TiffDecode()
+    for big_endian in (False, True):
+        for photometric in (0, 1):
+            for rps in (1, 2, 3, 7):
+                g = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+                enc = encode_tiff(
+                    g, big_endian=big_endian, photometric=photometric, rows_per_strip=rps
+                )
+                r = dec(pa.table({"payload": pa.array([enc], pa.binary())}))
+                lum = g.astype(np.int64) if photometric == 1 else 255 - g.astype(np.int64)
+                assert r["width"][0].as_py() == 4
+                assert r["height"][0].as_py() == 5
+                assert r["n_strips"][0].as_py() == -(-5 // rps)
+                assert r["byte_order"][0].as_py() == ("MM" if big_endian else "II")
+                assert r["mean_lum"][0].as_py() == round(float(lum.mean()), 6)
+                assert r["min_lum"][0].as_py() == lum.min()
+                assert r["max_lum"][0].as_py() == lum.max()
+                assert r["top_lum"][0].as_py() == round(float(lum[0].mean()), 6)
+
+
+def test_tiff_strip_offsets_honored_not_file_order():
+    """encode_tiff writes strips back-to-front; a decoder walking file
+    order instead of StripOffsets sees a row-permuted image. top_lum
+    is the witness (whole-image stats are permutation-blind)."""
+    from distributed_pagerank_ray.functions.multimodal import TiffDecode, encode_tiff
+
+    g = np.zeros((4, 4), dtype=np.uint8)
+    g[0] = 200  # only the top rows are bright
+    g[1] = 100
+    enc = encode_tiff(g, rows_per_strip=2)  # 2 strips, reversed in file
+    r = TiffDecode()(pa.table({"payload": pa.array([enc], pa.binary())}))
+    assert r["top_lum"][0].as_py() == 200.0
+    # file-order assembly would put the dark strip first -> top_lum 0
+    assert r["mean_lum"][0].as_py() == round((200 * 4 + 100 * 4) / 16, 6)
+
+
+def test_tiff_malformed_rejected():
+    from distributed_pagerank_ray.functions.multimodal import TiffDecode, encode_tiff
+
+    dec = TiffDecode()
+    enc = encode_tiff(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        dec(pa.table({"payload": pa.array([b"XX" + enc[2:]], pa.binary())}))
+    with pytest.raises(ValueError, match="truncated"):
+        dec(pa.table({"payload": pa.array([enc[:30]], pa.binary())}))
+    with pytest.raises(ValueError):  # strip data missing
+        dec(pa.table({"payload": pa.array([enc[:80]], pa.binary())}))
+    import struct
+
+    comp = bytearray(enc)
+    # Compression tag is the 4th entry (tag 259): value at its +8
+    off = 8 + 2 + 12 * 3 + 8
+    struct.pack_into("<H", comp, off, 5)  # LZW
+    with pytest.raises(ValueError, match="uncompressed"):
+        dec(pa.table({"payload": pa.array([bytes(comp)], pa.binary())}))
