@@ -3929,6 +3929,75 @@ def _t_edit_dist(sf_dir):
     )
 
 
+def _t_zlib_ratio(sf_dir):
+    """Compression-ratio quality signal (Gopher/RefinedWeb-style
+    repetition filter): per-doc zlib DEFLATE ratio over the documents
+    table. Rows-only (DEFLATE is not SQL-expressible); exact zlib
+    parity and the repetitive-vs-prose ordering are pinned in
+    tests/test_textfns.py."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import zlib_ratios
+
+    return zlib_ratios(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def _g_mis_doc(sf_dir):
+    """Maximal independent set (Luby priority rounds) on a PLANTED
+    graph of disjoint 8-vertex groups capped at 2048 vertices (the
+    coreness/betweenness recipe): EVEN groups are K8 cliques — the
+    round-0 priority argmin wins and kills the group — ODD groups are
+    stars (position 0 = center) — MIS is {center} iff the center holds
+    the group-min priority, else ALL SEVEN leaves, which requires a
+    genuine SECOND round (surviving leaves only become isolated after
+    the center dies). Both outcomes are closed-form in SQL from the
+    round-0 hash, so the oracle checks the priority rule AND the
+    kill/reactivation mechanics without simulating rounds."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.mis import mis_luby
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+    nf = min(2048, n // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bases = i[(i < nf) & (i % 8 == 0)]
+        eb = bases[(bases // 8) % 2 == 0]  # clique groups
+        ob = bases[(bases // 8) % 2 == 1]  # star groups
+        combos = np.array([(a, b) for a in range(8) for b in range(a + 1, 8)], np.int64)
+        src = np.concatenate(
+            [
+                (eb[:, None] + combos[None, :, 0]).ravel(),
+                np.repeat(ob, 7),
+            ]
+        )
+        dst = np.concatenate(
+            [
+                (eb[:, None] + combos[None, :, 1]).ravel(),
+                (ob[:, None] + np.arange(1, 8)[None, :]).ravel(),
+            ]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(make, batch_format="pyarrow")
+
+    def verts(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v[v < nf])})
+
+    return mis_luby(
+        edges,
+        docs.map_batches(verts, batch_format="pyarrow"),
+        num_partitions=4,
+        num_shards=4,
+        max_rounds=8,
+    )
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -4164,7 +4233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_rep_stats": _t_rep_stats,  # repetition-ratio quality stats
         "t_tfidf_top3": _t_tfidf_top3,  # per-doc top-3 tf-idf terms
         "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
-        "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
+        "g_mis_doc": _g_mis_doc,  # Luby MIS, planted clique+star closed-form oracle (r5 new)
         # ---- driver window: round-5 semantics changes to re-witness
         # (RE2-\s trim/tokenizer alignment + planted whitespace pads;
         # the r4 t_pack_seqs fix) ----
@@ -4218,6 +4287,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
         "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
         "g_edges": _g_edges,  # displaced late-r5 for m_tiff_decode (driver green r1-r4)
+        # (e_kmeans displaced late-r5 for g_mis_doc: its driver witness
+        # is rows-only — the weaker check — while its real evidence is
+        # the in-query dense-replica exact gate + pytest, both kept;
+        # g_mis_doc brings a full exact-hash witness instead)
+        "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
+        "t_zlib_ratio": _t_zlib_ratio,  # rows-only compression-ratio quality signal (r5 new)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5182,6 +5257,26 @@ lp AS (
   SELECT e.dst AS v, lp.d + 1 AS d FROM lp JOIN e ON e.src = lp.v
 )
 SELECT v, CAST(MAX(d) AS BIGINT) AS depth FROM lp GROUP BY v ORDER BY v
+""",
+        # planted clique+star MIS closed form: even 8-groups are K8
+        # (round-0 priority argmin wins), odd 8-groups are stars (pos 0
+        # = center; {center} iff it holds the group-min priority, else
+        # all 7 leaves via the genuine second round). The hash is the
+        # engine's round-0 priority exactly (w = v below 2^15, so the
+        # arithmetic is overflow-free BIGINT on both sides)
+        "g_mis_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents),
+v AS (SELECT doc_id AS v, doc_id // 8 AS g, doc_id % 8 AS pos,
+             ((doc_id*doc_id*1315423911 + doc_id*2654435761 + 12345)
+              % 2147483647) * 4096 + doc_id AS p
+      FROM documents, nn WHERE doc_id < nn.nf),
+m AS (SELECT g, min(p) AS pmin FROM v GROUP BY g),
+cent AS (SELECT g, p AS pc FROM v WHERE pos = 0)
+SELECT v.v FROM v JOIN m USING (g) JOIN cent USING (g)
+WHERE (g % 2 = 0 AND p = pmin)
+   OR (g % 2 = 1 AND pos = 0 AND pc = pmin)
+   OR (g % 2 = 1 AND pos > 0 AND pc <> pmin)
+ORDER BY v.v
 """,
         # money as exact integer cents (r_orders_rollup rule); bounds
         # are quantile_disc = element at ceil(q*n)-1, matching

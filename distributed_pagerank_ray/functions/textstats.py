@@ -1495,3 +1495,49 @@ def zipf_word_alpha(ds: "object", xmin: int = 2) -> "object":
     n, sln = int(agg["n"] or 0), float(agg["sln"] or 0.0)
     alpha = round(1.0 + n / sln, 6) if sln else 0.0
     return ray.data.from_items([{"n_tail": n, "alpha": alpha}])
+
+
+def zlib_ratio_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc zlib compression ratio — the classic repetition/quality
+    signal (low ratio = highly repetitive text; boilerplate and spam
+    compress far below natural prose). Emits (doc_id, raw_len,
+    comp_len, ratio) with ratio = comp_len/raw_len at 6 dp (0.0 for
+    empty docs). The per-doc ``zlib.compress`` call is C-level
+    (DEFLATE has no vectorized form); level 6 is pinned so results are
+    reproducible across runs. Not SQL-expressible — gated rows-only,
+    with pytest pinning exact zlib parity and the repetitive-vs-prose
+    ordering."""
+    import zlib
+
+    if len(t) == 0 or text_col not in t.column_names:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "raw_len": pa.array([], pa.int64()),
+                "comp_len": pa.array([], pa.int64()),
+                "ratio": pa.array([], pa.float64()),
+            }
+        )
+    texts = t.column(text_col).to_pylist()
+    raw = np.empty(len(texts), np.int64)
+    comp = np.empty(len(texts), np.int64)
+    for i, s in enumerate(texts):
+        b = ("" if s is None else s).encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, 6))
+    ratio = np.where(raw > 0, np.round(comp / np.maximum(raw, 1), 6), 0.0)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "raw_len": pa.array(raw),
+            "comp_len": pa.array(comp),
+            "ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+def zlib_ratios(ds: "object", text_col: str = "text") -> "object":
+    """Dataset wrapper over :func:`zlib_ratio_batch`."""
+    return ds.map_batches(
+        lambda t: zlib_ratio_batch(t, text_col), batch_format="pyarrow"
+    )

@@ -269,3 +269,31 @@ def test_prune_frequent_lines():
         2: "unique two",
         3: "",
     }
+
+
+def test_zlib_ratio_exact_parity_and_ordering():
+    import zlib
+
+    from distributed_pagerank_ray.functions.textstats import zlib_ratio_batch
+
+    docs = {
+        0: "spam spam spam " * 200,
+        1: "The quick brown fox jumps over the lazy dog; prose varies. " * 10,
+        2: "",
+        3: "héllo wörld   unicode bytes",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    r = zlib_ratio_batch(t)
+    for i, (did, s) in enumerate(docs.items()):
+        b = s.encode("utf-8")
+        assert r["raw_len"][i].as_py() == len(b)
+        assert r["comp_len"][i].as_py() == len(zlib.compress(b, 6))
+        exp = round(len(zlib.compress(b, 6)) / len(b), 6) if b else 0.0
+        assert r["ratio"][i].as_py() == exp
+    # the repetition signal: spam compresses far below prose
+    assert r["ratio"][0].as_py() < 0.5 * r["ratio"][1].as_py()
