@@ -2740,6 +2740,67 @@ def _m_bmp_decode(sf_dir):
     return decode_bmp(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _x_jsonl_docs(sf_dir):
+    """SQL-gated conformance read of the JSONL corpus interchange
+    format (the standard web-text shard layout): a deterministic
+    multi-file JSONL dataset planted from doc_id — lang cycling by an
+    affine hash, text = n space-joined 'w{j}' tokens with n =
+    1 + (id² mod 17) — is written under /tmp (tmp+rename, one file per
+    128 docs so the read is genuinely multi-shard) and read back via
+    ``ray.data.read_json``. The SQL oracle regenerates (doc_id, lang,
+    n_chars) analytically: n_chars = 3n − 1 + max(0, n − 10) since
+    tokens w0..w9 are 2 chars and w10..w16 are 3."""
+    import json
+    import os
+
+    import duckdb
+
+    import ray.data
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    base = f"/tmp/dpr_jsonl/{os.path.basename(os.path.normpath(sf_dir))}_{n}"
+    done = base + "/_DONE"
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        langs = ["en", "de", "fr", "es"]
+        for lo in range(0, n, 128):
+            tmp = f"{base}/part-{lo:06d}.jsonl.tmp"
+            with open(tmp, "w") as f:
+                for i in range(lo, min(lo + 128, n)):
+                    nw = 1 + (i * i) % 17
+                    f.write(
+                        json.dumps(
+                            {
+                                "doc_id": i,
+                                "lang": langs[(7 * i + 3) % 4],
+                                "text": " ".join(f"w{j}" for j in range(nw)),
+                            }
+                        )
+                        + "\n"
+                    )
+            os.replace(tmp, f"{base}/part-{lo:06d}.jsonl")
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+
+    ds = ray.data.read_json(
+        [f"{base}/{p}" for p in sorted(os.listdir(base)) if p.endswith(".jsonl")]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "lang": t.column("lang"),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _m_tiff_decode(sf_dir):
     """Fourth REAL image decode gate (baseline TIFF, 8-bit gray):
     deterministic payloads from doc_id with pixel(y,x) =
@@ -3808,7 +3869,7 @@ def _r_winsorize(sf_dir):
 
     cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
     q = grouped_discrete_quantiles(
-        cds, "g", "cents", qs=(0.01, 0.99), q_names=("lo", "hi")
+        cds, "g", "cents", qs=(0.01, 0.99), q_names=("lo", "hi"), int_bsp=True
     ).to_pandas()
     lo, hi = int(q["lo"].iloc[0]), int(q["hi"].iloc[0])
 
@@ -3927,6 +3988,15 @@ def _t_edit_dist(sf_dir):
         ensure_schema({"a": pa.int64(), "b": pa.int64(), "dist": pa.int64()}),
         batch_format="pyarrow",
     )
+
+
+def _r_time_weighted(sf_dir):
+    """Dwell-weighted engagement: time-weighted average value per user
+    (LEAD window surface; integer-exact accumulation, one terminal
+    division — see pipelines/relational.py::time_weighted_value)."""
+    from distributed_pagerank_ray.pipelines.relational import time_weighted_value
+
+    return time_weighted_value(sf_dir)
 
 
 def _t_zlib_ratio(sf_dir):
@@ -4293,6 +4363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # g_mis_doc brings a full exact-hash witness instead)
         "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
         "t_zlib_ratio": _t_zlib_ratio,  # rows-only compression-ratio quality signal (r5 new)
+        "x_jsonl_docs": _x_jsonl_docs,  # SQL-gated JSONL multi-shard ingest (r5 new)
+        "r_time_weighted": _r_time_weighted,  # dwell-weighted avg, LEAD window (r5 new)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5258,6 +5330,26 @@ lp AS (
 )
 SELECT v, CAST(MAX(d) AS BIGINT) AS depth FROM lp GROUP BY v ORDER BY v
 """,
+        # dwell-weighted average: floor(value*100) quantization (floor
+        # is bit-identical across engines — never CAST-vs-rint),
+        # date_diff('second') = floor-boundary count, int64-exact
+        # num/den, ONE terminal float division (float-parity rule)
+        "r_time_weighted": """
+WITH o AS (
+  SELECT user_id, value, ts, event_id,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM events
+),
+w AS (SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS vq,
+             CAST(date_diff('second', ts, nts) AS BIGINT) AS dwell
+      FROM o WHERE nts IS NOT NULL)
+SELECT user_id,
+       count(*) + 1 AS n_events,
+       round(CAST(sum(vq * dwell) AS DOUBLE)
+             / (100.0 * CAST(sum(dwell) AS DOUBLE)), 6) AS twa
+FROM w GROUP BY user_id HAVING sum(dwell) > 0 ORDER BY user_id
+""",
         # planted clique+star MIS closed form: even 8-groups are K8
         # (round-0 priority argmin wins), odd 8-groups are stars (pos 0
         # = center; {center} iff it holds the group-min priority, else
@@ -5857,6 +5949,17 @@ SELECT doc_id,
                               ELSE (5 * doc_id + 3 * g.x) % 256 END)
               FROM UNNEST(range(4 + doc_id % 5)) AS g(x)), 6) AS top_lum
 FROM documents
+""",
+        # regeneration of the planted JSONL shards in _x_jsonl_docs:
+        # n_chars = 3n-1+max(0,n-10) for n space-joined w{j} tokens
+        "x_jsonl_docs": """
+WITH t AS (SELECT doc_id, 1 + (doc_id * doc_id % 17) AS n FROM documents)
+SELECT doc_id,
+       CASE (7 * doc_id + 3) % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+            WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+       CAST(3 * n - 1 + CASE WHEN n > 10 THEN n - 10 ELSE 0 END AS BIGINT)
+         AS n_chars
+FROM t ORDER BY doc_id
 """,
         # regeneration of the planted text edge-list in _x_edgelist_text
         # (parser must skip comments/blanks and accept both line forms)

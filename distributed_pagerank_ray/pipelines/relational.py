@@ -2475,3 +2475,85 @@ def events_moving_avg(sf_dir: str, num_buckets: "int | None" = None) -> "ray.dat
             ensure_schema({"event_id": _I64, "ma3": _F64}), batch_format="pyarrow"
         )
     )
+
+
+def time_weighted_value(sf_dir: str, num_buckets: "int | None" = None) -> "ray.data.Dataset":
+    """Time-weighted average value per user — each event's value is
+    weighted by its DWELL (whole seconds until the user's next event,
+    ``date_diff('second')`` boundary semantics: floor(b) − floor(a));
+    the user's last event has no dwell and drops out. The metric every
+    engagement pipeline derives from an event stream, and a LEAD()
+    window surface the LAG-based family doesn't cover.
+
+    Output (user_id, n_events, twa 6dp) for users with ≥ 2 events and
+    a positive total dwell. Float-parity posture: values quantize to
+    integer hundredths via floor(value·100) (floor is bit-identical
+    across engines; never CAST-vs-rint), numerator and denominator
+    accumulate as EXACT int64, and the single terminal division is the
+    only float op (the repo's float-parity rule).
+
+    Scale shape: the hash-bucketed ordered plan (events_sessions) —
+    per bucket one stable sort + one shifted compare; no per-user
+    map_groups."""
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    num_buckets = _derived_buckets(ds, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+                "value": t.column("value"),
+            }
+        )
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        sec = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) // 1_000_000
+        vq = np.floor(g["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        n = len(g)
+        nxt_same = np.zeros(n, dtype=bool)
+        if n > 1:
+            nxt_same[:-1] = uid[1:] == uid[:-1]
+        dwell = np.zeros(n, dtype=np.int64)
+        dwell[:-1] = sec[1:] - sec[:-1]
+        dwell = np.where(nxt_same, dwell, 0)
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "num": vq * dwell,
+                "den": dwell,
+                "one": np.ones(n, dtype=np.int64),
+            }
+        )
+        a = df.groupby("user_id", sort=False).agg(
+            num=("num", "sum"), den=("den", "sum"), n_events=("one", "sum")
+        ).reset_index()
+        a = a[(a["n_events"] >= 2) & (a["den"] > 0)]
+        return pd.DataFrame(
+            {
+                "user_id": a["user_id"].to_numpy(dtype=np.int64),
+                "n_events": a["n_events"].to_numpy(dtype=np.int64),
+                "twa": np.round(
+                    a["num"].to_numpy(dtype=np.float64)
+                    / (100.0 * a["den"].to_numpy(dtype=np.float64)),
+                    6,
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(twa, batch_format="pandas")
+        .map_batches(
+            ensure_schema({"user_id": _I64, "n_events": _I64, "twa": _F64}),
+            batch_format="pyarrow",
+        )
+    )

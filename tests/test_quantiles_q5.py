@@ -162,3 +162,47 @@ def test_q3_broadcast_equals_join_path():
     b = q3_top_orders(sf, broadcast_threshold=0).take_all()
     assert a == b
     assert len(a) == 10
+
+
+def test_grouped_discrete_quantiles_int_bsp_identical(ray_session):
+    """The packed-key BSP histogram merge is a physical-plan choice:
+    results must be bit-identical to the groupby path."""
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    rng = np.random.default_rng(1)
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 3, 50_000).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 10_000, 50_000).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    a = (
+        grouped_discrete_quantiles(ds, "g", "v", qs=(0.01, 0.5, 0.99))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+        .astype({"g": "int64"})
+    )
+    b = (
+        grouped_discrete_quantiles(ds, "g", "v", qs=(0.01, 0.5, 0.99), int_bsp=True)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+        .astype({"g": "int64"})
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_discrete_quantiles_int_bsp_rejects_out_of_range(ray_session):
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.quantiles import grouped_discrete_quantiles
+
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array([0], pa.int64()), "v": pa.array([-5], pa.int64())})
+    )
+    with pytest.raises(Exception, match="int_bsp"):
+        grouped_discrete_quantiles(ds, "g", "v", int_bsp=True).to_pandas()

@@ -45,3 +45,12 @@ def test_derived_bucket_floor_and_scaling(ray_session):
     assert _derived_buckets(ds, None, rows_per_bucket=100) == 32  # floored at 32
     assert _derived_buckets(ds, None, rows_per_bucket=20) == 50
     assert _derived_buckets(ds, None, rows_per_bucket=3) == 334  # ceil
+
+
+def test_time_weighted_bucket_invariance(ray_session):
+    from distributed_pagerank_ray.pipelines.relational import time_weighted_value
+
+    _cmp(
+        time_weighted_value(SF).to_pandas(),
+        time_weighted_value(SF, num_buckets=257).to_pandas(),
+    )
