@@ -2801,6 +2801,52 @@ def _x_jsonl_docs(sf_dir):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _x_warc_ingest(sf_dir):
+    """SQL-gated conformance read of the WARC crawl-archive format
+    (Common-Crawl shard layout): deterministic multi-file WARCs
+    planted from doc_id — warcinfo + request records the parser must
+    SKIP, 404s by id hash, and bodies that EMBED the ``WARC/1.0\\r\\n``
+    magic when id%7==0 (the adversarial case: advancing by scanning
+    for the magic instead of honoring Content-Length mis-frames every
+    following record). The SQL oracle rebuilds each body string and
+    takes its length analytically."""
+    import os
+
+    import duckdb
+
+    from distributed_pagerank_ray.sources.warc import build_warc, read_warc
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    base = f"/tmp/dpr_warc/{os.path.basename(os.path.normpath(sf_dir))}_{n}"
+    done = base + "/_DONE"
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for lo in range(0, n, 64):
+            recs = []
+            for i in range(lo, min(lo + 64, n)):
+                body = (
+                    f"<html>doc {i} "
+                    + "y" * (i % 50)
+                    + ("WARC/1.0\r\n" if i % 7 == 0 else "")
+                    + "</html>"
+                ).encode("ascii")
+                recs.append(
+                    (
+                        f"http://site{i % 5}.example/page/{i}",
+                        404 if i % 13 == 0 else 200,
+                        body,
+                    )
+                )
+            tmp = f"{base}/part-{lo:06d}.warc.tmp"
+            with open(tmp, "wb") as f:
+                f.write(build_warc(recs))
+            os.replace(tmp, f"{base}/part-{lo:06d}.warc")
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+    return read_warc(base)
+
+
 def _m_tiff_decode(sf_dir):
     """Fourth REAL image decode gate (baseline TIFF, 8-bit gray):
     deterministic payloads from doc_id with pixel(y,x) =
@@ -4068,6 +4114,41 @@ def _g_mis_doc(sf_dir):
     )
 
 
+def _g_matching_doc(sf_dir):
+    """Maximal matching (greedy edge-priority rounds) on a PLANTED
+    graph of disjoint 8-vertex groups capped at 2048 vertices:
+    positions 0-3 form a K4 — the matching is ALWAYS {argmin-priority
+    edge, its vertex-disjoint opposite} (the opposite survives to
+    round 2 if it doesn't win round 1) — and positions 4-6 a 2-edge
+    path whose matching is the argmin edge. Priorities are verified
+    tie-free for every group base (tests), so the conflict-drop path
+    stays cold and the SQL oracle is the closed form."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.matching import maximal_matching
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+    nf = min(2048, n // 8 * 8)
+    combos = np.array(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (4, 5), (5, 6)], np.int64
+    )
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bases = i[(i < nf) & (i % 8 == 0)]
+        src = (bases[:, None] + combos[None, :, 0]).ravel()
+        dst = (bases[:, None] + combos[None, :, 1]).ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return maximal_matching(
+        docs.map_batches(make, batch_format="pyarrow"),
+        num_partitions=4,
+        num_shards=4,
+        max_rounds=8,
+    )
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -4329,8 +4410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_weighted_sample": _t_weighted_sample,  # E-S weighted sample w/o replacement, SQL-gated (r5 new)
         "g_ktruss_doc": _g_ktruss_doc,  # 4-truss cascade peel, planted closed-form oracle (r5 new)
         "g_edge_jaccard_parts": _g_edge_jaccard_parts,  # edge-neighborhood Jaccard top-20, SQL-gated (r5 new)
-        "m_bmp_decode": _m_bmp_decode,  # REAL BMP decode w/ orientation witness, SQL-gated (r5 new)
+        "g_matching_doc": _g_matching_doc,  # greedy maximal matching, closed-form oracle (r5 new)
         # ---- end of 50-entry driver window ----
+        # (m_bmp_decode displaced late-r5 for g_matching_doc: real image
+        # byte-parsing is witnessed in-window twice via m_png_decode +
+        # m_tiff_decode; BMP keeps its local exact-hash gate + pytest)
+        "m_bmp_decode": _m_bmp_decode,  # REAL BMP decode w/ orientation witness, SQL-gated (r5 new)
         # (g_cc_org / g_lpa_org / g_triangles_parts displaced late-r5:
         # driver green in CORRECTNESS_r04.json with unchanged semantics;
         # still in the full local exact-hash gate)
@@ -4365,6 +4450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_zlib_ratio": _t_zlib_ratio,  # rows-only compression-ratio quality signal (r5 new)
         "x_jsonl_docs": _x_jsonl_docs,  # SQL-gated JSONL multi-shard ingest (r5 new)
         "r_time_weighted": _r_time_weighted,  # dwell-weighted avg, LEAD window (r5 new)
+        "x_warc_ingest": _x_warc_ingest,  # SQL-gated WARC crawl-archive parse (r5 new)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5330,6 +5416,30 @@ lp AS (
 )
 SELECT v, CAST(MAX(d) AS BIGINT) AS depth FROM lp GROUP BY v ORDER BY v
 """,
+        # planted K4+path matching closed form: the K4 matches its
+        # argmin-priority edge AND that edge's opposite (disjoint pair;
+        # the opposite wins round 2 at the latest), the 2-edge path
+        # matches its argmin; combo index c's opposite is 5-c in the
+        # VALUES order below; priorities tie-free for every group base
+        # (pytest sweeps all 256)
+        "g_matching_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents),
+gs AS (SELECT DISTINCT doc_id // 8 AS g FROM documents, nn WHERE doc_id < nn.nf),
+combo AS (SELECT * FROM (VALUES (0,0,1),(1,0,2),(2,0,3),(3,1,2),(4,1,3),(5,2,3),
+                                (6,4,5),(7,5,6)) AS t(c, i, j)),
+e AS (SELECT g, c, g*8 + i AS src, g*8 + j AS dst,
+             (197*(g*8 + i) + 12289*(g*8 + j)) % 32768 AS w
+      FROM gs, combo),
+p AS (SELECT g, c, src, dst,
+             (w*w*1315423911 + w*2654435761 + 12345) % 2147483647 AS p FROM e),
+k4min AS (SELECT g, min_by(c, p) AS cmin FROM p WHERE c <= 5 GROUP BY g),
+pathmin AS (SELECT g, min_by(c, p) AS cmin FROM p WHERE c >= 6 GROUP BY g)
+SELECT src, dst FROM p JOIN k4min USING (g)
+WHERE p.c = k4min.cmin OR p.c = 5 - k4min.cmin
+UNION ALL
+SELECT src, dst FROM p JOIN pathmin USING (g) WHERE p.c = pathmin.cmin
+ORDER BY src, dst
+""",
         # dwell-weighted average: floor(value*100) quantization (floor
         # is bit-identical across engines — never CAST-vs-rint),
         # date_diff('second') = floor-boundary count, int64-exact
@@ -5949,6 +6059,19 @@ SELECT doc_id,
                               ELSE (5 * doc_id + 3 * g.x) % 256 END)
               FROM UNNEST(range(4 + doc_id % 5)) AS g(x)), 6) AS top_lum
 FROM documents
+""",
+        # regeneration of the planted WARC records in _x_warc_ingest:
+        # the oracle rebuilds each body string (incl. the embedded
+        # WARC/1.0 magic for id%7==0) and takes its length
+        "x_warc_ingest": """
+SELECT 'http://site' || (doc_id % 5) || '.example/page/' || doc_id AS url,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,
+       CAST(length('<html>doc ' || doc_id || ' '
+                   || repeat('y', CAST(doc_id % 50 AS INTEGER))
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN 'WARC/1.0' || chr(13) || chr(10) ELSE '' END
+                   || '</html>') AS BIGINT) AS body_len
+FROM documents ORDER BY doc_id
 """,
         # regeneration of the planted JSONL shards in _x_jsonl_docs:
         # n_chars = 3n-1+max(0,n-10) for n space-joined w{j} tokens

@@ -236,6 +236,8 @@ def run_bench() -> dict:
     queries["g_dagdepth_doc"] = round(t, 3)
     t, _ = _timed(lambda: qs["g_mis_doc"](sf_dir).count())
     queries["g_mis_doc"] = round(t, 3)
+    t, _ = _timed(lambda: qs["g_matching_doc"](sf_dir).count())
+    queries["g_matching_doc"] = round(t, 3)
 
     ray.shutdown()
     return result

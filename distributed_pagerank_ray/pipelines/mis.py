@@ -134,6 +134,11 @@ def mis_luby(
             on=("src",),
             right_on=("sv",),
         )
+        # pin the schema between chained joins (a join can emit 0-row
+        # EMPTY-SCHEMA blocks that break the next join's key lookup)
+        m1 = m1.map_batches(
+            ensure_schema({"dst": _I64, "sp": _I64}), batch_format="pyarrow"
+        )
         m2 = compact_for_join(m1, P).join(
             _project_prio(prio, "dv", "dp", P),
             join_type="inner",

@@ -64,3 +64,45 @@ def test_build_dense_matches_oracle(tmp_path):
     got = res.ranks_numpy()
     assert np.allclose(got, want, atol=1e-6)
     assert res.iterations == it
+
+
+def test_warc_roundtrip_adversarial_and_malformed():
+    from distributed_pagerank_ray.sources.warc import build_warc, parse_warc_bytes
+
+    recs = [
+        ("http://a/1", 200, b"<html>WARC/1.0\r\nembedded magic</html>"),
+        ("http://a/2", 404, b""),
+        ("http://a/3", 200, b"x" * 100),
+    ]
+    b = build_warc(recs)
+    got = parse_warc_bytes(b)
+    # request + warcinfo records skipped; embedded magic must not
+    # mis-frame the walk (Content-Length is the only legal advance)
+    assert got == [(u, s, len(body)) for u, s, body in recs]
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_warc_bytes(b[:-10])  # truncated separator/payload
+    with pytest.raises(ValueError, match="magic"):
+        parse_warc_bytes(b"GZIP" + b)
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+
+
+def test_warc_read_dataset(ray_session, tmp_path):
+    from distributed_pagerank_ray.sources.warc import build_warc, read_warc
+
+    for k in range(2):
+        (tmp_path / f"s{k}.warc").write_bytes(
+            build_warc([(f"http://h/{k}/{j}", 200, b"b" * (10 * j)) for j in range(3)])
+        )
+    # concurrency=2 on the 4-CPU test cluster: a pool as wide as the
+    # cluster starves the upstream read (the fixed-pool landmine)
+    df = (
+        read_warc(str(tmp_path), concurrency=2)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 6
+    assert df["body_len"].tolist() == [0, 10, 20, 0, 10, 20]
