@@ -4045,6 +4045,22 @@ def _r_time_weighted(sf_dir):
     return time_weighted_value(sf_dir)
 
 
+def _t_bm25(sf_dir):
+    """BM25 relevance of every doc against the corpus's own top-3
+    words (deterministic query-term stand-in) — see
+    functions/textstats.py::bm25_scores for the float-parity posture;
+    the oracle pivots the ≤3 per-term contributions into an EXPLICIT
+    left-to-right sum so the association order matches the engine's
+    fixed term order (never a bare SUM over unordered rows)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import bm25_scores
+
+    return bm25_scores(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
 def _t_zlib_ratio(sf_dir):
     """Compression-ratio quality signal (Gopher/RefinedWeb-style
     repetition filter): per-doc zlib DEFLATE ratio over the documents
@@ -4451,6 +4467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_jsonl_docs": _x_jsonl_docs,  # SQL-gated JSONL multi-shard ingest (r5 new)
         "r_time_weighted": _r_time_weighted,  # dwell-weighted avg, LEAD window (r5 new)
         "x_warc_ingest": _x_warc_ingest,  # SQL-gated WARC crawl-archive parse (r5 new)
+        "t_bm25": _t_bm25,  # BM25 relevance vs corpus top terms (r5 new)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5415,6 +5432,38 @@ lp AS (
   SELECT e.dst AS v, lp.d + 1 AS d FROM lp JOIN e ON e.src = lp.v
 )
 SELECT v, CAST(MAX(d) AS BIGINT) AS depth FROM lp GROUP BY v ORDER BY v
+""",
+        # BM25 vs the corpus top-3 words: idf/avgdl expression
+        # STRUCTURE mirrors the engine verbatim (k1+1.0 summed at
+        # runtime, dl/(sum_dl/n), left-assoc); the per-doc sum is
+        # PIVOTED into an explicit j=0+1+2 chain so float association
+        # matches the engine's fixed term order
+        "t_bm25": """
+WITH w AS (
+  SELECT doc_id, parts[g.i] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS parts
+        FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS g(i)
+  WHERE parts[g.i] != ''
+),
+t3 AS (SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) - 1 AS j
+       FROM w GROUP BY word ORDER BY count(*) DESC, word LIMIT 3),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) AS sum_dl),
+tf AS (SELECT w.doc_id, t3.j, count(*) AS tf
+       FROM w JOIN t3 USING (word) GROUP BY w.doc_id, t3.j),
+df AS (SELECT j, count(*) AS df FROM tf GROUP BY j),
+sc AS (SELECT tf.doc_id, tf.j,
+              ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * (tf.tf * (1.2 + 1.0))
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / (st.sum_dl / st.n)))) AS s
+       FROM tf JOIN df USING (j) JOIN dl USING (doc_id), st)
+SELECT doc_id, count(*) AS n_hit,
+       round(COALESCE(max(CASE WHEN j = 0 THEN s END), 0.0)
+             + COALESCE(max(CASE WHEN j = 1 THEN s END), 0.0)
+             + COALESCE(max(CASE WHEN j = 2 THEN s END), 0.0), 6) AS score
+FROM sc GROUP BY doc_id ORDER BY doc_id
 """,
         # planted K4+path matching closed form: the K4 matches its
         # argmin-priority edge AND that edge's opposite (disjoint pair;

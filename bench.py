@@ -208,6 +208,9 @@ def run_bench() -> dict:
         "r_winsorize",
         "t_edit_dist",
         "m_tiff_decode",
+        "t_bm25",
+        "r_time_weighted",
+        "x_warc_ingest",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

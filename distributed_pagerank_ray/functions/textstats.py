@@ -1541,3 +1541,131 @@ def zlib_ratios(ds: "object", text_col: str = "text") -> "object":
     return ds.map_batches(
         lambda t: zlib_ratio_batch(t, text_col), batch_format="pyarrow"
     )
+
+
+def bm25_scores(
+    ds: "object",
+    n_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "object":
+    """BM25 relevance of every document against the corpus's own
+    ``n_terms`` most frequent words (ties → word asc; a deterministic
+    stand-in for any query-term set) — the classic IR ranking function
+    and the retrieval side of an LLM data pipeline.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    Float-parity posture: expression STRUCTURE matches the SQL oracle
+    verbatim — ``avgdl = sum_dl/N`` divided once, ``dl/avgdl`` per
+    doc, ``k1 + 1.0`` summed at runtime (never a pre-folded 2.2
+    literal: IEEE ops are deterministic, literal folding is not), and
+    the per-doc term sum runs in FIXED term order. N counts ALL
+    documents (empty docs simply match nothing).
+
+    Execution shape: pass 1 is the heavy-hitters top-k
+    (:func:`top_k_words` — weighted count BSP, no row-level string
+    groupby); pass 2 is ONE tokenize map emitting per-doc (dl, tf_t…)
+    rows with the tiny term list broadcast in the task closure, a
+    3-scalar aggregate (sum_dl + per-term df), and a final vectorized
+    score map. Output (doc_id, n_hit, score 6dp) for docs matching ≥ 1
+    term."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import ensure_schema
+
+    top = top_k_words(ds, k=n_terms)
+    terms = top.column("word").to_pylist()
+    if not terms:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hit": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    n_docs = ds.count()
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        parts = pc.split_pattern_regex(text, pattern=r"\s+")
+        lc = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        offs = lc.offsets.to_numpy(zero_copy_only=False)
+        words = lc.flatten().to_numpy(zero_copy_only=False)
+        nonempty = (words != "").astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(nonempty)])
+        dl = csum[offs[1:]] - csum[offs[:-1]]
+        cols = {
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "dl": pa.array(dl.astype(np.int64)),
+        }
+        for j, term in enumerate(terms):
+            hit = (words == term).astype(np.int64)
+            hc = np.concatenate([[0], np.cumsum(hit)])
+            cols[f"tf{j}"] = pa.array((hc[offs[1:]] - hc[offs[:-1]]).astype(np.int64))
+        return pa.table(cols)
+
+    stats = ds.map_batches(doc_stats, batch_format="pyarrow").materialize()
+
+    def partial_agg(t: pa.Table) -> pa.Table:
+        cols = {"g": pa.array([0], pa.int64()), "sum_dl": pa.array([int(np.sum(t.column("dl").to_numpy(zero_copy_only=False)))], pa.int64())}
+        for j in range(len(terms)):
+            tf = t.column(f"tf{j}").to_numpy(zero_copy_only=False)
+            cols[f"df{j}"] = pa.array([int(np.sum(tf > 0))], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("sum_dl", alias_name="sum_dl")] + [
+        Sum(f"df{j}", alias_name=f"df{j}") for j in range(len(terms))
+    ]
+    a = (
+        stats.map_batches(partial_agg, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    sum_dl = float(a["sum_dl"].iloc[0])
+    avgdl = sum_dl / n_docs
+    idf = [
+        np.log((n_docs - float(a[f"df{j}"].iloc[0]) + 0.5)
+               / (float(a[f"df{j}"].iloc[0]) + 0.5) + 1.0)
+        for j in range(len(terms))
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "dl" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hit": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(len(t), np.float64)
+        n_hit = np.zeros(len(t), np.int64)
+        for j in range(len(terms)):
+            tf = t.column(f"tf{j}").to_numpy(zero_copy_only=False).astype(np.float64)
+            contrib = idf[j] * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (dl / avgdl))
+            )
+            s = s + np.where(tf > 0, contrib, 0.0)
+            n_hit += (tf > 0).astype(np.int64)
+        keep = n_hit > 0
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "n_hit": pa.array(n_hit[keep]),
+                "score": pa.array(np.round(s[keep], 6)),
+            }
+        )
+
+    return stats.map_batches(score, batch_format="pyarrow").map_batches(
+        ensure_schema(
+            {"doc_id": pa.int64(), "n_hit": pa.int64(), "score": pa.float64()}
+        ),
+        batch_format="pyarrow",
+    )

@@ -297,3 +297,49 @@ def test_zlib_ratio_exact_parity_and_ordering():
         assert r["ratio"][i].as_py() == exp
     # the repetition signal: spam compresses far below prose
     assert r["ratio"][0].as_py() < 0.5 * r["ratio"][1].as_py()
+
+
+def test_bm25_matches_brute_force(ray_session):
+    import math
+
+    from distributed_pagerank_ray.functions.textstats import bm25_scores
+
+    docs = {
+        0: "apple banana apple cherry",
+        1: "banana banana date",
+        2: "cherry apple",
+        3: "",
+        4: "egg fig grape",
+        5: "apple apple apple banana banana cherry date egg",
+    }
+    ds = ray.data.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = (
+        bm25_scores(ds, n_terms=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # brute force with the identical formula and term order
+    toks = {k: [w for w in v.split(" ") if w] for k, v in docs.items()}
+    from collections import Counter
+
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    terms = sorted(cnt, key=lambda w: (-cnt[w], w))[:3]
+    n = len(docs)
+    sum_dl = float(sum(len(ws) for ws in toks.values()))
+    avgdl = sum_dl / n
+    df = {t: sum(1 for ws in toks.values() if t in ws) for t in terms}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for d, ws in toks.items():
+        s, hits = 0.0, 0
+        for t in terms:
+            tf = float(ws.count(t))
+            if tf > 0:
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(ws) / avgdl)))
+                hits += 1
+        if hits:
+            exp[d] = (hits, round(s, 6))
+    assert {int(i): (int(r.n_hit), float(r.score)) for i, r in got.iterrows()} == exp
