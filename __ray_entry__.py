@@ -4045,6 +4045,21 @@ def _r_time_weighted(sf_dir):
     return time_weighted_value(sf_dir)
 
 
+def _e_pq_adc(sf_dir):
+    """Product-quantized ANN (rows-only: the k-means codebooks aren't
+    SQL-expressible, like e_kmeans): top-10 by ADC for the first 5
+    query vectors; ``adc_ok`` is the in-query exactness identity —
+    every reported ADC distance re-derived from the decoded
+    reconstruction (see functions/pq.py)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.pq import knn_pq_adc
+
+    return knn_pq_adc(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 def _t_bm25(sf_dir):
     """BM25 relevance of every doc against the corpus's own top-3
     words (deterministic query-term stand-in) — see
@@ -4468,6 +4483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_time_weighted": _r_time_weighted,  # dwell-weighted avg, LEAD window (r5 new)
         "x_warc_ingest": _x_warc_ingest,  # SQL-gated WARC crawl-archive parse (r5 new)
         "t_bm25": _t_bm25,  # BM25 relevance vs corpus top terms (r5 new)
+        "e_pq_adc": _e_pq_adc,  # product-quantized ANN, rows-only + ADC identity gate (r5 new)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
