@@ -1298,6 +1298,17 @@ def _g_hits2(sf_dir):
     return hits_fixed(_g_edges(sf_dir), iters=2)
 
 
+def _g_salsa2_lineitem(sf_dir):
+    """SALSA (degree-normalized HITS sibling), 2 fixed iterations,
+    single terminal L1 normalization, on the bipartite order→part
+    lineitem graph — per-edge division by the SENDER's degree happens
+    at the map exactly as the oracle writes it (x / d, never
+    pre-inverted). Unrolled-CTE oracle; both sides 6dp."""
+    from distributed_pagerank_ray.pipelines.hits import salsa_fixed
+
+    return salsa_fixed(_g_edges(sf_dir), iters=2)
+
+
 def _g_bfs_parts(sf_dir):
     """Multi-source BFS hop distance (seed = the smallest part key) on
     the UNDIRECTED lineitem order↔part graph, run on the sharded BSP
@@ -4045,6 +4056,16 @@ def _r_time_weighted(sf_dir):
     return time_weighted_value(sf_dir)
 
 
+def _r_skyline(sf_dir):
+    """2D skyline (Pareto frontier) of parts — min price, max size;
+    per-block frontier pruning + one exact merge (see
+    pipelines/relational.py::skyline_parts). Comparison-only float
+    use, so parity is exact by construction."""
+    from distributed_pagerank_ray.pipelines.relational import skyline_parts
+
+    return skyline_parts(sf_dir)
+
+
 def _e_pq_adc(sf_dir):
     """Product-quantized ANN (rows-only: the k-means codebooks aren't
     SQL-expressible, like e_kmeans): top-10 by ADC for the first 5
@@ -4484,6 +4505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_warc_ingest": _x_warc_ingest,  # SQL-gated WARC crawl-archive parse (r5 new)
         "t_bm25": _t_bm25,  # BM25 relevance vs corpus top terms (r5 new)
         "e_pq_adc": _e_pq_adc,  # product-quantized ANN, rows-only + ADC identity gate (r5 new)
+        "g_salsa2_lineitem": _g_salsa2_lineitem,  # SALSA hubs/authorities, unrolled oracle (r5 new)
+        "r_skyline": _r_skyline,  # 2D Pareto frontier, mergeable block partials (r5 new)
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;
@@ -5077,6 +5100,39 @@ a2 AS (SELECT verts.v, COALESCE(a2r.x, 0) / (SELECT sum(x) FROM a2r) AS x
        FROM verts LEFT JOIN a2r ON a2r.v = verts.v)
 SELECT h2.v AS vertex, round(h2.x, 6) AS hub, round(a2.x, 6) AS auth
 FROM h2 JOIN a2 ON a2.v = h2.v
+""",
+        # skyline: dominance is comparison-only (no float arithmetic);
+        # ties on both dims are mutually non-dominating on both sides
+        "r_skyline": """
+WITH p AS (SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+SELECT p_partkey, p_retailprice, p_size FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY p_partkey
+""",
+        # SALSA unrolled: per-edge x/d divisions mirror the engine map
+        # verbatim; one terminal normalization (linear half-steps)
+        "g_salsa2_lineitem": f"""
+WITH e AS ({_EDGES_CTE}),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),
+h0 AS (SELECT v, 1.0 AS x FROM verts),
+a1 AS (SELECT e.dst AS v, sum(h0.x / od.d) AS x
+       FROM e JOIN h0 ON h0.v = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+h1 AS (SELECT e.src AS v, sum(a1.x / idg.d) AS x
+       FROM e JOIN a1 ON a1.v = e.dst JOIN idg ON idg.dst = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS v, sum(h1.x / od.d) AS x
+       FROM e JOIN h1 ON h1.v = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src AS v, sum(a2.x / idg.d) AS x
+       FROM e JOIN a2 ON a2.v = e.dst JOIN idg ON idg.dst = e.dst GROUP BY e.src)
+SELECT verts.v AS vertex,
+       round(COALESCE(h2.x, 0) / (SELECT sum(x) FROM h2), 6) AS hub,
+       round(COALESCE(a2.x, 0) / (SELECT sum(x) FROM a2), 6) AS auth
+FROM verts LEFT JOIN h2 ON h2.v = verts.v LEFT JOIN a2 ON a2.v = verts.v
 """,
         "g_bfs_parts": f"""
 WITH RECURSIVE e AS ({_EDGES_CTE}),

@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "t_bm25",
         "r_time_weighted",
         "x_warc_ingest",
+        "r_skyline",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

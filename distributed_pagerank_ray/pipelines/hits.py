@@ -164,3 +164,181 @@ def hits_fixed(
         )
 
     return j.map_batches(fin, batch_format="pyarrow")
+
+
+def salsa_fixed(
+    edges: "ray.data.Dataset",
+    iters: int = 2,
+    num_partitions: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "ray.data.Dataset":
+    """SALSA (Lempel & Moran's stochastic HITS sibling): the same
+    hub/authority half-steps but every sent score is divided by the
+    SENDER's degree —
+
+        a'(u) = Σ_{(v,u) ∈ E} h(v) / out(v)
+        h'(v) = Σ_{(v,u) ∈ E} a'(u) / in(u)
+
+    run for exactly ``iters`` iterations from h₀ ≡ 1, then
+    L1-normalized ONCE (the degree weights are FIXED, so each
+    half-step stays a linear map and the single terminal
+    normalization is float-identical to per-step normalizing up to
+    scalar reassociation — the hits_fixed argument). Returns (vertex,
+    hub, auth) rounded 6dp, zero where a side never receives mass.
+
+    Execution shape: degrees via two count BSPs, annotated onto the
+    edge table ONCE (two joins, schema-pinned), then per half-step one
+    hash join + one grouped sum — identical cost profile to
+    hits_fixed. Per-edge division happens at the map (x / deg, the
+    exact expression the SQL oracle uses; never pre-inverted — the
+    float-parity rule)."""
+    P = num_partitions
+
+    e = edges.map_batches(
+        lambda t: pa.table(
+            {"src": t.column(src_col).cast(_I64), "dst": t.column(dst_col).cast(_I64)}
+        ),
+        batch_format="pyarrow",
+    )
+    e = compact_for_join(e, P).materialize()
+
+    od = count_i64_keys(
+        e.map_batches(lambda t: pa.table({"v": t.column("src")}), batch_format="pyarrow"),
+        "v",
+        count_col="d",
+    )
+    idg = count_i64_keys(
+        e.map_batches(lambda t: pa.table({"v": t.column("dst")}), batch_format="pyarrow"),
+        "v",
+        count_col="d",
+    )
+    both = e.map_batches(
+        lambda t: pa.table({"v": t.column("src")}), batch_format="pyarrow"
+    ).union(
+        e.map_batches(lambda t: pa.table({"v": t.column("dst")}), batch_format="pyarrow")
+    )
+    verts = (
+        count_i64_keys(both, "v")
+        .map_batches(ensure_schema({"v": _I64}), batch_format="pyarrow")
+        .materialize()
+    )
+
+    ea = e.join(
+        compact_for_join(
+            od.map_batches(
+                lambda t: pa.table({"ov": t.column("v"), "od": t.column("d")})
+                if "v" in t.column_names and len(t)
+                else pa.table({"ov": pa.array([], _I64), "od": pa.array([], _I64)}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="inner", num_partitions=P, on=("src",), right_on=("ov",),
+    )
+    ea = ea.map_batches(  # schema pin between chained joins
+        ensure_schema({"src": _I64, "dst": _I64, "od": _I64}), batch_format="pyarrow"
+    )
+    ea = compact_for_join(ea, P).join(
+        compact_for_join(
+            idg.map_batches(
+                lambda t: pa.table({"iv": t.column("v"), "idg": t.column("d")})
+                if "v" in t.column_names and len(t)
+                else pa.table({"iv": pa.array([], _I64), "idg": pa.array([], _I64)}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="inner", num_partitions=P, on=("dst",), right_on=("iv",),
+    )
+    ea = compact_for_join(
+        ea.map_batches(
+            ensure_schema({"src": _I64, "dst": _I64, "od": _I64, "idg": _I64}),
+            batch_format="pyarrow",
+        ),
+        P,
+    ).materialize()
+
+    hub = verts.map_batches(
+        lambda t: pa.table({"v": t.column("v"), "x": pa.array(np.ones(len(t)))}),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = hub
+
+    def _half(scores, join_key: str, group_key: str, deg_key: str):
+        j = compact_for_join(scores, P).join(
+            ea, join_type="inner", num_partitions=P, on=("v",), right_on=(join_key,)
+        )
+
+        def pick(t: pa.Table) -> pa.Table:
+            if group_key not in t.column_names:
+                return pa.table({"k": pa.array([], _I64), "x": pa.array([], _F64)})
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            d = t.column(deg_key).to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({"k": t.column(group_key), "x": pa.array(x / d)})
+
+        return (
+            j.map_batches(pick, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("x", alias_name="s"))
+            .map_batches(
+                lambda t: pa.table({"v": t.column("k"), "x": t.column("s")})
+                if "k" in t.column_names
+                else pa.table({"v": pa.array([], _I64), "x": pa.array([], _F64)}),
+                batch_format="pyarrow",
+            )
+            .map_batches(ensure_schema({"v": _I64, "x": _F64}), batch_format="pyarrow")
+            .materialize()
+        )
+
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst", "od")
+        hub = _half(auth, "dst", "src", "idg")
+
+    t_h = float(hub.aggregate(Sum("x", alias_name="t"))["t"])
+    t_a = float(auth.aggregate(Sum("x", alias_name="t"))["t"])
+
+    j = compact_for_join(verts, P).join(
+        compact_for_join(
+            hub.map_batches(
+                lambda t: pa.table({"vh": t.column("v"), "h": t.column("x")}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="left_outer", num_partitions=P, on=("v",), right_on=("vh",),
+    )
+    j = compact_for_join(j, P).join(
+        compact_for_join(
+            auth.map_batches(
+                lambda t: pa.table({"va": t.column("v"), "a": t.column("x")}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="left_outer", num_partitions=P, on=("v",), right_on=("va",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "v" not in t.column_names:
+            return pa.table(
+                {
+                    "vertex": pa.array([], _I64),
+                    "hub": pa.array([], _F64),
+                    "auth": pa.array([], _F64),
+                }
+            )
+        n = len(t)
+        h = t.column("h") if "h" in t.column_names else pa.nulls(n, _F64)
+        a = t.column("a") if "a" in t.column_names else pa.nulls(n, _F64)
+        h = pc.fill_null(h.cast(_F64), 0.0).to_numpy(zero_copy_only=False)
+        a = pc.fill_null(a.cast(_F64), 0.0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vertex": t.column("v"),
+                "hub": pa.array(np.round(h / t_h, 6)),
+                "auth": pa.array(np.round(a / t_a, 6)),
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pyarrow")

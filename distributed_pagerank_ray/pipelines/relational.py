@@ -2557,3 +2557,84 @@ def time_weighted_value(sf_dir: str, num_buckets: "int | None" = None) -> "ray.d
             batch_format="pyarrow",
         )
     )
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2D skyline (minimize price, maximize
+    size; ties on BOTH dims are mutually non-dominating). Vectorized:
+    sort by (price asc, size desc), per-price-group max size via the
+    leading element, prefix STRICT max over earlier (cheaper) groups;
+    a point survives iff it carries its group max AND that max beats
+    every strictly-cheaper point's size."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-size, price))
+    p_s, s_s = price[order], size[order]
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = p_s[1:] != p_s[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    grp_max = s_s[new_grp]  # first element of each group = its max
+    prev_strict_max = np.empty(len(grp_max), dtype=s_s.dtype)
+    prev_strict_max[0] = np.iinfo(np.int64).min if s_s.dtype.kind == "i" else -np.inf
+    if len(grp_max) > 1:
+        np.maximum.accumulate(grp_max[:-1], out=prev_strict_max[1:])
+    keep_sorted = (s_s == grp_max[grp_id]) & (grp_max[grp_id] > prev_strict_max[grp_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_parts(sf_dir: str) -> "ray.data.Dataset":
+    """2D skyline (Pareto frontier) of the part table: minimize
+    p_retailprice, maximize p_size — "no part is both cheaper and
+    larger". The multi-objective shortlist every catalog/ranking
+    pipeline wants, and a genuinely distributed-friendly operator:
+    the skyline of a union IS the skyline of the per-block skylines
+    (dominated rows can be discarded locally), so each batch prunes to
+    its local frontier and ONE small merge computes the exact result.
+    Only comparisons touch the float column — no arithmetic, so
+    engine/oracle parity is exact by construction.
+
+    Scale note: per-block partials bound the exchange at
+    O(blocks × local-frontier); for uniformly random 2D data the
+    frontier is O(log n) rows, for adversarially anti-correlated data
+    it can approach n — the merge then degrades to a gather, which is
+    inherent to exact skylines (documented, not silent)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "p_partkey" not in t.column_names:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], _I64),
+                    "p_retailprice": pa.array([], _F64),
+                    "p_size": pa.array([], _I64),
+                }
+            )
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline_mask(price, size)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey").cast(_I64).filter(pa.array(keep)),
+                "p_retailprice": t.column("p_retailprice").filter(pa.array(keep)),
+                "p_size": pa.array(size[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return local(t)
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    # exact final frontier: one merge over the pruned partials
+    return (
+        partials.repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            ensure_schema(
+                {"p_partkey": _I64, "p_retailprice": _F64, "p_size": _I64}
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -430,3 +430,80 @@ def test_core_numbers_planted_closed_form():
         .sort_values("v")
     )
     assert got["coreness"].tolist() == [3, 3, 3, 3, 2, 2, 2, 1]
+
+
+def test_salsa_fixed_matches_numpy_replica():
+    import random
+
+    from distributed_pagerank_ray.pipelines.hits import salsa_fixed
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(8), 100 + rng.randrange(6)) for _ in range(20)})
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    got = (
+        salsa_fixed(ds, iters=2, num_partitions=2)
+        .to_pandas()
+        .set_index("vertex")
+        .sort_index()
+    )
+
+    verts = sorted(set(src) | set(dst))
+    od = {v: int((src == v).sum()) for v in verts}
+    idg = {v: int((dst == v).sum()) for v in verts}
+    h = {v: 1.0 for v in verts}
+    for _ in range(2):
+        a = {}
+        for s, d in edges:
+            a[d] = a.get(d, 0.0) + h.get(s, 0.0) / od[s]
+        h2 = {}
+        for s, d in edges:
+            h2[s] = h2.get(s, 0.0) + a.get(d, 0.0) / idg[d]
+        h = h2
+        auth = a
+    th, ta = sum(h.values()), sum(auth.values())
+    for v in verts:
+        assert abs(got.loc[v, "hub"] - h.get(v, 0.0) / th) < 1e-5
+        assert abs(got.loc[v, "auth"] - auth.get(v, 0.0) / ta) < 1e-5
+    # SALSA's signature vs HITS: sends are degree-normalized, so total
+    # sent mass per step is the number of SENDING vertices, not edges
+    assert abs(sum(auth.values()) - len({s for s, _ in edges})) < 1e-9
+
+
+def test_skyline_mask_brute_force_and_block_invariance():
+    from distributed_pagerank_ray.pipelines.relational import _skyline_mask
+
+    rng = np.random.default_rng(2)
+    price = np.round(rng.random(2000) * 100, 2)
+    size = rng.integers(1, 50, 2000)
+    keep = _skyline_mask(price, size)
+    dom = np.zeros(2000, bool)
+    for i in range(2000):
+        dom[i] = np.any(
+            (price <= price[i])
+            & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))
+        )
+    assert (keep == ~dom).all()
+    # exact duplicates on the frontier are mutually non-dominating
+    assert _skyline_mask(
+        np.array([1.0, 1.0, 2.0, 0.5]), np.array([10, 10, 20, 1])
+    ).tolist() == [True, True, True, True]
+    assert _skyline_mask(np.array([1.0, 1.0, 1.0]), np.array([5, 7, 7])).tolist() == [
+        False,
+        True,
+        True,
+    ]
+    # skyline(union) == skyline(union of block skylines): prune in two
+    # arbitrary halves, merge, re-prune — identical frontier
+    h = 1000
+    k1 = _skyline_mask(price[:h], size[:h])
+    k2 = _skyline_mask(price[h:], size[h:])
+    mp = np.concatenate([price[:h][k1], price[h:][k2]])
+    ms = np.concatenate([size[:h][k1], size[h:][k2]])
+    merged = set(zip(mp[_skyline_mask(mp, ms)], ms[_skyline_mask(mp, ms)]))
+    direct = set(zip(price[keep], size[keep]))
+    assert merged == direct
