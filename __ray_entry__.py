@@ -4432,9 +4432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_strat_sample": _r_strat_sample,  # decile-stratified deterministic sample
         "r_qty_price_regr": _r_qty_price_regr,  # grouped OLS slope/intercept
         "r_orders_cube": _r_orders_cube,  # CUBE grouping sets, one input scan
-        "t_lang_share": _t_lang_share,  # corpus-card composition report
-        "t_rep_stats": _t_rep_stats,  # repetition-ratio quality stats
-        "t_tfidf_top3": _t_tfidf_top3,  # per-doc top-3 tf-idf terms
+        "x_warc_ingest": _x_warc_ingest,  # SQL-gated WARC crawl-archive parse (r5 new)
+        "t_bm25": _t_bm25,  # BM25 relevance vs corpus top terms (r5 new)
+        "r_skyline": _r_skyline,  # 2D Pareto frontier, mergeable block partials (r5 new)
         "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
         "g_mis_doc": _g_mis_doc,  # Luby MIS, planted clique+star closed-form oracle (r5 new)
         # ---- driver window: round-5 semantics changes to re-witness
@@ -4502,11 +4502,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_zlib_ratio": _t_zlib_ratio,  # rows-only compression-ratio quality signal (r5 new)
         "x_jsonl_docs": _x_jsonl_docs,  # SQL-gated JSONL multi-shard ingest (r5 new)
         "r_time_weighted": _r_time_weighted,  # dwell-weighted avg, LEAD window (r5 new)
-        "x_warc_ingest": _x_warc_ingest,  # SQL-gated WARC crawl-archive parse (r5 new)
-        "t_bm25": _t_bm25,  # BM25 relevance vs corpus top terms (r5 new)
         "e_pq_adc": _e_pq_adc,  # product-quantized ANN, rows-only + ADC identity gate (r5 new)
         "g_salsa2_lineitem": _g_salsa2_lineitem,  # SALSA hubs/authorities, unrolled oracle (r5 new)
-        "r_skyline": _r_skyline,  # 2D Pareto frontier, mergeable block partials (r5 new)
+        # (t_lang_share / t_rep_stats / t_tfidf_top3 displaced late-r5
+        # for x_warc_ingest / t_bm25 / r_skyline: three NEW operator
+        # families take the witness slots; 20 of the 23 never-witnessed
+        # queries stay in-window, meeting the VERDICT r4 #3 ">=20" bar,
+        # and all three keep their local exact-hash gates)
+        "t_lang_share": _t_lang_share,  # corpus-card composition report
+        "t_rep_stats": _t_rep_stats,  # repetition-ratio quality stats
+        "t_tfidf_top3": _t_tfidf_top3,  # per-doc top-3 tf-idf terms
         # (g_pagerank_lineitem / t_simhash_pairs / t_winnow_fp displaced
         # late-r5 by new SQL-gated ops — all three are rows-only entries
         # with driver rows-only green in CORRECTNESS_r01/r02.json;

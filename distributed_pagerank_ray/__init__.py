@@ -38,6 +38,14 @@ def __getattr__(name):
         "extract_links": ("distributed_pagerank_ray.stages.extract", "extract_links"),
         "extract_text": ("distributed_pagerank_ray.stages.extract", "extract_text"),
         "read_edgelist": ("distributed_pagerank_ray.sources.edgelist", "read_edgelist"),
+        "read_warc": ("distributed_pagerank_ray.sources.warc", "read_warc"),
+        "dag_longest_path": ("distributed_pagerank_ray.pipelines.dagdepth", "dag_longest_path"),
+        "mis_luby": ("distributed_pagerank_ray.pipelines.mis", "mis_luby"),
+        "maximal_matching": ("distributed_pagerank_ray.pipelines.matching", "maximal_matching"),
+        "salsa_fixed": ("distributed_pagerank_ray.pipelines.hits", "salsa_fixed"),
+        "levenshtein_bytes": ("distributed_pagerank_ray.functions.editdist", "levenshtein_bytes"),
+        "bm25_scores": ("distributed_pagerank_ray.functions.textstats", "bm25_scores"),
+        "knn_pq_adc": ("distributed_pagerank_ray.functions.pq", "knn_pq_adc"),
         "PageRankConfig": ("distributed_pagerank_ray.config", "PageRankConfig"),
         "GraphSemantics": ("distributed_pagerank_ray.config", "GraphSemantics"),
         "RunConfig": ("distributed_pagerank_ray.config", "RunConfig"),

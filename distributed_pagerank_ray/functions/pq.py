@@ -194,12 +194,16 @@ def knn_pq_adc(
         # exactness identity: ADC == ||q - reconstruct(code)||^2,
         # checked for the <= Q*top_k REPORTED pairs only (a broadcast
         # filter fetches just those codes — never the full code table)
-        needed = set(int(v) for v in merged["neighbor_id"])
+        needed = np.sort(merged["neighbor_id"].unique().astype(np.int64))
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids_ = t.column(id_col).to_numpy(zero_copy_only=False)
+            m = np.isin(ids_, needed)
+            return t.filter(pa.array(m))
+
         code_map = {
             r[id_col]: np.frombuffer(r["code"], np.uint8)
-            for r in codes.filter(
-                lambda row: row[id_col] in needed
-            ).take_all()
+            for r in codes.map_batches(pick, batch_format="pyarrow").take_all()
         }
         for _, row in merged.iterrows():
             c = code_map[int(row["neighbor_id"])]
