@@ -4201,6 +4201,52 @@ def _g_matching_doc(sf_dir):
     )
 
 
+def _g_mst_doc(sf_dir):
+    """Minimum spanning forest (distributed Borůvka,
+    pipelines/mst.py) on a PLANTED weighted graph of disjoint
+    8-vertex rings capped at 2048 vertices: path edges (i, i+1) weigh
+    10+i+(g%5); the closing chord (0,7) weighs 5+(g%5) in EVEN groups
+    — the MSF takes it and drops the heaviest path edge (6,7), a
+    genuine cycle break — and 99 in ODD groups — the MSF is the bare
+    path. Returns the forest edges (src < dst, w); both outcomes are
+    closed-form in SQL per group parity, so the oracle checks argmin
+    edge selection AND contraction mechanics without simulating
+    Borůvka rounds."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.mst import boruvka_forest
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+    nf = min(2048, n // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bases = i[(i < nf) & (i % 8 == 0)]
+        g = bases // 8
+        pos = np.arange(7, dtype=np.int64)
+        src = np.concatenate([(bases[:, None] + pos[None, :]).ravel(), bases])
+        dst = np.concatenate(
+            [(bases[:, None] + pos[None, :] + 1).ravel(), bases + 7]
+        )
+        wpath = (10 + pos[None, :] + (g % 5)[:, None]).ravel()
+        wchord = np.where(g % 2 == 0, 5 + g % 5, 99)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "w": pa.array(np.concatenate([wpath, wchord])),
+            }
+        )
+
+    forest, _labels = boruvka_forest(
+        docs.map_batches(make, batch_format="pyarrow"),
+        num_partitions=4,
+        num_shards=4,
+    )
+    return forest
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -4443,7 +4489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan (r5 fix)
         "t_token_counts": _t_token_counts,  # planted-pad trim-parity witness (r5)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5)
-        "t_ngram_dup_pairs": _t_ngram_dup_pairs,  # RE2-\s word shingles (r5)
+        "g_mst_doc": _g_mst_doc,  # Borůvka MSF, planted ring closed-form oracle (r5 new)
         "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated LSH, never driver-witnessed
         "g_dagdepth_doc": _g_dagdepth_doc,  # DAG longest-path depth, recursive-CTE oracle (r5 new)
         "r_winsorize": _r_winsorize,  # exact-quantile winsorized money report (r5 new)
@@ -4490,6 +4536,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2-\s trim via t_pack_seqs + t_token_counts, word shingles
         # via t_ngram_dup_pairs — all three are driver-green from
         # earlier rounds and stay in the full local exact-hash gate)
+        # (t_ngram_dup_pairs displaced late-r5 for g_mst_doc: the r5
+        # RE2-\s word-shingle change stays witnessed in-window via
+        # t_dup_spans — the same dedup._re2_word_split tokenizer — and
+        # it carries driver green from r2; still in the full local
+        # exact-hash gate)
+        "t_ngram_dup_pairs": _t_ngram_dup_pairs,  # RE2-\s word shingles (r5)
         "t_decontam": _t_decontam,  # RE2-\s word shingles (r5)
         "t_corpus_prep": _t_corpus_prep,  # composed chain over new tokenizer (r5)
         "t_exact_dedup": _t_exact_dedup,  # vectorized hash path (r5)
@@ -5564,6 +5616,20 @@ SELECT src, dst FROM p JOIN k4min USING (g)
 WHERE p.c = k4min.cmin OR p.c = 5 - k4min.cmin
 UNION ALL
 SELECT src, dst FROM p JOIN pathmin USING (g) WHERE p.c = pathmin.cmin
+ORDER BY src, dst
+""",
+        # planted 8-vertex rings: the MSF is closed-form per group
+        # parity — even groups take the cheap chord and drop the
+        # heaviest path edge (6,7); odd groups keep the bare path —
+        # all-integer weights, overflow-free BIGINT on both sides
+        "g_mst_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents),
+gs AS (SELECT DISTINCT doc_id // 8 AS g FROM documents, nn WHERE doc_id < nn.nf),
+pos AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(i))
+SELECT g*8 + i AS src, g*8 + i + 1 AS dst, 10 + i + (g % 5) AS w
+FROM gs, pos WHERE (g % 2 = 1) OR i <= 5
+UNION ALL
+SELECT g*8 AS src, g*8 + 7 AS dst, 5 + (g % 5) AS w FROM gs WHERE g % 2 = 0
 ORDER BY src, dst
 """,
         # dwell-weighted average: floor(value*100) quantization (floor

@@ -43,6 +43,8 @@ def __getattr__(name):
         "mis_luby": ("distributed_pagerank_ray.pipelines.mis", "mis_luby"),
         "maximal_matching": ("distributed_pagerank_ray.pipelines.matching", "maximal_matching"),
         "salsa_fixed": ("distributed_pagerank_ray.pipelines.hits", "salsa_fixed"),
+        "boruvka_forest": ("distributed_pagerank_ray.pipelines.mst", "boruvka_forest"),
+        "forest_summary": ("distributed_pagerank_ray.pipelines.mst", "forest_summary"),
         "levenshtein_bytes": ("distributed_pagerank_ray.functions.editdist", "levenshtein_bytes"),
         "bm25_scores": ("distributed_pagerank_ray.functions.textstats", "bm25_scores"),
         "knn_pq_adc": ("distributed_pagerank_ray.functions.pq", "knn_pq_adc"),

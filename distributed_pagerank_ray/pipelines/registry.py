@@ -42,15 +42,34 @@ class JobConfig:
     max_iters: int = 100
     dangling: str = "none"
     outdegree_mode: str = "line_count"
-    extract_concurrency: int = 8
+    # None = derive from the cluster at load time. A fixed actor pool
+    # that claims EVERY cluster CPU starves the upstream ReadParquet
+    # task forever (hard deadlock observed at num_cpus=8 with the old
+    # fixed default 8) — _resolve_extract_concurrency always leaves
+    # headroom for the read + downstream tasks.
+    extract_concurrency: Optional[int] = None
     run_cfg: RunConfig = field(default_factory=RunConfig)
+
+
+def _resolve_extract_concurrency(requested: Optional[int], ncpu: int) -> int:
+    """Actor-pool size for the extract stage: 3/4 of the cluster by
+    default, and NEVER the whole cluster — at least 2 CPUs stay free
+    for the parquet read feeding the pool (1 leads to livelock-grade
+    trickle; 0 is a hard deadlock)."""
+    cap = max(1, ncpu - 2)
+    if requested is None:
+        return max(1, min((3 * ncpu) // 4, cap))
+    return max(1, min(requested, cap))
 
 
 def load_edges(cfg: JobConfig) -> tuple["ray.data.Dataset", str, str, bool]:
     """Returns (links, src_col, dst_col, mint)."""
     if cfg.pages_parquet:
         pages = ray.data.read_parquet(cfg.pages_parquet, columns=["url", "html"])
-        links = extract_links(pages, concurrency=cfg.extract_concurrency).select_columns(
+        conc = _resolve_extract_concurrency(
+            cfg.extract_concurrency, int(ray.cluster_resources().get("CPU", 8))
+        )
+        links = extract_links(pages, concurrency=conc).select_columns(
             ["src_url", "dst_url"]
         )
         return links, "src_url", "dst_url", True

@@ -147,3 +147,23 @@ def test_supervise_gives_up(tmp_path):
     )
     assert proc.returncode != 0
     assert '"supervise": "gave_up"' in proc.stderr
+
+
+def test_extract_concurrency_never_saturates_cluster():
+    # a fixed actor pool claiming EVERY cluster CPU starves the
+    # upstream ReadParquet task forever (deadlock seen at num_cpus=8
+    # with the old fixed default 8): the resolver must always leave
+    # >= 2 CPUs of headroom on clusters that have them.
+    from distributed_pagerank_ray.pipelines.registry import (
+        _resolve_extract_concurrency,
+    )
+
+    assert _resolve_extract_concurrency(None, 8) == 6
+    assert _resolve_extract_concurrency(None, 32) == 24
+    assert _resolve_extract_concurrency(8, 8) == 6  # explicit ask capped
+    assert _resolve_extract_concurrency(4, 32) == 4  # explicit ask kept
+    assert _resolve_extract_concurrency(None, 2) == 1
+    assert _resolve_extract_concurrency(None, 1) == 1
+    for ncpu in range(3, 64):
+        assert _resolve_extract_concurrency(None, ncpu) <= ncpu - 2
+        assert _resolve_extract_concurrency(100, ncpu) <= ncpu - 2
