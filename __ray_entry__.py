@@ -2971,6 +2971,40 @@ def _m_png_decode(sf_dir):
     return decode_png(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_gif_decode(sf_dir):
+    """REAL dictionary-compressed image decode gate (grayscale GIF89a):
+    deterministic payloads built from doc_id with pixel(y,x) =
+    (11·id + 5·x + 7·y) % 256, encoded by ``encode_gif`` with a
+    genuinely LZW-compressed raster (variable-width 9→12-bit codes,
+    LSB-first packing, CLEAR/EOI protocol). The SQL oracle computes
+    width/height/mean/min/max ANALYTICALLY from the pixel formula, so
+    matching requires a correct block walk, sub-block reassembly, AND
+    a correct LZW inflate — a single mis-grown code width garbles
+    every later pixel, shifting mean/min/max."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_gif, encode_gif
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            w, h = 4 + int(i) % 7, 3 + int(i) % 5
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            gray = ((11 * int(i) + 5 * x[None, :] + 7 * y[:, None]) % 256).astype(np.uint8)
+            payloads.append(encode_gif(gray))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_gif(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -4497,8 +4531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window: round-5 behavior changes / new ops ----
         "g_scc_doc": _g_scc_doc,  # SCC, fused F+B exchanges (r5 rework)
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG (size-derived buckets, r5)
-        "r_events_moving_avg": _r_events_moving_avg,  # ROWS frame (size-derived buckets, r5)
         "m_png_decode": _m_png_decode,  # REAL PNG inflate+unfilter decode (r5 new)
+        "m_gif_decode": _m_gif_decode,  # REAL GIF LZW decode, analytic oracle (r5 new)
         "x_edgelist_text": _x_edgelist_text,  # vectorized strict text-edge parse (r5 new)
         "t_dup_spans": _t_dup_spans,  # duplicated-span exposure per doc, SQL-gated (r5 new)
         "t_mixture_sample": _t_mixture_sample,  # target-mixture subsample, SQL-gated (r5 new)
@@ -4536,6 +4570,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RE2-\s trim via t_pack_seqs + t_token_counts, word shingles
         # via t_ngram_dup_pairs — all three are driver-green from
         # earlier rounds and stay in the full local exact-hash gate)
+        # (r_events_moving_avg displaced late-r5 for m_gif_decode: the
+        # r5 size-derived-buckets change stays witnessed in-window via
+        # r_user_journeys, and moving-avg carries driver green from r4
+        # with its ROWS-frame float-association semantics unchanged;
+        # still in the full local exact-hash gate)
+        "r_events_moving_avg": _r_events_moving_avg,  # ROWS frame (size-derived buckets, r5)
         # (t_ngram_dup_pairs displaced late-r5 for g_mst_doc: the r5
         # RE2-\s word-shingle change stays witnessed in-window via
         # t_dup_spans — the same dedup._re2_word_split tokenizer — and
@@ -6299,6 +6339,23 @@ SELECT doc_id,
        (SELECT max((7 * doc_id + 3 * g.x + 13 * q.y) % 256)
         FROM UNNEST(range(5 + doc_id % 6)) AS g(x),
              UNNEST(range(4 + doc_id % 5)) AS q(y)) AS max_gray
+FROM documents
+""",
+        # the gate payloads are deterministic LZW-compressed GIFs from
+        # _m_gif_decode (decode must walk sub-blocks + inflate to match)
+        "m_gif_decode": """
+SELECT doc_id,
+       4 + doc_id % 7 AS width,
+       3 + doc_id % 5 AS height,
+       round((SELECT avg((11 * doc_id + 5 * g.x + 7 * q.y) % 256)
+              FROM UNNEST(range(4 + doc_id % 7)) AS g(x),
+                   UNNEST(range(3 + doc_id % 5)) AS q(y)), 6) AS mean_gray,
+       (SELECT min((11 * doc_id + 5 * g.x + 7 * q.y) % 256)
+        FROM UNNEST(range(4 + doc_id % 7)) AS g(x),
+             UNNEST(range(3 + doc_id % 5)) AS q(y)) AS min_gray,
+       (SELECT max((11 * doc_id + 5 * g.x + 7 * q.y) % 256)
+        FROM UNNEST(range(4 + doc_id % 7)) AS g(x),
+             UNNEST(range(3 + doc_id % 5)) AS q(y)) AS max_gray
 FROM documents
 """,
         # planted-graph reciprocity (identical edge formula both sides)

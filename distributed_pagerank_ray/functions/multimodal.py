@@ -1052,3 +1052,264 @@ def decode_tiff(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- real GIF codec
+#
+# Second genuinely-compressed codec after PNG (reference has no
+# multimodal surface at all — repo-wide; this extends the §2.5
+# decode ladder PPM/PGM/PNG/BMP/TIFF/WAV/Y4M with a DICTIONARY
+# compressor): GIF's LZW is a variable-width (9→12 bit, LSB-first)
+# dictionary coder, so a correct decode witnesses bit unpacking,
+# table growth, the clear/EOI protocol AND the KwKwK corner case —
+# none of which zlib exercises.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_compress_gif(indices: np.ndarray, min_code_size: int = 8) -> bytes:
+    """REAL GIF-variant LZW compressor over palette indices: emits a
+    leading CLEAR, grows the code width when the next free code would
+    not fit (encoder-side 'early growth off' convention — width bumps
+    AFTER next_code reaches 1 << width), resets the table at 4096.
+    Output is the raw code bytestream (sub-block framing is the
+    caller's job)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    s = b""
+    for v in indices.astype(np.uint8).tobytes():
+        sv = s + bytes([v])
+        if sv in table:
+            s = sv
+            continue
+        emit(table[s], width)
+        if next_code < 4096:
+            table[sv] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([v])
+    if s:
+        emit(table[s], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """REAL GIF LZW decode: LSB-first variable-width code reader,
+    dictionary rebuild with the KwKwK rule (code == next free slot →
+    prev + prev[0]), width growth when the table fills the current
+    width, full reset on CLEAR. Raises ValueError on any protocol
+    violation (code beyond the table, missing EOI, pixel overrun) —
+    the fail-loudly decode contract."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    ended = False
+    while pos < len(data) or nbits >= width:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ran out before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            ended = True
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table of {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError("GIF LZW produced more pixels than the raster")
+    if not ended:
+        raise ValueError("GIF LZW stream missing EOI")
+    if len(out) != n_pixels:
+        raise ValueError(f"GIF raster short: {len(out)} of {n_pixels} pixels")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(gray: np.ndarray) -> bytes:
+    """Minimal REAL grayscale GIF89a encoder for an (h, w) uint8 array:
+    256-entry gray global color table (index i → (i,i,i)), one
+    non-interlaced image, genuinely LZW-compressed raster split into
+    ≤255-byte sub-blocks. The test-payload generator for the decoder
+    below."""
+    import struct
+
+    h, w = gray.shape
+    assert gray.dtype == np.uint8
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT flag, 8-bit, size 256
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # no LCT, no interlace
+    raw = _lzw_compress_gif(gray.ravel())
+    blocks = bytearray([8])  # LZW min code size
+    for i in range(0, len(raw), 255):
+        chunk = raw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return b"GIF89a" + lsd + gct + desc + bytes(blocks) + b"\x3B"
+
+
+def decode_gif_gray8(b: bytes) -> np.ndarray:
+    """REAL GIF decode for single-image grayscale-palette files:
+    header + logical-screen-descriptor walk, global color table read,
+    extension blocks skipped by sub-block framing (spec-correct even
+    though our encoder emits none), image descriptor checks, sub-block
+    reassembly, then a genuine LZW inflate (variable width, KwKwK,
+    clear protocol) and palette lookup. Raises ValueError on interlace,
+    local color tables, non-gray palettes, or any framing/LZW
+    violation — fail loudly, quarantine upstream (the PpmDecode
+    contract)."""
+    import struct
+
+    if b is None or len(b) < 13 or b[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct_n = 2 << (packed & 0x07)
+    gct = b[pos : pos + 3 * gct_n]
+    if len(gct) != 3 * gct_n:
+        raise ValueError("truncated GIF global color table")
+    pos += 3 * gct_n
+    pal = np.frombuffer(gct, dtype=np.uint8).reshape(gct_n, 3)
+    if not (pal[:, 0] == pal[:, 1]).all() or not (pal[:, 1] == pal[:, 2]).all():
+        raise ValueError("non-gray GIF palette unsupported")
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x21:  # extension: label + sub-blocks to terminator
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise ValueError("GIF local color table unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if left or top or w != sw or h != sh:
+            raise ValueError("GIF sub-rectangle images unsupported")
+        min_code_size = b[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+        raw = bytearray()
+        while True:
+            if pos >= len(b):
+                raise ValueError("truncated GIF image data")
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            raw += b[pos : pos + n]
+            if pos + n > len(b):
+                raise ValueError("truncated GIF sub-block")
+            pos += n
+        idx = _lzw_decompress_gif(bytes(raw), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= gct_n:
+            raise ValueError("GIF pixel index beyond palette")
+        return pal[idx, 0].reshape(h, w)
+    raise ValueError("GIF missing image descriptor")
+
+
+class GifDecode:
+    """Actor-pool GIF decode stage: REAL LZW inflate + palette lookup
+    per payload (``decode_gif_gray8``), emitting the PgmDecode stats
+    schema (width/height/mean_gray/min_gray/max_gray). The LZW inner
+    loop is Python over CODES (not pixels) — each code emits a whole
+    dictionary string — so gate-scale images stay cheap; malformed
+    payloads raise (quarantine upstream)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, means, mins, maxs = [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            px = decode_gif_gray8(buf.as_py())
+            heights.append(px.shape[0])
+            widths.append(px.shape[1])
+            means.append(px.mean())
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("width", pa.array(np.array(widths, dtype=np.int64)))
+        out = out.append_column("height", pa.array(np.array(heights, dtype=np.int64)))
+        out = out.append_column(
+            "mean_gray", pa.array(np.round(np.array(means, dtype=np.float64), 6), pa.float64())
+        )
+        out = out.append_column("min_gray", pa.array(np.array(mins, dtype=np.int64)))
+        out = out.append_column("max_gray", pa.array(np.array(maxs, dtype=np.int64)))
+        return out
+
+
+def decode_gif(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool GIF decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        GifDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
