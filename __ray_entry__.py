@@ -3005,6 +3005,42 @@ def _m_gif_decode(sf_dir):
     return decode_gif(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_mulaw_decode(sf_dir):
+    """REAL companded-audio decode gate (G.711 mu-law WAV): payloads
+    are canonical mu-law WAV files (18-byte fmt, fact chunk, data —
+    so a correct decode needs a real RIFF chunk walk) with byte j =
+    (37·id + 11·j) % 256 over n = 16 + id % 17 samples. The SQL
+    oracle applies the SAME CCITT expansion formula per byte —
+    u = 255−b; t = ((u%16)·8+132) << ((u//16)%8); ±(t−132) — so the
+    LUT, the sign convention, and the chunk walk are all witnessed
+    value-exactly (integer arithmetic end to end, ONE terminal
+    division for the mean)."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_wav_mulaw_ds,
+        encode_wav_mulaw,
+    )
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            n = 16 + int(i) % 17
+            j = np.arange(n, dtype=np.int64)
+            raw = ((37 * int(i) + 11 * j) % 256).astype(np.uint8).tobytes()
+            payloads.append(encode_wav_mulaw(raw, 8000))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_wav_mulaw_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -4544,6 +4580,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_edge_jaccard_parts": _g_edge_jaccard_parts,  # edge-neighborhood Jaccard top-20, SQL-gated (r5 new)
         "g_matching_doc": _g_matching_doc,  # greedy maximal matching, closed-form oracle (r5 new)
         # ---- end of 50-entry driver window ----
+        # (m_mulaw_decode lands OUTSIDE the window: multimodal
+        # byte-parsing is already witnessed in-window three ways —
+        # m_tiff_decode, m_png_decode, m_gif_decode — and every
+        # in-window slot holds a never-witnessed or semantics-changed
+        # entry; the full local exact-hash gate covers it)
+        "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
         # (m_bmp_decode displaced late-r5 for g_matching_doc: real image
         # byte-parsing is witnessed in-window twice via m_png_decode +
         # m_tiff_decode; BMP keeps its local exact-hash gate + pytest)
@@ -6357,6 +6399,31 @@ SELECT doc_id,
         FROM UNNEST(range(4 + doc_id % 7)) AS g(x),
              UNNEST(range(3 + doc_id % 5)) AS q(y)) AS max_gray
 FROM documents
+""",
+        # CCITT G.711 expansion applied per byte IN SQL (integer <<
+        # arithmetic; u = 255 - b is 8-bit NOT): the engine must do a
+        # real RIFF chunk walk + LUT expansion to match. sum(abs) is
+        # HUGEINT -> CAST DOUBLE before the ONE division; int columns
+        # pinned BIGINT for the dtype-sensitive canonical hash.
+        "m_mulaw_decode": """
+WITH lin AS (
+  SELECT doc_id, j.j AS j,
+         CASE WHEN (255 - (37 * doc_id + 11 * j.j) % 256) >= 128
+              THEN -(((((255 - (37 * doc_id + 11 * j.j) % 256) % 16) * 8 + 132)
+                      << (((255 - (37 * doc_id + 11 * j.j) % 256) // 16) % 8)) - 132)
+              ELSE  (((((255 - (37 * doc_id + 11 * j.j) % 256) % 16) * 8 + 132)
+                      << (((255 - (37 * doc_id + 11 * j.j) % 256) // 16) % 8)) - 132)
+         END AS v
+  FROM documents, UNNEST(range(16 + doc_id % 17)) AS j(j)
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       count(*) AS n_samples,
+       round(CAST(sum(abs(v)) AS DOUBLE) / count(*), 6) AS mean_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
+FROM lin
+GROUP BY doc_id
 """,
         # planted-graph reciprocity (identical edge formula both sides)
         "g_reciprocity_doc": """

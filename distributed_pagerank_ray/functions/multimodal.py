@@ -1313,3 +1313,134 @@ def decode_gif(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------- real mu-law WAV codec
+#
+# G.711 mu-law is the first COMPANDED audio format in the stack (the
+# reference has no audio surface at all): 8-bit logarithmic samples
+# expand to 14-bit-range linear PCM through the CCITT segment formula,
+# which is pure integer arithmetic — so the gate oracle can apply the
+# SAME expansion in SQL and the decode is witnessed value-exactly.
+# Unlike the PCM WavDecode above (fixed canonical layout), mu-law WAV
+# files canonically carry a `fact` chunk, so this decoder does a REAL
+# RIFF chunk walk (arbitrary chunk order, odd-size word-alignment
+# padding per the RIFF spec).
+
+def _mulaw_decode_lut() -> np.ndarray:
+    """256-entry mu-law byte -> linear int32 table from the CCITT
+    G.711 decode formula: u = ~b; t = ((u & 0xF) << 3 | 0x84) <<
+    ((u >> 4) & 7); linear = sign(u & 0x80) ? -(t-0x84) : (t-0x84).
+    Spot anchors: 0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    mag = t - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int32)
+
+
+def encode_wav_mulaw(mulaw_bytes: bytes, sample_rate: int = 8000) -> bytes:
+    """Canonical G.711 mu-law WAV writer (RIFF/WAVE, mono, 8-bit,
+    format tag 7): an 18-byte fmt chunk (cbSize=0, required for
+    non-PCM), the spec-mandated `fact` chunk carrying the sample
+    count, then data — the test-payload generator for the chunk-walk
+    decoder below."""
+    import struct
+
+    n = len(mulaw_bytes)
+    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", n) + mulaw_bytes
+        + (b"\x00" if n % 2 else b"")  # RIFF word alignment
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_mulaw(b: bytes) -> tuple[int, np.ndarray]:
+    """REAL mu-law WAV decode: full RIFF chunk walk (any chunk order,
+    unknown chunks skipped by size, odd sizes padded to word
+    boundaries), fmt validation (tag 7, mono, 8-bit), then the G.711
+    expansion to linear int32. Returns (sample_rate, linear). Raises
+    ValueError on anything malformed or outside the profile — fail
+    loudly, quarantine upstream (the PpmDecode contract)."""
+    import struct
+
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        payload = b[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"data":
+            data = payload
+        pos += 8 + size + (size % 2)  # RIFF pads odd chunks
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV fmt chunk too short")
+    audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 7 or channels != 1 or bits != 8:
+        raise ValueError("only mono 8-bit mu-law (format tag 7) supported")
+    lut = _mulaw_decode_lut()
+    return int(rate), lut[np.frombuffer(data, dtype=np.uint8)]
+
+
+class MulawWavDecode:
+    """Actor-pool mu-law WAV decode stage: RIFF chunk walk + G.711
+    expansion per payload (``decode_wav_mulaw``); the 256-entry LUT is
+    built ONCE per actor here in ``__init__`` (the stateful-setup
+    pattern), decode itself is one vectorized ``np.take``. Emits
+    sample_rate, n_samples, mean_abs of the LINEAR samples (int64 sum,
+    ONE terminal division, 6 dp), peak, and first_lin (signed first
+    sample — the byte-order/offset witness)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+        self.lut = _mulaw_decode_lut()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        rates, counts, means, peaks, firsts = [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            rate, lin = decode_wav_mulaw(buf.as_py())
+            lin64 = lin.astype(np.int64)
+            rates.append(rate)
+            counts.append(len(lin))
+            means.append(
+                round(float(np.abs(lin64).sum()) / len(lin), 6) if len(lin) else 0.0
+            )
+            peaks.append(int(np.abs(lin64).max()) if len(lin) else 0)
+            firsts.append(int(lin64[0]) if len(lin) else 0)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("sample_rate", pa.array(np.array(rates, dtype=np.int64)))
+        out = out.append_column("n_samples", pa.array(np.array(counts, dtype=np.int64)))
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(np.array(peaks, dtype=np.int64)))
+        out = out.append_column("first_lin", pa.array(np.array(firsts, dtype=np.int64)))
+        return out
+
+
+def decode_wav_mulaw_ds(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool mu-law WAV decode — same shape/sizing as decode_ppm."""
+    return ds.map_batches(
+        MulawWavDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
