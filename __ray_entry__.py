@@ -4317,6 +4317,72 @@ def _g_mst_doc(sf_dir):
     return forest
 
 
+def _g_densest_doc(sf_dir):
+    """Densest subgraph (batched greedy peel, pipelines/densest.py) on
+    a PLANTED graph of disjoint 16-vertex groups capped at 2048: EVEN
+    groups carry a K8 clique (positions 0-7, density 3.5) with an
+    8-vertex path tail hanging off position 7; ODD groups are bare
+    16-rings (density 1). Round 0 peels every ring and tail at the
+    global average-degree threshold; round 1's snapshot — exactly the
+    K8 cliques — is the best density, so members AND the exact
+    density fraction (best_e, best_v) are closed-form per group
+    parity. Witnesses the count-BSP degrees, the adaptive threshold,
+    the isolation-aware removal log, and exact fraction comparison."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.densest import densest_subgraph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+    nf = min(2048, n // 16 * 16)
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bases = ids[(ids < nf) & (ids % 16 == 0)]
+        srcs, dsts = [], []
+        for base in bases:
+            g = base // 16
+            if g % 2 == 0:
+                for i in range(8):
+                    for j in range(i + 1, 8):
+                        srcs.append(base + i)
+                        dsts.append(base + j)
+                for i in range(7, 15):
+                    srcs.append(base + i)
+                    dsts.append(base + i + 1)
+            else:
+                for i in range(16):
+                    a, b = base + i, base + (i + 1) % 16
+                    srcs.append(min(a, b))
+                    dsts.append(max(a, b))
+        return pa.table(
+            {"a": pa.array(srcs, pa.int64()), "b": pa.array(dsts, pa.int64())}
+        )
+
+    members, stats = densest_subgraph(
+        docs.map_batches(make, batch_format="pyarrow"), num_partitions=4
+    )
+    out = members.map_batches(
+        lambda t, e=stats["best_e"], v=stats["best_v"]: pa.table(
+            {
+                "v": t.column("v"),
+                "best_e": pa.array(np.full(len(t), e, np.int64)),
+                "best_v": pa.array(np.full(len(t), v, np.int64)),
+            }
+        )
+        if "v" in t.column_names
+        else pa.table(
+            {
+                "v": pa.array([], pa.int64()),
+                "best_e": pa.array([], pa.int64()),
+                "best_v": pa.array([], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort("v")
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -4586,6 +4652,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window slot holds a never-witnessed or semantics-changed
         # entry; the full local exact-hash gate covers it)
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
+        # (g_densest_doc also OUTSIDE the window: the graph family is
+        # witnessed in-window nine ways this round — mst/mis/matching/
+        # ktruss/scc/dagdepth/betweenness/eigen/coreness; the full
+        # local exact-hash gate covers it)
+        "g_densest_doc": _g_densest_doc,  # greedy-peel densest subgraph, closed-form oracle (r5 new)
         # (m_bmp_decode displaced late-r5 for g_matching_doc: real image
         # byte-parsing is witnessed in-window twice via m_png_decode +
         # m_tiff_decode; BMP keeps its local exact-hash gate + pytest)
@@ -5713,6 +5784,19 @@ FROM gs, pos WHERE (g % 2 = 1) OR i <= 5
 UNION ALL
 SELECT g*8 AS src, g*8 + 7 AS dst, 5 + (g % 5) AS w FROM gs WHERE g % 2 = 0
 ORDER BY src, dst
+""",
+        # planted 16-vertex groups: even groups hold a K8 clique (+
+        # path tail), odd groups a bare ring; the batched peel's best
+        # snapshot is exactly the union of cliques, so members and the
+        # exact density fraction are closed-form per group parity
+        "g_densest_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 16 * 16) AS nf FROM documents),
+gs AS (SELECT DISTINCT doc_id // 16 AS g FROM documents, nn WHERE doc_id < nn.nf),
+ge AS (SELECT count(*) AS c FROM gs WHERE g % 2 = 0)
+SELECT g * 16 + p.i AS v, 28 * ge.c AS best_e, 8 * ge.c AS best_v
+FROM gs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS p(i), ge
+WHERE g % 2 = 0
+ORDER BY v
 """,
         # dwell-weighted average: floor(value*100) quantization (floor
         # is bit-identical across engines — never CAST-vs-rint),

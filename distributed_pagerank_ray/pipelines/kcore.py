@@ -98,34 +98,60 @@ def peel_edges(
             # fixpoint: further rounds are identical no-ops, fixed-round
             # oracle parity is preserved by stopping here
             break
-        if n_kill <= broadcast_kill_limit:
-            kill_parts = [
-                b.column("v").to_numpy(zero_copy_only=False)
-                for b in kill_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-            ]
-            kill = np.concatenate(kill_parts) if kill_parts else np.zeros(0, dtype=np.int64)
-            edges = semi_join_filter(
-                semi_join_filter(edges, "a", kill, keep=False), "b", kill, keep=False
-            ).materialize()
-        else:
-            kc = compact_for_join(kill_ds, num_partitions)
-            surv = compact_for_join(edges, num_partitions).join(
-                kc, join_type="left_anti", num_partitions=num_partitions,
-                on=("a",), right_on=("v",),
-            )
-            surv = compact_for_join(
-                surv.map_batches(
-                    ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
-                ),
-                num_partitions,
-            )
-            edges = surv.join(
-                kc, join_type="left_anti", num_partitions=num_partitions,
-                on=("b",), right_on=("v",),
-            ).map_batches(
-                ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
-            ).materialize()
+        edges = filter_out_endpoints(
+            edges, kill_ds, n_kill, broadcast_kill_limit, num_partitions
+        )
     return edges
+
+
+def filter_out_endpoints(
+    edges: "ray.data.Dataset",
+    kill_ds: "ray.data.Dataset",
+    n_kill: int,
+    broadcast_kill_limit: int,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Drop every edge with EITHER endpoint in ``kill_ds`` (column
+    ``v``), returning a MATERIALIZED edge set. Kill sets up to
+    ``broadcast_kill_limit`` go through the packed-broadcast NOT-IN
+    filter (no AllToAll); larger ones through two driver-free
+    ``left_anti`` shuffle joins (the kcore round-1 shape, reused by
+    the densest-subgraph peel)."""
+    from ..util import compact_for_join, ensure_schema
+
+    if n_kill <= broadcast_kill_limit:
+        kill_parts = [
+            b.column("v").to_numpy(zero_copy_only=False)
+            for b in kill_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        kill = np.concatenate(kill_parts) if kill_parts else np.zeros(0, dtype=np.int64)
+        return semi_join_filter(
+            semi_join_filter(edges, "a", kill, keep=False), "b", kill, keep=False
+        ).materialize()
+    kc = compact_for_join(kill_ds, num_partitions)
+    surv = compact_for_join(edges, num_partitions).join(
+        kc, join_type="left_anti", num_partitions=num_partitions,
+        on=("a",), right_on=("v",),
+    ).materialize()
+    # count-guard between chained left_anti joins: a full kill round
+    # leaves a 0-block dataset with NO schema — map_batches never runs
+    # on it, so the second join would see no `b` column and raise
+    if surv.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], _I64), "b": pa.array([], _I64)})
+        ).materialize()
+    surv = compact_for_join(
+        surv.map_batches(
+            ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
+        ),
+        num_partitions,
+    )
+    return surv.join(
+        kc, join_type="left_anti", num_partitions=num_partitions,
+        on=("b",), right_on=("v",),
+    ).map_batches(
+        ensure_schema({"a": _I64, "b": _I64}), batch_format="pyarrow"
+    ).materialize()
 
 
 def core_numbers(
