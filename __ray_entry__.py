@@ -4383,6 +4383,37 @@ def _g_densest_doc(sf_dir):
     return out.sort("v")
 
 
+def _t_snm_pairs(sf_dir):
+    """Sorted-neighborhood blocking gate (dedup.sorted_neighborhood_
+    pairs): documents keyed by a double-MINSTD hash folded mod 997 —
+    heavy ties, so the (key, id) tie-break and the native-type block
+    ordering are both exercised — swept with window 4. The oracle is
+    the textbook definition: ROW_NUMBER over the same sort, self-join
+    on rank gap in [1, 3]. Every pair the engine finds through the
+    two-pass prefix scan + adjacent-bucket Acero join must match the
+    window semantics EXACTLY (no dupes across the two right-side
+    emissions, no boundary misses between sorted blocks)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import sorted_neighborhood_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = (i * 48271) % 2147483647 * 48271 % 2147483647 % 997
+        return pa.table({"k": pa.array(k), "doc_id": pa.array(i)})
+
+    pairs = sorted_neighborhood_pairs(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        "k",
+        "doc_id",
+        window=4,
+        num_partitions=4,
+    )
+    return pairs.sort(["a", "b"])
+
+
 def _r_item_pairs(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import item_pairs
 
@@ -4657,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ktruss/scc/dagdepth/betweenness/eigen/coreness; the full
         # local exact-hash gate covers it)
         "g_densest_doc": _g_densest_doc,  # greedy-peel densest subgraph, closed-form oracle (r5 new)
+        "t_snm_pairs": _t_snm_pairs,  # sorted-neighborhood blocking sweep, SQL-gated (r5 new)
         # (m_bmp_decode displaced late-r5 for g_matching_doc: real image
         # byte-parsing is witnessed in-window twice via m_png_decode +
         # m_tiff_decode; BMP keeps its local exact-hash gate + pytest)
@@ -5797,6 +5829,22 @@ SELECT g * 16 + p.i AS v, 28 * ge.c AS best_e, 8 * ge.c AS best_v
 FROM gs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS p(i), ge
 WHERE g % 2 = 0
 ORDER BY v
+""",
+        # textbook SNM definition: ROW_NUMBER over (key, id), pairs at
+        # rank gap in [1, window) — the % and * chain must keep the
+        # engine's exact left-assoc grouping
+        "t_snm_pairs": """
+WITH rk AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY (doc_id * 48271) % 2147483647 * 48271 % 2147483647 % 997,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b, b.rn - a.rn AS d
+FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3
+ORDER BY a, b
 """,
         # dwell-weighted average: floor(value*100) quantization (floor
         # is bit-identical across engines — never CAST-vs-rint),

@@ -45,6 +45,7 @@ def __getattr__(name):
         "salsa_fixed": ("distributed_pagerank_ray.pipelines.hits", "salsa_fixed"),
         "boruvka_forest": ("distributed_pagerank_ray.pipelines.mst", "boruvka_forest"),
         "densest_subgraph": ("distributed_pagerank_ray.pipelines.densest", "densest_subgraph"),
+        "sorted_neighborhood_pairs": ("distributed_pagerank_ray.functions.dedup", "sorted_neighborhood_pairs"),
         "forest_summary": ("distributed_pagerank_ray.pipelines.mst", "forest_summary"),
         "levenshtein_bytes": ("distributed_pagerank_ray.functions.editdist", "levenshtein_bytes"),
         "bm25_scores": ("distributed_pagerank_ray.functions.textstats", "bm25_scores"),

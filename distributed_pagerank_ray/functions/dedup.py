@@ -881,3 +881,143 @@ def dup_span_stats(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 4,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (the Hernandez-Stolfo SNM sweep —
+    the classic entity-resolution candidate generator): rows are
+    sorted by ``(key_col, id_col)`` and every pair whose GLOBAL sort
+    ranks differ by less than ``window`` becomes a candidate. Returns
+    (a, b, d): ids ordered by rank (a precedes b in the sweep) and
+    their rank gap d in [1, window).
+
+    Scale shape: global ranks via the two-pass distributed prefix
+    scan (``sampling.pack_sequences``'s shape — per-block counts to
+    the driver, offsets back; O(blocks) driver state), then pairing
+    WITHOUT a groupby: rank bucket b = rank // window; the left side
+    keeps its own bucket, the right side is emitted into its bucket
+    AND the previous one — any pair with gap < window has its
+    endpoints' buckets equal or adjacent, so ONE inner Acero join on
+    the bucket key sees every candidate exactly once (the right
+    emission whose bucket matches the left's). Buckets hold exactly
+    ``window`` left rows by construction — no skew, no hot-bucket cap
+    needed; join output is O(rows * 2 * window) before the gap
+    filter, proportional to the O(rows * window) result itself.
+
+    ``id_col`` values must be unique (they break sort ties and key
+    the block-offset map). Requires window >= 2.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    _w = np.int64(window)
+    sorted_ds = ds.select_columns([key_col, id_col]).sort([key_col, id_col]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        # fk keeps the key column's NATIVE type — stringifying would
+        # sort numeric keys lexically ("10" < "2") and corrupt offsets
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "fk": t.column(key_col).slice(0, 0) if key_col in t.column_names else pa.array([], pa.string()),
+                    "fi": pa.array([], _I64),
+                    "c": pa.array([], _I64),
+                }
+            )
+        return pa.table(
+            {
+                "fk": t.column(key_col).slice(0, 1),
+                "fi": t.column(id_col).slice(0, 1).cast(_I64),
+                "c": pa.array([len(t)], _I64),
+            }
+        )
+
+    # per-block (first key, first id, count) — one tiny row per block
+    metas = []
+    for bt in sorted_ds.map_batches(
+        block_meta, batch_size=None, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        metas.extend(bt.to_pylist())
+    # ties are impossible: id_col is unique and every block starts at a
+    # distinct (key, id)
+    metas.sort(key=lambda m: (m["fk"], m["fi"]))
+    offsets: dict = {}
+    acc = 0
+    for m in metas:
+        offsets[m["fi"]] = acc
+        acc += m["c"]
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or id_col not in t.column_names:
+            return pa.table({"rnk": pa.array([], _I64), "i": pa.array([], _I64)})
+        ids = t.column(id_col).cast(_I64).to_numpy(zero_copy_only=False)
+        base = offsets[int(ids[0])]
+        return pa.table(
+            {
+                "rnk": pa.array(base + np.arange(len(ids), dtype=np.int64)),
+                "i": pa.array(ids),
+            }
+        )
+
+    ranked = sorted_ds.map_batches(
+        rank_rows, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        if "rnk" not in t.column_names:
+            return pa.table({c: pa.array([], _I64) for c in ["bkt", "ra", "a"]})
+        r = t.column("rnk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bkt": pa.array(r // _w), "ra": t.column("rnk"), "a": t.column("i")}
+        )
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        if "rnk" not in t.column_names:
+            return pa.table({c: pa.array([], _I64) for c in ["bkt2", "rb", "b"]})
+        r = t.column("rnk").to_numpy(zero_copy_only=False)
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        b0 = r // _w
+        keep_prev = b0 >= 1
+        return pa.table(
+            {
+                "bkt2": pa.array(np.concatenate([b0, b0[keep_prev] - 1])),
+                "rb": pa.array(np.concatenate([r, r[keep_prev]])),
+                "b": pa.array(np.concatenate([i, i[keep_prev]])),
+            }
+        )
+
+    left = compact_for_join(
+        ranked.map_batches(left_rows, batch_format="pyarrow"), num_partitions
+    )
+    right = compact_for_join(
+        ranked.map_batches(right_rows, batch_format="pyarrow"), num_partitions
+    )
+    j = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("bkt",),
+        right_on=("bkt2",),
+    )
+
+    def gap_filter(t: pa.Table) -> pa.Table:
+        if "ra" not in t.column_names or len(t) == 0:
+            return pa.table({c: pa.array([], _I64) for c in ["a", "b", "d"]})
+        ra = t.column("ra").to_numpy(zero_copy_only=False)
+        rb = t.column("rb").to_numpy(zero_copy_only=False)
+        d = rb - ra
+        m = (d >= 1) & (d < window)
+        return pa.table(
+            {
+                "a": t.column("a").filter(pa.array(m)),
+                "b": t.column("b").filter(pa.array(m)),
+                "d": pa.array(d[m]),
+            }
+        )
+
+    return j.map_batches(gap_filter, batch_format="pyarrow")
