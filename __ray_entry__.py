@@ -3492,6 +3492,63 @@ def _g_modularity_org(sf_dir):
     return modularity(und, labels, num_partitions=4, num_shards=4)
 
 
+def _g_conductance_org(sf_dir):
+    """Conductance of a deterministic two-way cut of the org graph
+    (metrics.conductance): side(v) = double-MINSTD hash parity (the
+    single-multiply MINSTD never wraps for ids < 2072 — org ids reach
+    ~11000 but the double multiply is the repo-wide idiom for small-id
+    splits). The oracle evaluates the IDENTICAL integer cut/volume
+    sums over the same e0 edge construction; the one float division
+    is terminal and 6dp-rounded on both sides."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.metrics import conductance
+    from distributed_pagerank_ray.pipelines.relational import org_edges
+    from distributed_pagerank_ray.util import count_i64_keys
+
+    e = org_edges(sf_dir)
+    und = e.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.min_element_wise(t.column("src").cast(pa.int64()), t.column("dst").cast(pa.int64())),
+                "b": pc.max_element_wise(t.column("src").cast(pa.int64()), t.column("dst").cast(pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    verts = count_i64_keys(
+        und.map_batches(
+            lambda t: pa.table({"v": t.column("a")}), batch_format="pyarrow"
+        ).union(
+            und.map_batches(
+                lambda t: pa.table({"v": t.column("b")}), batch_format="pyarrow"
+            )
+        ),
+        "v",
+        num_shards=4,
+    )
+    sides = verts.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t.column("v"),
+                "side": pa.array(
+                    (
+                        t.column("v").to_numpy(zero_copy_only=False) * 48271
+                    )
+                    % 2147483647
+                    * 48271
+                    % 2147483647
+                    % 2
+                ),
+            }
+        )
+        if "v" in t.column_names
+        else pa.table({"id": pa.array([], pa.int64()), "side": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return conductance(und, sides, num_partitions=4)
+
+
 def _g_prdelta_lineitem(sf_dir):
     """Composed incremental-update flow under a FULL SQL gate: build the
     pre-1997 lineitem graph (minted), merge the 1997+ edges via
@@ -4689,6 +4746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local exact-hash gate covers it)
         "g_densest_doc": _g_densest_doc,  # greedy-peel densest subgraph, closed-form oracle (r5 new)
         "t_snm_pairs": _t_snm_pairs,  # sorted-neighborhood blocking sweep, SQL-gated (r5 new)
+        "g_conductance_org": _g_conductance_org,  # two-way cut conductance, SQL-gated (r5 new)
         # (m_bmp_decode displaced late-r5 for g_matching_doc: real image
         # byte-parsing is witnessed in-window twice via m_png_decode +
         # m_tiff_decode; BMP keeps its local exact-hash gate + pytest)
@@ -5845,6 +5903,34 @@ WITH rk AS (
 SELECT a.doc_id AS a, b.doc_id AS b, b.rn - a.rn AS d
 FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 3
 ORDER BY a, b
+""",
+        # integer cut/volume sums over the e0 org construction with
+        # the double-MINSTD parity split; ONE terminal 6dp division
+        "g_conductance_org": """
+WITH e0 AS (
+  SELECT n_regionkey + 0 AS src, n_nationkey + 100 AS dst FROM nation
+  UNION ALL
+  SELECT s_nationkey + 100, s_suppkey + 1000 FROM supplier
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+sided AS (
+  SELECT a, b,
+         (a * 48271) % 2147483647 * 48271 % 2147483647 % 2 AS sa,
+         (b * 48271) % 2147483647 * 48271 % 2147483647 % 2 AS sb
+  FROM und
+),
+agg AS (
+  SELECT sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS cut,
+         sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END)
+           + sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS vol0,
+         sum(sa) + sum(sb) AS vol1
+  FROM sided
+)
+SELECT CAST(cut AS BIGINT) AS cut,
+       CAST(vol0 AS BIGINT) AS vol0,
+       CAST(vol1 AS BIGINT) AS vol1,
+       round(CAST(cut AS DOUBLE) / least(vol0, vol1), 6) AS conductance
+FROM agg
 """,
         # dwell-weighted average: floor(value*100) quantization (floor
         # is bit-identical across engines — never CAST-vs-rint),

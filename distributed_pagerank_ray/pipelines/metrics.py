@@ -898,3 +898,113 @@ def edge_jaccard(
 
     flat = j2.map_batches(score, batch_format="pyarrow")
     return topk_rows(flat, [("jaccard", True), ("a", False), ("b", False)], k)
+
+
+def conductance(
+    und_edges: "ray.data.Dataset",
+    sides: "ray.data.Dataset",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Conductance of a two-way vertex cut over an undirected graph:
+    phi(S) = cut(S) / min(vol(S), vol(V\\S)) with vol counted in
+    edge-endpoint incidences — the partition-quality score a pipeline
+    reports next to a min-cut / balanced split (modularity's two-set
+    sibling; bounded by Cheeger's inequality, so it is also the
+    spectral-gap certificate).
+
+    Inputs: canonical undirected distinct edges (a < b, no
+    self-loops) and a (id, side) table with side in {0, 1}. Scale
+    shape: the SAME two label joins onto the edge stream as
+    :func:`modularity`, then per-batch integer partials
+    (cut, vol0, vol1) folded by a 3-scalar aggregate — volumes are
+    derived from the joined edge stream itself (each edge contributes
+    its two endpoint sides), so no separate degree pass is needed.
+    All counts stay int64; the single float division happens ONCE on
+    the driver, rounded 6dp (the gate float-parity rule). Returns one
+    row (cut, vol0, vol1, conductance). Raises if either side has
+    zero volume (conductance undefined) or a side value is not 0/1.
+    """
+    e = und_edges.map_batches(
+        lambda t: pa.table(
+            {"a": t.column("a").cast(_I64), "b": t.column("b").cast(_I64)}
+        )
+        if "a" in t.column_names
+        else pa.table({"a": pa.array([], _I64), "b": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    ).materialize()
+    lab = sides.map_batches(
+        lambda t: pa.table(
+            {"v": t.column("id").cast(_I64), "s": t.column("side").cast(_I64)}
+        )
+        if "id" in t.column_names
+        else pa.table({"v": pa.array([], _I64), "s": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    la = lab.map_batches(
+        lambda t: pa.table({"va": t.column("v"), "sa": t.column("s")})
+        if "v" in t.column_names
+        else pa.table({"va": pa.array([], _I64), "sa": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    lb = lab.map_batches(
+        lambda t: pa.table({"vb": t.column("v"), "sb": t.column("s")})
+        if "v" in t.column_names
+        else pa.table({"vb": pa.array([], _I64), "sb": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(e, num_partitions).join(
+        compact_for_join(la, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("va",),
+    )
+    j = compact_for_join(j, num_partitions).join(
+        compact_for_join(lb, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("vb",),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if "sa" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], _I64) for c in ["cut", "vol0", "vol1"]}
+            )
+        sa = t.column("sa").to_numpy(zero_copy_only=False)
+        sb = t.column("sb").to_numpy(zero_copy_only=False)
+        if ((sa | sb) & ~np.int64(1)).any():
+            raise ValueError("conductance: side values must be 0 or 1")
+        s01 = int(sa.sum() + sb.sum())  # side-1 endpoint incidences
+        return pa.table(
+            {
+                "cut": pa.array([int((sa != sb).sum())], _I64),
+                "vol0": pa.array([2 * len(sa) - s01], _I64),
+                "vol1": pa.array([s01], _I64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = j.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("cut"), Sum("vol0"), Sum("vol1")
+    )
+    cut = int(agg["sum(cut)"] or 0)
+    vol0 = int(agg["sum(vol0)"] or 0)
+    vol1 = int(agg["sum(vol1)"] or 0)
+    if vol0 == 0 or vol1 == 0:
+        raise ValueError(
+            f"conductance undefined: one side has zero volume (vol0={vol0}, vol1={vol1})"
+        )
+    return ray.data.from_items(
+        [
+            {
+                "cut": cut,
+                "vol0": vol0,
+                "vol1": vol1,
+                "conductance": round(cut / min(vol0, vol1), 6),
+            }
+        ]
+    )
