@@ -2812,6 +2812,63 @@ def _x_jsonl_docs(sf_dir):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _x_csv_ingest(sf_dir):
+    """SQL-gated conformance read of RFC-4180 CSV (the other universal
+    text interchange next to JSONL): deterministic multi-file CSV
+    shards planted from doc_id with every quoting hazard — embedded
+    commas, embedded double quotes (doubled per the RFC), embedded
+    NEWLINES inside quoted fields, and non-ASCII UTF-8 — read back via
+    ``ray.data.read_csv`` with ``ParseOptions(newlines_in_values=True)``
+    (without it Arrow's block splitter tears quoted records apart; with
+    it each FILE parses serially, so parallelism comes from the shard
+    fan-out — one file per 128 docs — which is exactly the layout a
+    100-TB CSV drop arrives in). The oracle regenerates every field
+    analytically, so a reader that mis-frames any quoted record
+    hash-fails."""
+    import csv
+    import os
+
+    import duckdb
+
+    import ray.data
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    base = f"/tmp/dpr_csv/{os.path.basename(os.path.normpath(sf_dir))}_{n}"
+    done = base + "/_DONE"
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for lo in range(0, n, 128):
+            tmp = f"{base}/part-{lo:06d}.csv.tmp"
+            with open(tmp, "w", newline="", encoding="utf-8") as f:
+                w = csv.writer(f, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+                w.writerow(["doc_id", "name", "val"])
+                for i in range(lo, min(lo + 128, n)):
+                    name = [f"aé{i}", f"v,{i}", f'q"{i}', f"l\n{i}"][i % 4]
+                    w.writerow([i, name, (i * i) % 97])
+            os.replace(tmp, f"{base}/part-{lo:06d}.csv")
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+
+    from pyarrow import csv as pacsv
+
+    ds = ray.data.read_csv(
+        [f"{base}/{p}" for p in sorted(os.listdir(base)) if p.endswith(".csv")],
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "name": t.column("name").cast(pa.string()),
+                "val": t.column("val").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _x_warc_ingest(sf_dir):
     """SQL-gated conformance read of the WARC crawl-archive format
     (Common-Crawl shard layout): deterministic multi-file WARCs
@@ -4796,6 +4853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_kmeans": _e_kmeans,  # rows-only + in-query dense-replica gate
         "t_zlib_ratio": _t_zlib_ratio,  # rows-only compression-ratio quality signal (r5 new)
         "x_jsonl_docs": _x_jsonl_docs,  # SQL-gated JSONL multi-shard ingest (r5 new)
+        "x_csv_ingest": _x_csv_ingest,  # SQL-gated RFC-4180 CSV ingest, quoting hazards (r5 new)
         "r_time_weighted": _r_time_weighted,  # dwell-weighted avg, LEAD window (r5 new)
         "e_pq_adc": _e_pq_adc,  # product-quantized ANN, rows-only + ADC identity gate (r5 new)
         "g_salsa2_lineitem": _g_salsa2_lineitem,  # SALSA hubs/authorities, unrolled oracle (r5 new)
@@ -6575,6 +6633,18 @@ SELECT doc_id,
        CAST(3 * n - 1 + CASE WHEN n > 10 THEN n - 10 ELSE 0 END AS BIGINT)
          AS n_chars
 FROM t ORDER BY doc_id
+""",
+        # analytic regeneration of the planted CSV shards in
+        # _x_csv_ingest (reader must honor RFC-4180 quoting: embedded
+        # commas / doubled quotes / newlines-in-values / UTF-8)
+        "x_csv_ingest": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'aé' || doc_id
+            WHEN 1 THEN 'v,' || doc_id
+            WHEN 2 THEN 'q"' || doc_id
+            ELSE 'l' || chr(10) || doc_id END AS name,
+       doc_id * doc_id % 97 AS val
+FROM documents ORDER BY doc_id
 """,
         # regeneration of the planted text edge-list in _x_edgelist_text
         # (parser must skip comments/blanks and accept both line forms)

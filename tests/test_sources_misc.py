@@ -106,3 +106,35 @@ def test_warc_read_dataset(ray_session, tmp_path):
     )
     assert len(df) == 6
     assert df["body_len"].tolist() == [0, 10, 20, 0, 10, 20]
+
+
+def test_csv_quoting_roundtrip(ray_session, tmp_path):
+    """RFC-4180 hazards survive a write→read_csv round trip: embedded
+    commas, doubled quotes, newlines-in-values (needs the ParseOptions
+    guard _x_csv_ingest pins), and non-ASCII UTF-8."""
+    import csv
+
+    from pyarrow import csv as pacsv
+
+    rows = [
+        (0, "plain é"),
+        (1, "a,b,c"),
+        (2, 'she said "hi"'),
+        (3, "line1\nline2"),
+        (4, ',"\n,'),  # all three hazards in one field
+    ]
+    p = tmp_path / "part-0.csv"
+    with open(p, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+        w.writerow(["doc_id", "name"])
+        w.writerows(rows)
+    got = (
+        ray.data.read_csv(
+            [str(p)], parse_options=pacsv.ParseOptions(newlines_in_values=True)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [r[0] for r in rows]
+    assert list(got["name"]) == [r[1] for r in rows]
