@@ -3516,6 +3516,42 @@ def _m_wav_decode(sf_dir):
     return decode_wav(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_tone_detect(sf_dir):
+    """Spectral dominant-tone gate (multimodal.DominantTone): planted
+    N=256 phase-accumulator square waves s[t] = +A if (k·t) mod 256 <
+    128 else −A with ODD k = 3 + 2·(id² mod 59) and A = 4000 +
+    100·(id mod 13). For odd k the accumulator is a bijection mod 256,
+    so the spectrum is fully closed-form: harmonic c (odd only) lands
+    in bin fold((c·k) mod 256) with magnitude A/|sin(πc/256)| —
+    dominant_bin = k, second_bin = fold(3k mod 256) (the engine must
+    rank a REAL FFT beyond the fundamental to match), cyclic zero
+    crossings = 2k (the accumulator wraps each of the two thresholds
+    exactly k times per period), peak = A. All gated columns are
+    integers; the oracle is the analytic formula."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import dominant_tone, encode_wav
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tt = np.arange(256, dtype=np.int64)
+        payloads = []
+        for i in ids:
+            k = 3 + 2 * ((int(i) * int(i)) % 59)
+            a = 4000 + 100 * (int(i) % 13)
+            s = np.where((k * tt) % 256 < 128, a, -a).astype(np.int16)
+            payloads.append(encode_wav(s, sample_rate=8000))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return dominant_tone(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_modularity_org(sf_dir):
     """Newman modularity of the CC partition of the (symmetrized) org
     graph: Q = Σ_c [m_c/m − (d_c/2m)²] — degrees and per-community
@@ -4797,6 +4833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window slot holds a never-witnessed or semantics-changed
         # entry; the full local exact-hash gate covers it)
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
+        "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
         # ktruss/scc/dagdepth/betweenness/eigen/coreness; the full
@@ -6712,6 +6749,25 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # closed-form harmonic ladder of the planted phase-accumulator
+        # square waves (_m_tone_detect): for odd k the step map is a
+        # bijection mod 256, so dominant = k, second = fold(3k), and
+        # cyclic zero crossings = 2k — the engine must rank a REAL FFT
+        # to match. All columns integer.
+        "m_tone_detect": """
+WITH t AS (
+  SELECT doc_id,
+         3 + 2 * (doc_id * doc_id % 59) AS k,
+         4000 + 100 * (doc_id % 13) AS a
+  FROM documents
+)
+SELECT doc_id,
+       k AS dominant_bin,
+       LEAST(3 * k % 256, 256 - 3 * k % 256) AS second_bin,
+       2 * k AS n_zero_cross,
+       a AS peak
+FROM t ORDER BY doc_id
 """,
         # planted-graph reciprocity (identical edge formula both sides)
         "g_reciprocity_doc": """
