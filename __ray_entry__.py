@@ -2995,6 +2995,61 @@ def _x_edgelist_text(sf_dir):
     return read_edgelist(path)
 
 
+def _x_anchor_stats(sf_dir):
+    """SQL-gated REAL-HTML anchor-text aggregation (the classic web
+    search signal: anchor text describes the TARGET page): pages are
+    planted deterministically from doc_id — page d carries 1 + d % 5
+    anchors to target (d * (j+1)) % 97 with anchor text 's&{d}_{j}'
+    written into the HTML as ``s&amp;{d}_{j}`` padded with leading
+    space / trailing newline and (even j) a nested <b> wrapper — then
+    parsed by the REAL ``ExtractLinks`` actor-pool regex stage and
+    aggregated by ``stages.extract.anchor_stats`` (per-batch bincount
+    partials → two weighted count-BSPs → one Acero join). The SQL
+    oracle regenerates links analytically, so matching anchor_chars
+    requires genuine tag-stripping, entity unescaping AND whitespace
+    trimming in the extractor (a raw-segment length is +2 spaces and
+    +4 entity bytes off per anchor)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from distributed_pagerank_ray.stages.extract import anchor_stats, extract_links
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d in t.column("doc_id").to_pylist():
+            parts = [b"<title>page %d</title><p>body &amp; filler</p>" % d]
+            for j in range(1 + d % 5):
+                tgt = (d * (j + 1)) % 97
+                inner = b"s&amp;%d_%d" % (d, j)
+                if j % 2 == 0:
+                    inner = b"<b>" + inner + b"</b>"
+                parts.append(b'<a href="http://site.test/p/%d"> %s\n</a>' % (tgt, inner))
+            urls.append("http://site.test/p/%d" % d)
+            htmls.append(b"".join(parts))
+        return pa.table({"url": pa.array(urls, pa.string()), "html": pa.array(htmls, pa.binary())})
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    links = extract_links(pages, concurrency=4)
+
+    pre = len("http://site.test/p/")
+
+    def key(t: pa.Table) -> pa.Table:
+        if "dst_url" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {"dst_id": pa.array([], pa.int64()), "anchor": pa.array([], pa.string())}
+            )
+        dst = pc.cast(
+            pc.utf8_slice_codeunits(t.column("dst_url"), pre, 2**31 - 1), pa.int64()
+        )
+        return pa.table({"dst_id": dst, "anchor": t.column("anchor")})
+
+    res = anchor_stats(links.map_batches(key, batch_format="pyarrow"), num_shards=8)
+    return res.sort("dst_id")
+
+
 def _m_png_decode(sf_dir):
     """REAL compressed-image decode gate (grayscale PNG): deterministic
     payloads built from doc_id with pixel(y,x) = (7·id + 3·x + 13·y)
@@ -4805,7 +4860,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the r4 t_pack_seqs fix) ----
         "t_pack_seqs": _t_pack_seqs,  # token-budget packing via distributed scan (r5 fix)
         "t_token_counts": _t_token_counts,  # planted-pad trim-parity witness (r5)
-        "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5)
+        # (t_normalize displaced late-r5 for x_anchor_stats: the r5
+        # trim-semantics change stays witnessed in-window twice via
+        # t_pack_seqs + t_token_counts; t_normalize carries driver
+        # green from r1 and the full local exact-hash gate)
+        "x_anchor_stats": _x_anchor_stats,  # REAL-HTML anchor aggregation, SQL-gated (r5 new)
         "g_mst_doc": _g_mst_doc,  # Borůvka MSF, planted ring closed-form oracle (r5 new)
         "t_minhash_pairs": _t_minhash_pairs,  # SQL-gated LSH, never driver-witnessed
         "g_dagdepth_doc": _g_dagdepth_doc,  # DAG longest-path depth, recursive-CTE oracle (r5 new)
@@ -4833,6 +4892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window slot holds a never-witnessed or semantics-changed
         # entry; the full local exact-hash gate covers it)
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
+        "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6690,6 +6750,19 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # regeneration of the planted anchor links in _x_anchor_stats
+        # (extractor must strip tags, unescape entities and trim the
+        # planted pads for anchor_chars to match the analytic length)
+        "x_anchor_stats": """
+WITH l AS (
+  SELECT (d.doc_id * (u.j + 1)) % 97 AS dst_id,
+         LENGTH('s&' || CAST(d.doc_id AS VARCHAR) || '_' || CAST(u.j AS VARCHAR)) AS ch
+  FROM documents d, UNNEST(range(0, 5)) AS u(j)
+  WHERE u.j < 1 + d.doc_id % 5
+)
+SELECT dst_id, COUNT(*) AS n_inlinks, CAST(SUM(ch) AS BIGINT) AS anchor_chars
+FROM l GROUP BY dst_id ORDER BY dst_id
 """,
         # analytic expectation of the PNG generation formula in
         # _m_png_decode (decode must inflate + unfilter to match)

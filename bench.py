@@ -212,6 +212,7 @@ def run_bench() -> dict:
         "r_time_weighted",
         "x_warc_ingest",
         "r_skyline",
+        "x_anchor_stats",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

@@ -37,3 +37,29 @@ def test_links_exact(tiny_corpus):
     golden = pq.read_table(f"{tiny_corpus}/links.parquet").to_pylist()
     want_pairs = sorted((r["src_url"], r["dst_url"]) for r in golden)
     assert got_pairs == want_pairs  # duplicates preserved, multiset equality
+
+
+def test_anchor_stats_brute_force():
+    """anchor_stats == per-key brute force over a multi-block stream
+    with collision-heavy keys and empty-anchor rows."""
+    from collections import defaultdict
+
+    from distributed_pagerank_ray.stages.extract import anchor_stats
+
+    rows = []
+    for i in range(3000):
+        dst = (i * i + 3 * i) % 37  # skewed: some keys far hotter
+        anchor = ("w" * (i % 11)) if i % 7 else ""  # empty anchors count 0 chars
+        rows.append({"dst_id": dst, "anchor": anchor})
+    want_n: dict = defaultdict(int)
+    want_ch: dict = defaultdict(int)
+    for r in rows:
+        want_n[r["dst_id"]] += 1
+        want_ch[r["dst_id"]] += len(r["anchor"])
+
+    ds = ray.data.from_items(rows).repartition(7)
+    got = anchor_stats(ds, num_shards=4).take_all()
+    assert len(got) == len(want_n)
+    for g in got:
+        assert g["n_inlinks"] == want_n[g["dst_id"]]
+        assert g["anchor_chars"] == want_ch[g["dst_id"]]
