@@ -3050,6 +3050,41 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _g_host_graph(sf_dir):
+    """SQL-gated host-level graph collapse (the classic Common-Crawl
+    reduction): page-level links planted from doc_id — src URL written
+    UPPERCASE with a default ``:80`` port, dst with ``:443``, so the
+    output witnesses genuine host normalization (lowercase +
+    port-strip); docs ≡ 0 mod 7 add a relative link whose empty host
+    must be dropped; intra-host edges are dropped by default. The SQL
+    oracle regenerates hosts analytically (already canonical)."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.graphbuild import host_graph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for d in t.column("doc_id").to_pylist():
+            src = "HTTP://H%d.TEST:80/p/%d" % (d % 13, d)
+            for j in range(1 + d % 4):
+                srcs.append(src)
+                dsts.append("https://h%d.test:443/q/%d" % ((d * (j + 3)) % 13, j))
+            if d % 7 == 0:
+                srcs.append(src)
+                dsts.append("/rel/%d" % d)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+            }
+        )
+
+    links = docs.map_batches(synth, batch_format="pyarrow")
+    return host_graph(links, num_shards=8).sort(["src_host", "dst_host"])
+
+
 def _m_png_decode(sf_dir):
     """REAL compressed-image decode gate (grayscale PNG): deterministic
     payloads built from doc_id with pixel(y,x) = (7·id + 3·x + 13·y)
@@ -4893,6 +4928,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entry; the full local exact-hash gate covers it)
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
+        # (g_host_graph OUTSIDE the window: the graph family is
+        # witnessed in-window nine ways and URL normalization carries
+        # driver green via t_url_norm r4; full local exact-hash gate)
+        "g_host_graph": _g_host_graph,  # host-level graph collapse, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6750,6 +6789,20 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # regeneration of the planted page-level links in _g_host_graph
+        # (engine must lowercase hosts, strip default ports, drop the
+        # relative-URL rows and intra-host edges to match)
+        "g_host_graph": """
+WITH l AS (
+  SELECT 'h' || CAST(d.doc_id % 13 AS VARCHAR) || '.test' AS src_host,
+         'h' || CAST((d.doc_id * (u.j + 3)) % 13 AS VARCHAR) || '.test' AS dst_host
+  FROM documents d, UNNEST(range(0, 4)) AS u(j)
+  WHERE u.j < 1 + d.doc_id % 4
+)
+SELECT src_host, dst_host, COUNT(*) AS weight
+FROM l WHERE src_host <> dst_host
+GROUP BY src_host, dst_host ORDER BY src_host, dst_host
 """,
         # regeneration of the planted anchor links in _x_anchor_stats
         # (extractor must strip tags, unescape entities and trim the

@@ -213,6 +213,7 @@ def run_bench() -> dict:
         "x_warc_ingest",
         "r_skyline",
         "x_anchor_stats",
+        "g_host_graph",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

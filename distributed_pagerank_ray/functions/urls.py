@@ -26,6 +26,23 @@ _URL_RE = (
 )
 
 
+def host_array(arr) -> pa.Array:
+    """Lowercased, default-port-stripped host per URL — the graph
+    partition key — vectorized (one RE2 extract + Arrow kernels).
+    Relative / schemeless values yield ``''`` so callers can filter."""
+    u = pc.fill_null(arr, "")
+    parts = pc.extract_regex(u, _URL_RE)
+    matched = pc.is_valid(parts)
+    host = pc.utf8_lower(
+        pc.replace_substring_regex(
+            pc.fill_null(pc.struct_field(parts, "host"), ""),
+            pattern=r":(80|443)$",
+            replacement="",
+        )
+    )
+    return pc.if_else(matched, host, pa.scalar("", pa.string()))
+
+
 def normalize_url_batch(
     batch: pa.Table, url_col: str = "url", out_col: str = "url_norm"
 ) -> pa.Table:

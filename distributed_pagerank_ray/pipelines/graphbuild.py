@@ -686,3 +686,82 @@ def update_graph(
             fh,
         )
     return GraphTables(out_run_dir, new_n, old.m + m_delta, old.m_lines + m_lines_new, shard_rows, semantics)
+
+
+def host_graph(
+    links: "ray.data.Dataset",
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    drop_intra: bool = True,
+    num_shards: int = 16,
+) -> "ray.data.Dataset":
+    """Collapse the page-level link stream to the HOST-level graph —
+    the classic Common-Crawl reduction (the host/domain webgraph is
+    what most link-spam / centrality studies actually rank; ~1000×
+    smaller than the page graph): output one row per (src_host,
+    dst_host) with ``weight`` = number of page-level link lines.
+
+    Hosts come from the same vectorized RE2 extraction as URL
+    normalization (`functions.urls.host_array`: lowercased,
+    default-port-stripped); rows where either side is relative /
+    schemeless (host ``''``) are dropped, and ``drop_intra`` (default)
+    drops same-host (intra-site) edges, which dominate raw crawls but
+    carry no ranking signal.
+
+    Scale shape: per-BATCH pre-aggregation (vectorized pair hash via
+    `dedup.hash_str_array` on ``src\\x01dst`` + np.unique → O(distinct
+    pairs per batch) partial rows) then ONE string-carrying weighted
+    BSP (`util.sum_i64_keys_with_payload` — payloads are functionally
+    determined by the pair hash, so reducers keep any representative).
+    The exchange carries collapsed partials, never raw links. 64-bit
+    siphash collisions would merge two host pairs (prob ≈ pairs²/2^64 —
+    negligible; documented, not silent)."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import hash_str_array
+    from ..functions.urls import host_array
+    from ..util import sum_i64_keys_with_payload
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "pc_": pa.array([], pa.int64()),
+                "src_host": pa.array([], pa.string()),
+                "dst_host": pa.array([], pa.string()),
+            }
+        )
+        if src_col not in t.column_names or len(t) == 0:
+            return empty
+        sh = host_array(t.column(src_col))
+        dh = host_array(t.column(dst_col))
+        mask = pc.and_(pc.not_equal(sh, ""), pc.not_equal(dh, ""))
+        if drop_intra:
+            mask = pc.and_(mask, pc.not_equal(sh, dh))
+        sh, dh = sh.filter(mask), dh.filter(mask)
+        if len(sh) == 0:
+            return empty
+        pair = pc.binary_join_element_wise(sh, dh, "\x01")
+        h = hash_str_array(pair.to_numpy(zero_copy_only=False).astype(object)).view(np.int64)
+        u, idx, inv = np.unique(h, return_index=True, return_inverse=True)
+        c = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        take = pa.array(idx)
+        return pa.table(
+            {
+                "h": pa.array(u),
+                "pc_": pa.array(c),
+                "src_host": sh.take(take),
+                "dst_host": dh.take(take),
+            }
+        )
+
+    pre = links.map_batches(partials, batch_format="pyarrow")
+    out = sum_i64_keys_with_payload(
+        pre, "h", "pc_", ["src_host", "dst_host"], num_shards=num_shards
+    )
+    return out.map_batches(
+        lambda t: t.select(["src_host", "dst_host", "pc_"]).rename_columns(
+            ["src_host", "dst_host", "weight"]
+        ),
+        batch_format="pyarrow",
+    )

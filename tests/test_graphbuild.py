@@ -133,3 +133,41 @@ def test_load_shard_rejects_wrong_layout(tmp_path):
     )
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         ShardedVector.from_parquet(g.vertices_path, g.n, 4, "id", "inv_out").to_numpy()
+
+
+def test_host_graph_brute_force():
+    """host_graph == brute-force collapse: case/port normalization,
+    relative-URL drop, intra-host drop, duplicate-line weights."""
+    from collections import defaultdict
+
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.graphbuild import host_graph
+
+    rows = []
+    for i in range(2000):
+        src = "HTTP://Site%d.EXample.com:80/p/%d" % (i % 9, i)
+        dst = "https://site%d.example.com:443/q" % ((i * 5 + 2) % 9)
+        rows.append({"src_url": src, "dst_url": dst})
+        if i % 4 == 0:  # duplicate line → weight 2
+            rows.append({"src_url": src, "dst_url": dst})
+        if i % 11 == 0:  # relative URL → dropped
+            rows.append({"src_url": src, "dst_url": "/rel/%d" % i})
+        if i % 13 == 0:  # intra-host → dropped by default
+            rows.append({"src_url": src, "dst_url": src.lower().replace(":80", "")})
+
+    want: dict = defaultdict(int)
+    for r in rows:
+        sh = "site%s.example.com" % r["src_url"][11]
+        if r["dst_url"].startswith("/"):
+            continue
+        dh = r["dst_url"].split("://")[1].split("/")[0].replace(":443", "").replace(":80", "")
+        if sh == dh:
+            continue
+        want[(sh, dh)] += 1
+
+    ds = ray.data.from_items(rows).repartition(6)
+    got = host_graph(ds, num_shards=4).take_all()
+    assert len(got) == len(want)
+    for g in got:
+        assert g["weight"] == want[(g["src_host"], g["dst_host"])]
