@@ -3050,6 +3050,47 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _t_textrank3(sf_dir):
+    """TextRank keyword ranks, exactly 3 fixed PageRank iterations over
+    the window-2 word co-occurrence graph — the engine's two halves
+    (pinned RE2 tokenizer → vectorized pair extraction → minted graph →
+    the REAL power-iteration PageRank) composed end to end under one
+    SQL oracle that rebuilds the same adjacency with
+    regexp_split_to_array and unrolls the 3 iterations as CTEs. Both
+    sides round to 6dp after final normalization."""
+    import ray.data
+
+    from distributed_pagerank_ray.config import PageRankConfig
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.pipelines.textrank import word_cooc_edges
+    from distributed_pagerank_ray.util import compact_for_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    edges = word_cooc_edges(docs)
+    g = _gate_graph(sf_dir, "trank", edges, "trank3")
+    res = pagerank(g, PageRankConfig(threshold=0.0, max_iters=3))
+    joined = compact_for_join(res.ranks(), 4).join(
+        compact_for_join(g.vertex_map(), 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "rank": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "word": t.column("key"),
+                "rank": pa.array(
+                    np.round(t.column("rank").to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow").sort("word")
+
+
 def _g_host_graph(sf_dir):
     """SQL-gated host-level graph collapse (the classic Common-Crawl
     reduction): page-level links planted from doc_id — src URL written
@@ -4878,7 +4919,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_bloom_semi_join": _r_bloom_semi_join,  # bloom-prefiltered exact semi join
         "r_hourly_users": _r_hourly_users,  # windowed distinct counting (pair BSP)
         "r_audience_overlap": _r_audience_overlap,  # join-free Jaccard via mask histogram
-        "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics
+        # (r_table_stats displaced late-r5 for t_textrank3: the
+        # relational family is witnessed in-window ~20 ways and its
+        # local gate has been green since r2; textrank fuses the text
+        # and graph halves under one unrolled-PageRank SQL oracle —
+        # a composition no other entry witnesses)
+        "t_textrank3": _t_textrank3,  # TextRank keywords, 3-iter unrolled oracle (r5 new)
         "r_events_mad": _r_events_mad,  # robust dispersion, two quantile passes
         "r_events_zscore": _r_events_zscore,  # per-group z-score feature scaling
         "r_qty_price_corr": _r_qty_price_corr,  # stable two-pass grouped Pearson corr
@@ -4932,6 +4978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # witnessed in-window nine ways and URL normalization carries
         # driver green via t_url_norm r4; full local exact-hash gate)
         "g_host_graph": _g_host_graph,  # host-level graph collapse, SQL-gated (r5 new)
+        "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics (displaced late-r5)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6789,6 +6836,51 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # the word co-occurrence graph rebuilt in SQL + 3 unrolled
+        # PageRank iterations (the pagerank3 oracle shape over a
+        # tokenizer-derived edge set — text and graph halves fused)
+        "t_textrank3": """
+WITH toks AS (
+  SELECT regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS arr
+  FROM documents
+),
+adj AS (
+  SELECT arr[i] AS x, arr[i+1] AS y
+  FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+pairs AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+  FROM adj WHERE x <> y AND x <> '' AND y <> ''
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+r1 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r0.r / outdeg.d) AS contrib
+    FROM edges e JOIN r0 ON r0.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+r2 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r1.r / outdeg.d) AS contrib
+    FROM edges e JOIN r1 ON r1.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+r3 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r2.r / outdeg.d) AS contrib
+    FROM edges e JOIN r2 ON r2.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+)
+SELECT v AS word, round(r / (SELECT sum(r) FROM r3), 6) AS "rank" FROM r3 ORDER BY word
 """,
         # regeneration of the planted page-level links in _g_host_graph
         # (engine must lowercase hosts, strip default ports, drop the

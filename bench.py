@@ -214,6 +214,7 @@ def run_bench() -> dict:
         "r_skyline",
         "x_anchor_stats",
         "g_host_graph",
+        "t_textrank3",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
