@@ -3050,6 +3050,20 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _g_butterflies(sf_dir):
+    """Bipartite butterfly (4-cycle) count over the order×part
+    incidence graph — exact mode (no hub cap), two integer outputs so
+    the SQL twin is an exact-hash gate."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.metrics import butterfly_count
+
+    e = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return butterfly_count(e, u_col="l_orderkey", v_col="l_partkey")
+
+
 def _t_textrank3(sf_dir):
     """TextRank keyword ranks, exactly 3 fixed PageRank iterations over
     the window-2 word co-occurrence graph — the engine's two halves
@@ -4979,6 +4993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver green via t_url_norm r4; full local exact-hash gate)
         "g_host_graph": _g_host_graph,  # host-level graph collapse, SQL-gated (r5 new)
         "r_table_stats": _r_table_stats,  # ANALYZE-style column statistics (displaced late-r5)
+        # (g_butterflies_lineitem OUTSIDE the window: the graph family
+        # is witnessed in-window nine ways; full local exact-hash gate)
+        "g_butterflies_lineitem": _g_butterflies,  # bipartite 4-cycle count, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6836,6 +6853,19 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # exact wedge-formula butterfly count (B = Σ C(cn,2) over
+        # same-side pairs) on the order×part incidence graph
+        "g_butterflies_lineitem": """
+WITH e AS (SELECT DISTINCT l_orderkey AS u, l_partkey AS v FROM lineitem),
+w AS (
+  SELECT a.u AS u1, b.u AS u2, COUNT(*) AS cn
+  FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+  GROUP BY a.u, b.u
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(COALESCE(SUM(cn * (cn - 1) // 2), 0) AS BIGINT) AS butterflies
+FROM w
 """,
         # the word co-occurrence graph rebuilt in SQL + 3 unrolled
         # PageRank iterations (the pagerank3 oracle shape over a

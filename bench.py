@@ -215,6 +215,7 @@ def run_bench() -> dict:
         "x_anchor_stats",
         "g_host_graph",
         "t_textrank3",
+        "g_butterflies_lineitem",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

@@ -1008,3 +1008,119 @@ def conductance(
             }
         ]
     )
+
+
+def butterfly_count(
+    edges: "ray.data.Dataset",
+    u_col: str = "u",
+    v_col: str = "v",
+    num_partitions: int = 8,
+    num_shards: int = 16,
+    max_hub_degree: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Bipartite 4-cycle (butterfly) count — the bipartite analogue of
+    triangle counting (Sanei-Mehri et al. 2018; the cohesion motif of
+    user×item / order×part / host×resource incidence graphs): one row
+    (n_pairs, butterflies) where n_pairs = same-U-side pairs sharing at
+    least one V neighbor and butterflies = Σ_{u1<u2} C(cn(u1,u2), 2)
+    over common-neighbor counts.
+
+    Scale shape: DISTINCT incidence via the pair BSP (ids must be in
+    [0, 2^31) — the packer's contract), ONE self-join on the V side
+    (the only pair-expanding step — the wedge stream), vectorized a<b
+    pack → packed count BSP → per-block C(n,2) partials folded to two
+    scalars. ``max_hub_degree`` drops V-side hubs above the cap BEFORE
+    the join (the item_pairs posture — a 10⁴-degree hub emits 10⁸
+    wedge rows); default None = exact, and when the cap fires the
+    number of dropped hubs is reported in the output row (never a
+    silent cap)."""
+    from ..util import (
+        distinct_i64_pairs,
+        pack_sorted_keys,
+        semi_join_filter,
+    )
+
+    e = edges.map_batches(
+        lambda t: pa.table(
+            {"u": t.column(u_col).cast(_I64), "v": t.column(v_col).cast(_I64)}
+        )
+        if u_col in t.column_names
+        else pa.table({"u": pa.array([], _I64), "v": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    de = distinct_i64_pairs(e, "u", "v").materialize()
+
+    n_hubs_dropped = 0
+    if max_hub_degree is not None:
+        hot = count_i64_keys(de, "v", num_shards=num_shards, count_col="_c").map_batches(
+            lambda t: t.filter(
+                pa.array(t.column("_c").to_numpy(zero_copy_only=False) > max_hub_degree)
+            ).select(["v"])
+            if "v" in t.column_names and len(t)
+            else pa.table({"v": pa.array([], _I64)}),
+            batch_format="pyarrow",
+        ).materialize()
+        n_hubs_dropped = hot.count()
+        if n_hubs_dropped:
+            de = semi_join_filter(de, "v", pack_sorted_keys(hot, "v"), keep=False).materialize()
+            if de.count() == 0:
+                # every incidence was hub-backed: a fully-empty Dataset
+                # has no schema and the join would raise — short-circuit
+                return ray.data.from_items(
+                    [{"n_pairs": 0, "butterflies": 0,
+                      "n_hubs_dropped": int(n_hubs_dropped)}]
+                )
+
+    left = de.map_batches(
+        lambda t: pa.table({"v": t.column("v"), "a": t.column("u")})
+        if "v" in t.column_names
+        else pa.table({"v": pa.array([], _I64), "a": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    right = de.map_batches(
+        lambda t: pa.table({"v2": t.column("v"), "b": t.column("u")})
+        if "v" in t.column_names
+        else pa.table({"v2": pa.array([], _I64), "b": pa.array([], _I64)}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(left, num_partitions).join(
+        compact_for_join(right, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("v",),
+        right_on=("v2",),
+    )
+
+    SHIFT = np.int64(1) << 31
+
+    def pack(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"pk": pa.array([], _I64)})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"pk": pa.array(a[m] * SHIFT + b[m])})
+
+    counts = count_i64_keys(
+        j.map_batches(pack, batch_format="pyarrow"), "pk", count_col="n",
+        num_shards=num_shards,
+    )
+
+    def bf_partial(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names or len(t) == 0:
+            return pa.table({"p": pa.array([], _I64), "bf": pa.array([], _I64)})
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p": pa.array([len(n)]),
+                "bf": pa.array([int((n * (n - 1) // 2).sum())]),
+            }
+        )
+
+    parts = counts.map_batches(bf_partial, batch_format="pyarrow").materialize()
+    n_pairs = int(parts.sum("p") or 0)
+    bf = int(parts.sum("bf") or 0)
+    row = {"n_pairs": n_pairs, "butterflies": bf}
+    if max_hub_degree is not None:
+        row["n_hubs_dropped"] = int(n_hubs_dropped)
+    return ray.data.from_items([row])

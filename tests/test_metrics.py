@@ -47,3 +47,46 @@ def test_global_clustering_triangle_free():
     assert got["n_triangles"] == 0
     assert got["global_clustering"] == 0.0
     assert got["n_wedges"] == 10
+
+
+def test_butterfly_count_brute_force():
+    """butterfly_count == brute force on a skewed bipartite graph; the
+    hub cap drops the hot V vertex and reports it."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.metrics import butterfly_count
+
+    rows = []
+    for i in range(400):
+        rows.append({"u": i % 23, "v": (i * 7 + 1) % 11})
+        rows.append({"u": i % 23, "v": (i * 3) % 5})  # v∈[0,5) are hot
+        if i % 4 == 0:  # duplicate incidence must collapse
+            rows.append({"u": i % 23, "v": (i * 7 + 1) % 11})
+        if i % 16 == 0:  # low-degree tail V vertices (survive the cap)
+            rows.append({"u": i % 23, "v": 100 + i % 40})
+
+    def brute(max_deg=None):
+        inc = {(r["u"], r["v"]) for r in rows}
+        by_v = defaultdict(set)
+        for u, v in inc:
+            by_v[v].add(u)
+        if max_deg is not None:
+            by_v = {v: us for v, us in by_v.items() if len(us) <= max_deg}
+        cn = defaultdict(int)
+        for us in by_v.values():
+            for a, b in combinations(sorted(us), 2):
+                cn[(a, b)] += 1
+        return len(cn), sum(c * (c - 1) // 2 for c in cn.values())
+
+    ds = ray.data.from_items(rows).repartition(5)
+    got = butterfly_count(ds, num_partitions=4, num_shards=4).take_all()[0]
+    assert (got["n_pairs"], got["butterflies"]) == brute()
+
+    capped = butterfly_count(
+        ds, num_partitions=4, num_shards=4, max_hub_degree=15
+    ).take_all()[0]
+    assert (capped["n_pairs"], capped["butterflies"]) == brute(15)
+    assert capped["n_hubs_dropped"] > 0
