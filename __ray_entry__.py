@@ -3050,6 +3050,26 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _t_keyness(sf_dir):
+    """Dunning G² keyness between two deterministic doc splits
+    (double-MINSTD parity — the small-id-safe split hash). The G²
+    expression grouping is IDENTICAL on both sides (tot·row ÷ grand,
+    ln of the ratio, times n, 2·(A+B)), so 6dp exact-hash holds."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import keyness_g2
+
+    M = 2147483647
+
+    def split(ids):
+        return ((ids * 48271) % M * 48271) % M % 2
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return keyness_g2(docs, split, num_shards=8)
+
+
 def _g_butterflies(sf_dir):
     """Bipartite butterfly (4-cycle) count over the order×part
     incidence graph — exact mode (no hub cap), two integer outputs so
@@ -4996,6 +5016,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (g_butterflies_lineitem OUTSIDE the window: the graph family
         # is witnessed in-window nine ways; full local exact-hash gate)
         "g_butterflies_lineitem": _g_butterflies,  # bipartite 4-cycle count, SQL-gated (r5 new)
+        # (t_keyness OUTSIDE the window: text family witnessed
+        # in-window many ways; full local exact-hash gate)
+        "t_keyness": _t_keyness,  # Dunning G² split keyness, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6853,6 +6876,29 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # Dunning G² keyness over the double-MINSTD doc split; the SQL
+        # expression grouping mirrors the engine's exactly
+        "t_keyness": """
+WITH d AS (
+  SELECT ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 % 2 AS s, text FROM documents
+),
+toks AS (
+  SELECT s, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS arr
+  FROM d
+),
+w AS (SELECT s, u.w AS word FROM toks, UNNEST(arr) AS u(w) WHERE u.w <> ''),
+cnt AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM w GROUP BY word
+),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM cnt)
+SELECT word, na, nb,
+  round(2 * (CASE WHEN na > 0 THEN na * ln(na / ((ta * (na + nb)) / (ta + tb))) ELSE 0 END
+           + CASE WHEN nb > 0 THEN nb * ln(nb / ((tb * (na + nb)) / (ta + tb))) ELSE 0 END), 6) AS g2
+FROM cnt, tot ORDER BY word
 """,
         # exact wedge-formula butterfly count (B = Σ C(cn,2) over
         # same-side pairs) on the order×part incidence graph

@@ -216,6 +216,7 @@ def run_bench() -> dict:
         "g_host_graph",
         "t_textrank3",
         "g_butterflies_lineitem",
+        "t_keyness",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

@@ -1669,3 +1669,105 @@ def bm25_scores(
         ),
         batch_format="pyarrow",
     )
+
+
+def keyness_g2(
+    docs: "object",
+    split_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> "object":
+    """Corpus keyness — Dunning (1993) log-likelihood G² per word
+    between two corpus splits (the standard corpus-linguistics /
+    domain-drift comparison: which words are OVER-represented in split
+    A vs split B). ``split_fn(ids: np.int64 array) -> 0/1 array``
+    assigns each doc to a split; output one row per word:
+    (word, na, nb, g2) with g2 = 2·Σ n·ln(n/E) over the two observed
+    cells, E = total_split · (na+nb) / grand_total, zero cells
+    contributing 0 — rounded 6dp, sorted by word.
+
+    Scale shape: ONE tokenize pass (the pinned RE2-\\s trim+split) with
+    per-batch (word → na, nb) pre-aggregation — the exchange is
+    O(batch_vocab × batches), never O(tokens) — merged by the
+    multi-counter string-carrying BSP (`util.sum_i64_keys_with_payload`
+    with two weight columns); the grand totals are two driver scalars.
+    The G² expression GROUPING matches the SQL oracle exactly
+    (tot·(na+nb) then ÷ grand, ln of the ratio, multiply by n)."""
+    from ..util import sum_i64_keys_with_payload
+    from .dedup import hash_str_array
+
+    empty = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "na": pa.array([], pa.int64()),
+            "nb": pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if text_col not in t.column_names or len(t) == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = split_fn(ids).astype(np.int64)
+        trimmed = pc.utf8_trim(pc.fill_null(t.column(text_col), ""), characters=RE2_WS)
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+").combine_chunks()
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        words = parts.flatten().to_numpy(zero_copy_only=False)
+        tok_s = np.repeat(s, np.diff(offsets))
+        keep = words != ""
+        words, tok_s = words[keep], tok_s[keep]
+        if len(words) == 0:
+            return empty
+        uniq, idx, inv = np.unique(words, return_index=True, return_inverse=True)
+        na = np.bincount(inv[tok_s == 0], minlength=len(uniq)).astype(np.int64)
+        nb = np.bincount(inv[tok_s == 1], minlength=len(uniq)).astype(np.int64)
+        h = hash_str_array(uniq.astype(object)).view(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "na": pa.array(na),
+                "nb": pa.array(nb),
+                "word": pa.array(list(uniq), pa.string()),
+            }
+        )
+
+    pre = docs.map_batches(partials, batch_format="pyarrow")
+    merged = sum_i64_keys_with_payload(
+        pre, "h", ["na", "nb"], ["word"], num_shards=num_shards
+    ).materialize()
+    ta = int(merged.sum("na") or 0)
+    tb = int(merged.sum("nb") or 0)
+    grand = ta + tb
+
+    def score(t: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+                "g2": pa.array([], pa.float64()),
+            }
+        )
+        if "word" not in t.column_names or len(t) == 0 or grand == 0:
+            return out_empty
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        row = na + nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ea = (ta * row) / grand
+            eb = (tb * row) / grand
+            term_a = np.where(na > 0, na * np.log(na / ea), 0.0)
+            term_b = np.where(nb > 0, nb * np.log(nb / eb), 0.0)
+        g2 = np.round(2.0 * (term_a + term_b), 6)
+        return pa.table(
+            {
+                "word": t.column("word"),
+                "na": pa.array(na),
+                "nb": pa.array(nb),
+                "g2": pa.array(g2),
+            }
+        )
+
+    return merged.map_batches(score, batch_format="pyarrow").sort("word")

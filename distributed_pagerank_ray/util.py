@@ -213,20 +213,25 @@ def min_i64_by_key(ds, key_col: str, val_col: str, num_shards: int = 16):
     return ray.data.from_arrow_refs([reduce.remote(*cols[s]) for s in range(S)])
 
 
-def _sum_payload_block(t: pa.Table, key_col: str, weight_col: str, payload_cols, S: int):
+def _sum_payload_block(t: pa.Table, key_col: str, weight_cols, payload_cols, S: int):
     """Gather body for sum_i64_keys_with_payload: per-block (key,
-    Σweight, first payload row) partials split per shard by
+    Σweights, first payload row) partials split per shard by
     multiplicative hash; each shard slice ships as a small pa.Table
     (payloads may be strings)."""
     if key_col not in t.column_names or len(t) == 0:
         return [None] * S
     k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
     u, idx, inv = np.unique(k, return_index=True, return_inverse=True)
-    c = np.bincount(inv, weights=w.astype(np.float64), minlength=len(u)).astype(np.int64)
+    sums = {}
+    for wc in weight_cols:
+        w = t.column(wc).to_numpy(zero_copy_only=False).astype(np.int64)
+        sums[wc] = np.bincount(inv, weights=w.astype(np.float64), minlength=len(u)).astype(
+            np.int64
+        )
     pay = t.select(payload_cols).take(pa.array(idx))
     part = pa.table(
-        {key_col: pa.array(u), weight_col: pa.array(c)}
+        {key_col: pa.array(u)}
+        | {wc: pa.array(sums[wc]) for wc in weight_cols}
         | {p: pay.column(p) for p in payload_cols}
     )
     with np.errstate(over="ignore"):
@@ -241,25 +246,29 @@ def _sum_payload_block(t: pa.Table, key_col: str, weight_col: str, payload_cols,
 
 
 def sum_i64_keys_with_payload(
-    ds, key_col: str, weight_col: str, payload_cols: "list[str]", num_shards: int = 16
+    ds, key_col: str, weight_col, payload_cols: "list[str]", num_shards: int = 16
 ):
-    """(key, Σweight, payload...) per distinct int64 key — the
+    """(key, Σweight(s), payload...) per distinct int64 key — the
     string-carrying sibling of ``count_i64_keys(weight_col=...)`` for
     collapsed outputs keyed by a hash of their own payload (host pairs,
     canonical strings): payload columns MUST be functionally determined
     by the key (any representative is the same row), so reducers keep
-    the first occurrence. Same BSP shape: per-block partials,
+    the first occurrence. ``weight_col`` may be one name or a list —
+    each is summed per key independently (the multi-counter form, e.g.
+    per-split word counts). Same BSP shape: per-block partials,
     ``num_returns=S`` routing, merge reducers; the exchange is
-    O(distinct keys × blocks) rows of (key, weight, payload)."""
+    O(distinct keys × blocks) rows of (key, weights, payload)."""
     import ray
     import ray.data
 
+    weight_cols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
     S = max(2, num_shards)
     gather = ray.remote(_sum_payload_block)
 
     blocks = ds.materialize().to_arrow_refs()
     empty = pa.table(
-        {key_col: pa.array([], pa.int64()), weight_col: pa.array([], pa.int64())}
+        {key_col: pa.array([], pa.int64())}
+        | {wc: pa.array([], pa.int64()) for wc in weight_cols}
         | {p: pa.array([], pa.string()) for p in payload_cols}
     )
 
@@ -270,17 +279,22 @@ def sum_i64_keys_with_payload(
             return empty
         tbl = pa.concat_tables(parts).combine_chunks()
         k = tbl.column(key_col).to_numpy(zero_copy_only=False)
-        w = tbl.column(weight_col).to_numpy(zero_copy_only=False)
         u, idx, inv = np.unique(k, return_index=True, return_inverse=True)
-        tot = np.bincount(inv, weights=w.astype(np.float64), minlength=len(u)).astype(np.int64)
+        tots = {}
+        for wc in weight_cols:
+            w = tbl.column(wc).to_numpy(zero_copy_only=False)
+            tots[wc] = np.bincount(
+                inv, weights=w.astype(np.float64), minlength=len(u)
+            ).astype(np.int64)
         pay = tbl.select(payload_cols).take(pa.array(idx))
         return pa.table(
-            {key_col: pa.array(u), weight_col: pa.array(tot)}
+            {key_col: pa.array(u)}
+            | {wc: pa.array(tots[wc]) for wc in weight_cols}
             | {p: pay.column(p) for p in payload_cols}
         )
 
     gathers = [
-        gather.options(num_returns=S).remote(b, key_col, weight_col, payload_cols, S)
+        gather.options(num_returns=S).remote(b, key_col, weight_cols, payload_cols, S)
         for b in blocks
     ]
     cols = [list(c) for c in zip(*gathers)]

@@ -343,3 +343,51 @@ def test_bm25_matches_brute_force(ray_session):
         if hits:
             exp[d] = (hits, round(s, 6))
     assert {int(i): (int(r.n_hit), float(r.score)) for i, r in got.iterrows()} == exp
+
+
+def test_keyness_g2_brute_force():
+    """keyness_g2 == hand-computed Dunning G² on a hazard corpus."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import _re2_word_split
+    from distributed_pagerank_ray.functions.textstats import keyness_g2
+
+    texts = [
+        "alpha beta alpha gamma",
+        "beta beta delta",
+        "  alpha\tdelta epsilon \n",
+        "",
+        "gamma gamma gamma zeta",
+        "epsilon alpha",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    def split(ids):
+        return ids % 2  # even docs -> A, odd -> B
+
+    ca, cb = Counter(), Counter()
+    for i, t in enumerate(texts):
+        (ca if i % 2 == 0 else cb).update(_re2_word_split(t))
+    ta, tb = sum(ca.values()), sum(cb.values())
+
+    def g2(w):
+        na, nb = ca[w], cb[w]
+        row = na + nb
+        out = 0.0
+        if na:
+            out += na * math.log(na / ((ta * row) / (ta + tb)))
+        if nb:
+            out += nb * math.log(nb / ((tb * row) / (ta + tb)))
+        return round(2 * out, 6)
+
+    ds = ray.data.from_items(rows).repartition(3)
+    got = keyness_g2(ds, split, num_shards=4).take_all()
+    vocab = sorted(set(ca) | set(cb))
+    assert [r["word"] for r in got] == vocab
+    for r in got:
+        assert (r["na"], r["nb"]) == (ca[r["word"]], cb[r["word"]])
+        np.testing.assert_allclose(r["g2"], g2(r["word"]), atol=1e-9)
