@@ -3050,6 +3050,84 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _x_robots_filter(sf_dir):
+    """SQL-gated robots.txt crawl-permission evaluation: per-host
+    robots blobs planted with real-world hazards — mixed-case field
+    names, comments, CRLF endings, leading whitespace, a multi-agent
+    group header, a decoy ``crawler`` group and a ``*`` fallback group
+    that must BOTH be ignored for agent ``bot`` — and five planted URL
+    path shapes per doc covering sentinel-allow, prefix-disallow,
+    longer-allow-override, wildcard+$-anchor disallow, and the
+    anchor-must-not-match case. The oracle is the closed-form decision
+    table, so matching requires genuine parsing, group selection,
+    longest-match precedence and wildcard/anchor semantics."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.robots import robots_filter, robots_rules
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_urls(t: pa.Table) -> pa.Table:
+        ids, hosts, paths = [], [], []
+        for d in t.column("doc_id").to_pylist():
+            h = d % 7
+            ids.append(d)
+            hosts.append("h%d.test" % h)
+            k = d % 5
+            if k == 0:
+                paths.append("/a/%d" % d)
+            elif k == 1:
+                paths.append("/p%d/x%d" % (h, d))
+            elif k == 2:
+                paths.append("/p%d/pub/%d" % (h, d))
+            elif k == 3:
+                paths.append("/f%d.tmp" % d)
+            else:
+                paths.append("/f%d.tmp.x" % d)
+        return pa.table(
+            {
+                "url_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    def synth_robots(t: pa.Table) -> pa.Table:
+        hosts, blobs = [], []
+        for h in range(7):
+            hosts.append("h%d.test" % h)
+            blobs.append(
+                (
+                    "# planted robots for host %d\r\n"
+                    "User-Agent: crawler\r\n"
+                    "Disallow: /\r\n"
+                    "\r\n"
+                    "user-agent: bot\r\n"
+                    "User-agent: spider\r\n"
+                    "  Disallow: /p%d\r\n"
+                    "ALLOW: /p%d/pub\r\n"
+                    "Disallow: /*.tmp$\r\n"
+                    "\r\n"
+                    "User-agent: *\r\n"
+                    "Disallow: /\r\n"
+                )
+                % (h, h, h)
+            )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots": pa.array(blobs, pa.string()),
+            }
+        )
+
+    urls = docs.map_batches(synth_urls, batch_format="pyarrow")
+    robots = ray.data.range(1).map_batches(
+        lambda t: synth_robots(t), batch_format="pyarrow"
+    )
+    rules = robots_rules(robots, agent="bot")
+    return robots_filter(urls, rules, num_shards=8).sort("url_id")
+
+
 def _t_keyness(sf_dir):
     """Dunning G² keyness between two deterministic doc splits
     (double-MINSTD parity — the small-id-safe split hash). The G²
@@ -5019,6 +5097,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (t_keyness OUTSIDE the window: text family witnessed
         # in-window many ways; full local exact-hash gate)
         "t_keyness": _t_keyness,  # Dunning G² split keyness, SQL-gated (r5 new)
+        # (x_robots_filter OUTSIDE the window: ingest/conformance
+        # parsing witnessed in-window via x_warc_ingest +
+        # x_edgelist_text; full local exact-hash gate)
+        "x_robots_filter": _x_robots_filter,  # RFC 9309 crawl permission, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6876,6 +6958,12 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # closed-form decision table for the planted robots hazards in
+        # _x_robots_filter (k = doc_id % 5: 0/2/4 allowed, 1/3 denied)
+        "x_robots_filter": """
+SELECT doc_id AS url_id, (doc_id % 5) IN (0, 2, 4) AS allowed
+FROM documents ORDER BY doc_id
 """,
         # Dunning G² keyness over the double-MINSTD doc split; the SQL
         # expression grouping mirrors the engine's exactly

@@ -217,6 +217,7 @@ def run_bench() -> dict:
         "t_textrank3",
         "g_butterflies_lineitem",
         "t_keyness",
+        "x_robots_filter",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

@@ -1,0 +1,70 @@
+"""robots.txt parser + filter conformance: RFC 9309 core semantics."""
+
+import numpy as np
+
+import ray.data
+
+from distributed_pagerank_ray.sources.robots import (
+    parse_robots_bytes,
+    robots_filter,
+    robots_rules,
+    rules_for_agent,
+)
+
+BLOB = (
+    b"# comment line\r\n"
+    b"User-Agent: Crawler\r\n"
+    b"Disallow: /\r\n"
+    b"\r\n"
+    b"user-agent: bot\r\n"
+    b"User-agent: spider\r\n"
+    b"  Disallow: /priv\r\n"
+    b"Allow: /priv/pub\r\n"
+    b"Disallow: /*.bak$\r\n"
+    b"Disallow:\r\n"          # empty value = no rule
+    b"Crawl-delay: 10\r\n"    # unknown field skipped, closes UA run
+    b"User-agent: *\r\n"
+    b"Disallow: /all\r\n"
+)
+
+
+def test_parse_groups_and_hazards():
+    rules = parse_robots_bytes(BLOB)
+    # multi-agent header fans rules out to both agents
+    assert ("bot", "/priv", False) in rules
+    assert ("spider", "/priv", False) in rules
+    assert ("bot", "/priv/pub", True) in rules
+    assert ("crawler", "/", False) in rules
+    assert ("*", "/all", False) in rules
+    # empty Disallow contributes nothing
+    assert not any(p == "" for _, p, _ in rules)
+
+
+def test_agent_selection():
+    rules = parse_robots_bytes(BLOB)
+    assert rules_for_agent(rules, "BOT") == [
+        ("/priv", False), ("/priv/pub", True), ("/*.bak$", False)
+    ]
+    # unknown agent falls back to the * group
+    assert rules_for_agent(rules, "nobody") == [("/all", False)]
+
+
+def test_filter_longest_match_and_anchors():
+    cases = [
+        (0, "/ok", True),            # sentinel allow
+        (1, "/priv/x", False),       # prefix disallow
+        (2, "/priv/pub/x", True),    # longer allow overrides
+        (3, "/f.bak", False),        # wildcard + $ anchor
+        (4, "/f.bak.x", True),       # anchor must not match
+        (5, "/privy", False),        # prefix semantics (no boundary)
+    ]
+    urls = ray.data.from_items(
+        [{"url_id": i, "host": "a.test", "path": p} for i, p, _ in cases]
+        + [{"url_id": 99, "host": "norobots.test", "path": "/x"}]
+    ).repartition(3)
+    robots = ray.data.from_items([{"host": "a.test", "robots": BLOB.decode()}])
+    rules = robots_rules(robots, agent="bot")
+    got = {r["url_id"]: r["allowed"] for r in robots_filter(urls, rules, num_shards=4).take_all()}
+    for i, _, want in cases:
+        assert got[i] is want or got[i] == want, (i, got[i], want)
+    assert got[99] == True  # unknown host defaults to allow
