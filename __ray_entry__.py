@@ -3050,6 +3050,65 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _x_sitemap_ingest(sf_dir):
+    """SQL-gated sitemap XML parse: per-doc <urlset> payloads planted
+    with the real hazards — entity-escaped &amp; in one loc, a CDATA
+    loc carrying a RAW & (must NOT be unescaped twice), whitespace
+    padding inside <loc>, date-only AND full-datetime <lastmod>, and a
+    loc-less decoy entry that must be skipped. Oracle regenerates the
+    entry table analytically."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.sitemap import read_sitemap_entries
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids, xmls = [], []
+        for d in t.column("doc_id").to_pylist():
+            mm = 1 + d % 12
+            parts = [
+                '<?xml version="1.0" encoding="UTF-8"?>\n',
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
+            ]
+            n = 1 + d % 3
+            if n >= 1:
+                parts.append(
+                    "  <url>\n    <loc>  https://ex.test/p?a=%d&amp;j=0\n</loc>\n"
+                    "    <lastmod>2025-%02d-01</lastmod>\n  </url>\n" % (d, mm)
+                )
+            if n >= 2:
+                parts.append(
+                    "  <url><loc><![CDATA[https://ex.test/c/%d&j=1]]></loc>"
+                    "<lastmod>2025-%02d-02T10:20:30+00:00</lastmod></url>\n" % (d, mm)
+                )
+            if n >= 3:
+                parts.append(
+                    "  <url><loc>https://ex.test/r/%d/2</loc>"
+                    "<lastmod>2025-%02d-03</lastmod></url>\n" % (d, mm)
+                )
+            parts.append("  <url><priority>0.5</priority></url>\n")  # loc-less decoy
+            parts.append("</urlset>\n")
+            ids.append(d)
+            xmls.append("".join(parts))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sitemap": pa.array(xmls, pa.string()),
+            }
+        )
+
+    sitemaps = docs.map_batches(synth, batch_format="pyarrow")
+    return (
+        read_sitemap_entries(sitemaps)
+        .map_batches(
+            lambda t: t.select(["doc_id", "loc", "lastmod_key"]),
+            batch_format="pyarrow",
+        )
+        .sort(["doc_id", "loc"])
+    )
+
+
 def _x_robots_filter(sf_dir):
     """SQL-gated robots.txt crawl-permission evaluation: per-host
     robots blobs planted with real-world hazards — mixed-case field
@@ -5101,6 +5160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parsing witnessed in-window via x_warc_ingest +
         # x_edgelist_text; full local exact-hash gate)
         "x_robots_filter": _x_robots_filter,  # RFC 9309 crawl permission, SQL-gated (r5 new)
+        "x_sitemap_ingest": _x_sitemap_ingest,  # sitemap XML entries, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -6958,6 +7018,22 @@ WITH nn AS (SELECT count(*) AS n FROM documents)
 SELECT doc_id AS src, (13 * doc_id + 7) % (SELECT n FROM nn) AS dst FROM documents
 UNION ALL
 SELECT doc_id, (19 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0
+""",
+        # analytic regeneration of the planted sitemap entries in
+        # _x_sitemap_ingest (parse must unescape entities, keep CDATA
+        # raw, trim pads, skip loc-less entries, parse both lastmod
+        # forms to the YYYYMMDD key)
+        "x_sitemap_ingest": """
+WITH u AS (
+  SELECT doc_id, u.j AS j FROM documents, UNNEST(range(0, 3)) AS u(j)
+  WHERE u.j < 1 + doc_id % 3
+)
+SELECT doc_id,
+       CASE j WHEN 0 THEN 'https://ex.test/p?a=' || doc_id || '&j=0'
+              WHEN 1 THEN 'https://ex.test/c/' || doc_id || '&j=1'
+              ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
+       CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
+FROM u ORDER BY doc_id, loc
 """,
         # closed-form decision table for the planted robots hazards in
         # _x_robots_filter (k = doc_id % 5: 0/2/4 allowed, 1/3 denied)

@@ -218,6 +218,7 @@ def run_bench() -> dict:
         "g_butterflies_lineitem",
         "t_keyness",
         "x_robots_filter",
+        "x_sitemap_ingest",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
