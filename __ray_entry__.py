@@ -3109,6 +3109,110 @@ def _x_sitemap_ingest(sf_dir):
     )
 
 
+def _x_frontier_prep(sf_dir):
+    """Composed crawl-frontier prep — the whole r5 crawl stack in ONE
+    lazy chain under one SQL oracle: planted sitemap XML → REAL
+    sitemap entry parse → vectorized host + path + id extraction from
+    the parsed locs → REAL robots.txt rules (the hazard blobs of
+    x_robots_filter) → longest-match permission filter. Output one row
+    per frontier URL (url_id, allowed); the oracle is the closed-form
+    decision table keyed by (doc_id + j) % 5."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from distributed_pagerank_ray.sources.robots import robots_filter, robots_rules
+    from distributed_pagerank_ray.sources.sitemap import read_sitemap_entries
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_sitemaps(t: pa.Table) -> pa.Table:
+        ids, xmls = [], []
+        for d in t.column("doc_id").to_pylist():
+            h = d % 7
+            entries = []
+            for j in range(1 + d % 3):
+                uid = d * 8 + j
+                k = (d + j) % 5
+                if k == 0:
+                    path = "/a/i%d" % uid
+                elif k == 1:
+                    path = "/p%d/i%d" % (h, uid)
+                elif k == 2:
+                    path = "/p%d/pub/i%d" % (h, uid)
+                elif k == 3:
+                    path = "/i%d/f.tmp" % uid
+                else:
+                    path = "/i%d/f.tmp.x" % uid
+                entries.append(
+                    "<url><loc>https://h%d.test%s</loc></url>" % (h, path)
+                )
+            ids.append(d)
+            xmls.append("<urlset>%s</urlset>" % "".join(entries))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sitemap": pa.array(xmls, pa.string()),
+            }
+        )
+
+    def synth_robots(t: pa.Table) -> pa.Table:
+        hosts, blobs = [], []
+        for h in range(7):
+            hosts.append("h%d.test" % h)
+            blobs.append(
+                (
+                    "User-Agent: crawler\r\nDisallow: /\r\n\r\n"
+                    "user-agent: bot\r\n"
+                    "  Disallow: /p%d\r\n"
+                    "ALLOW: /p%d/pub\r\n"
+                    "Disallow: /*.tmp$\r\n\r\n"
+                    "User-agent: *\r\nDisallow: /\r\n"
+                )
+                % (h, h)
+            )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots": pa.array(blobs, pa.string()),
+            }
+        )
+
+    entries = read_sitemap_entries(
+        docs.map_batches(synth_sitemaps, batch_format="pyarrow")
+    )
+
+    def frontier(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "url_id": pa.array([], pa.int64()),
+                "host": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+            }
+        )
+        if "loc" not in t.column_names or len(t) == 0:
+            return empty
+        from distributed_pagerank_ray.functions.urls import host_array
+
+        loc = t.column("loc")
+        host = host_array(loc)
+        parts = pc.extract_regex(loc, r"^[a-z]+://[^/]*(?P<path>/.*)$")
+        path = pc.fill_null(pc.struct_field(parts, "path"), "")
+        uid = pc.cast(
+            pc.struct_field(pc.extract_regex(loc, r"/i(?P<id>\d+)"), "id"), pa.int64()
+        )
+        return pa.table({"url_id": uid, "host": host, "path": path})
+
+    urls = entries.map_batches(frontier, batch_format="pyarrow")
+    rules = robots_rules(
+        ray.data.range(1).map_batches(
+            lambda t: synth_robots(t), batch_format="pyarrow"
+        ),
+        agent="bot",
+    )
+    return robots_filter(urls, rules, num_shards=8).sort("url_id")
+
+
 def _x_robots_filter(sf_dir):
     """SQL-gated robots.txt crawl-permission evaluation: per-host
     robots blobs planted with real-world hazards — mixed-case field
@@ -5161,6 +5265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # x_edgelist_text; full local exact-hash gate)
         "x_robots_filter": _x_robots_filter,  # RFC 9309 crawl permission, SQL-gated (r5 new)
         "x_sitemap_ingest": _x_sitemap_ingest,  # sitemap XML entries, SQL-gated (r5 new)
+        "x_frontier_prep": _x_frontier_prep,  # composed sitemap→robots frontier, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7034,6 +7139,16 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # closed-form decision table for the composed sitemap→robots
+        # frontier chain (k = (doc_id + j) % 5: 0/2/4 allowed)
+        "x_frontier_prep": """
+WITH u AS (
+  SELECT doc_id, u.j AS j FROM documents, UNNEST(range(0, 3)) AS u(j)
+  WHERE u.j < 1 + doc_id % 3
+)
+SELECT doc_id * 8 + j AS url_id, ((doc_id + j) % 5) IN (0, 2, 4) AS allowed
+FROM u ORDER BY url_id
 """,
         # closed-form decision table for the planted robots hazards in
         # _x_robots_filter (k = doc_id % 5: 0/2/4 allowed, 1/3 denied)

@@ -219,6 +219,7 @@ def run_bench() -> dict:
         "t_keyness",
         "x_robots_filter",
         "x_sitemap_ingest",
+        "x_frontier_prep",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
