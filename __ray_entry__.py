@@ -5183,7 +5183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_eigen3_doc": _g_eigen3_doc,  # eigenvector centrality, int-exact unrolled oracle (r5 new)
         # ---- driver window: the 23 queries never driver-witnessed in
         # r1-r4 (VERDICT r4 item #3) — local-gate green every round ----
-        "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist
+        # (r_events_cume displaced late-r5 for x_frontier_prep: the
+        # ordered-window family stays witnessed in-window four ways —
+        # r_events_mad, r_events_zscore, r_user_journeys, quartile —
+        # while frontier_prep witnesses THREE new r5 operators at once:
+        # sitemap parse, robots rules, permission filter)
+        "x_frontier_prep": _x_frontier_prep,  # composed sitemap→robots frontier (r5 new)
         "e_group_distinct": _e_group_distinct,  # pair-BSP exact + grouped-HLL gate
         "r_funnel": _r_funnel,  # ordered funnel, per-step join + BSP argmin
         "r_retention": _r_retention,  # cohort retention, all-BSP plan
@@ -5265,7 +5270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # x_edgelist_text; full local exact-hash gate)
         "x_robots_filter": _x_robots_filter,  # RFC 9309 crawl permission, SQL-gated (r5 new)
         "x_sitemap_ingest": _x_sitemap_ingest,  # sitemap XML entries, SQL-gated (r5 new)
-        "x_frontier_prep": _x_frontier_prep,  # composed sitemap→robots frontier, SQL-gated (r5 new)
+        "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist (displaced late-r5)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
