@@ -3109,6 +3109,52 @@ def _x_sitemap_ingest(sf_dir):
     )
 
 
+def _g_bipartite_doc(sf_dir):
+    """Bipartiteness via the double-cover CC reduction on a planted
+    8-vertex-per-doc graph: even docs an 8-ring (bipartite), odd docs a
+    7-ring + pendant (odd cycle — the whole component non-bipartite).
+    Oracle is the closed-form per-group table."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.bipartite import bipartiteness
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d in t.column("doc_id").to_pylist():
+            base = 8 * d
+            if d % 2 == 0:
+                for k in range(8):
+                    src.append(base + k)
+                    dst.append(base + (k + 1) % 8)
+            else:
+                for k in range(7):
+                    src.append(base + k)
+                    dst.append(base + (k + 1) % 7)
+                src.append(base)
+                dst.append(base + 7)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(synth, batch_format="pyarrow")
+    import hashlib
+    import os
+
+    # fingerprint the input like _gate_graph so a regenerated testdata
+    # dir at the same path can't serve a stale cached cover graph
+    finger = ";".join(
+        f"{f}:{st.st_size}:{int(st.st_mtime)}"
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+        for st in [os.stat(os.path.join(sf_dir, f))]
+    )
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:bip:v1:{finger}".encode()).hexdigest()[:16]
+    run_dir = f"/tmp/dpr_gate_graphs/bip_{key}"
+    return bipartiteness(edges, run_dir).sort("id")
+
+
 def _x_frontier_prep(sf_dir):
     """Composed crawl-frontier prep — the whole r5 crawl stack in ONE
     lazy chain under one SQL oracle: planted sitemap XML → REAL
@@ -5271,6 +5317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_robots_filter": _x_robots_filter,  # RFC 9309 crawl permission, SQL-gated (r5 new)
         "x_sitemap_ingest": _x_sitemap_ingest,  # sitemap XML entries, SQL-gated (r5 new)
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist (displaced late-r5)
+        "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7144,6 +7191,13 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # closed-form table for the planted even-ring / odd-ring+pendant
+        # groups in _g_bipartite_doc (double-cover CC reduction)
+        "g_bipartite_doc": """
+WITH v AS (SELECT doc_id AS g, u.k AS k FROM documents, UNNEST(range(0, 8)) AS u(k))
+SELECT 8 * g + k AS id, 8 * g AS component, (g % 2 = 0) AS bipartite
+FROM v ORDER BY id
 """,
         # closed-form decision table for the composed sitemap→robots
         # frontier chain (k = (doc_id + j) % 5: 0/2/4 allowed)
