@@ -3109,6 +3109,47 @@ def _x_sitemap_ingest(sf_dir):
     )
 
 
+def _r_zorder_key(sf_dir):
+    """Morton/Z-order clustering key over (l_orderkey, l_partkey)
+    masked to 16 bits — the lakehouse data-layout key
+    (`sink.zorder_key_batch`); the SQL oracle replays the same five
+    magic-number doubling steps with DuckDB bit ops."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.sink import zorder_key_batch
+    from distributed_pagerank_ray.util import distinct_i64_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def mask(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names or len(t) == 0:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        x = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64) % 65536
+        y = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64) % 65536
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    pairs = distinct_i64_pairs(li.map_batches(mask, batch_format="pyarrow"), "x", "y")
+
+    def key(t: pa.Table) -> pa.Table:
+        if "x" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "zkey": pa.array([], pa.int64()),
+                }
+            )
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"x": t.column("x"), "y": t.column("y"), "zkey": pa.array(zorder_key_batch(x, y))}
+        )
+
+    return pairs.map_batches(key, batch_format="pyarrow").sort(["x", "y"])
+
+
 def _g_bipartite_doc(sf_dir):
     """Bipartiteness via the double-cover CC reduction on a planted
     8-vertex-per-doc graph: even docs an 8-ring (bipartite), odd docs a
@@ -5318,6 +5359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_sitemap_ingest": _x_sitemap_ingest,  # sitemap XML entries, SQL-gated (r5 new)
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist (displaced late-r5)
         "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
+        "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7191,6 +7233,15 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # the same five Morton doubling steps in DuckDB bit arithmetic
+        "r_zorder_key": """
+WITH p AS (SELECT DISTINCT l_orderkey % 65536 AS x, l_partkey % 65536 AS y FROM lineitem),
+a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS sx, (y | (y << 8)) & 16711935 AS sy FROM p),
+b AS (SELECT x, y, (sx | (sx << 4)) & 252645135 AS sx, (sy | (sy << 4)) & 252645135 AS sy FROM a),
+c AS (SELECT x, y, (sx | (sx << 2)) & 858993459 AS sx, (sy | (sy << 2)) & 858993459 AS sy FROM b),
+d AS (SELECT x, y, (sx | (sx << 1)) & 1431655765 AS sx, (sy | (sy << 1)) & 1431655765 AS sy FROM c)
+SELECT x, y, sx | (sy << 1) AS zkey FROM d ORDER BY x, y
 """,
         # closed-form table for the planted even-ring / odd-ring+pendant
         # groups in _g_bipartite_doc (double-cover CC reduction)

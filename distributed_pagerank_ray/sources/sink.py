@@ -142,3 +142,52 @@ def compact_parquet_dir(
     shutil.rmtree(old)
     files_after = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+def zorder_key_batch(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Morton (Z-order) interleave of two 16-bit coordinates → int64
+    key, fully vectorized (the five magic-number doubling steps). The
+    classic multi-dimensional data-layout key: sorting by it makes
+    range predicates on EITHER column prune row groups (each 2^k-sized
+    key block spans a bounded x-range × y-range rectangle) — the
+    standard lakehouse clustering trick for a 100-TB table queried by
+    more than one column. Inputs are masked to 16 bits (callers bucket
+    wider domains first); SQL-expressible with the same five steps."""
+    import numpy as np
+
+    def spread(v: "np.ndarray") -> "np.ndarray":
+        v = v.astype(np.int64) & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def write_parquet_zordered(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    x_col: str,
+    y_col: str,
+    key_col: str = "_zkey",
+) -> None:
+    """Write ``ds`` clustered by the Morton key of (x_col, y_col):
+    append the vectorized key, global sort by it (ONE range shuffle —
+    the same all-to-all any clustering write pays), drop the key, write
+    partitioned parquet. Readers filtering on either column then prune
+    row groups via parquet min/max stats."""
+    import pyarrow as pa
+
+    def add_key(t: "pa.Table") -> "pa.Table":
+        if x_col not in t.column_names or len(t) == 0:
+            return t
+        import numpy as np
+
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(key_col, pa.array(zorder_key_batch(x, y)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow").sort(key_col)
+    keyed.drop_columns([key_col]).write_parquet(out_dir)

@@ -103,3 +103,61 @@ def test_compact_parquet_dir_preserves_content():
     # compacting an already-compact dir is a no-op in file count
     stats2 = compact_parquet_dir(out, target_rows_per_file=2000)
     assert stats2["files_after"] == 3 and stats2["rows"] == 5000
+
+
+def test_zorder_key_bit_interleave():
+    """zorder_key_batch == per-bit brute interleave, incl. 16-bit mask."""
+    import numpy as np
+
+    from distributed_pagerank_ray.sources.sink import zorder_key_batch
+
+    rng = [0, 1, 2, 3, 255, 256, 65535, 65536, 99999, 12345]
+    x = np.array(rng, dtype=np.int64)
+    y = np.array(rng[::-1], dtype=np.int64)
+
+    def brute(a, b):
+        a, b = a & 0xFFFF, b & 0xFFFF
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    got = zorder_key_batch(x, y)
+    for xi, yi, g in zip(x, y, got):
+        assert g == brute(int(xi), int(yi))
+
+
+def test_write_parquet_zordered_roundtrip(tmp_path):
+    """Clustered write preserves rows and emits key-sorted order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from distributed_pagerank_ray.sources.sink import (
+        write_parquet_zordered,
+        zorder_key_batch,
+    )
+
+    rows = [{"x": (i * 37) % 500, "y": (i * 91) % 500, "v": i} for i in range(3000)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = str(tmp_path / "zo")
+    write_parquet_zordered(ds, out, "x", "y")
+
+    t = pq.read_table(out)
+    assert t.num_rows == 3000
+    assert sorted(t.column("v").to_pylist()) == list(range(3000))
+    # global file order is Morton-sorted (per file, and files are range-split)
+    x = t.column("x").to_numpy()
+    y = t.column("y").to_numpy()
+    keys = zorder_key_batch(x.astype(np.int64), y.astype(np.int64))
+    # each parquet fragment individually sorted
+    import glob
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        ft = pq.read_table(f)
+        fk = zorder_key_batch(
+            ft.column("x").to_numpy().astype(np.int64),
+            ft.column("y").to_numpy().astype(np.int64),
+        )
+        assert (np.diff(fk) >= 0).all()
