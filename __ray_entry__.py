@@ -3109,6 +3109,85 @@ def _x_sitemap_ingest(sf_dir):
     )
 
 
+def _t_dedup_keep_best(sf_dir):
+    """Quality-aware near-dedup: the SAME candidate-pairs → duplicate
+    graph → distributed CC chain as t_near_dedup_keep, but the elected
+    representative is the HIGHEST-QUALITY member (max n_chars, tie min
+    doc_id) via `dedup.keep_best_per_cluster`'s packed argmax BSP —
+    what a production pipeline actually keeps."""
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.functions.dedup import (
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from distributed_pagerank_ray.pipelines.components import connected_components
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.util import compact_for_join, semi_join_filter
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), k=3, threshold=0.6, num_partitions=8, mode="word"
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("a"), "dst": t.column("b")})
+        if "a" in t.column_names
+        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    run_dir = tempfile.mkdtemp(prefix="dpr_keepbest_")
+    g = build_graph(
+        pairs, run_dir, src_col="src", dst_col="dst", mint=True,
+        run_cfg=RunConfig(num_partitions=4),
+    )
+    res = connected_components(g)
+    vmap = g.vertex_map()
+    j1 = compact_for_join(res.labels(), 4).join(
+        compact_for_join(vmap, 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def p1(t: pa.Table) -> pa.Table:
+        # members in ORIGINAL id space; labels stay minted (cluster key)
+        if "key" not in t.column_names:
+            return pa.table(
+                {"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        return pa.table({"vid": t.column("key"), "label": t.column("label")})
+
+    members = j1.map_batches(p1, batch_format="pyarrow").materialize()
+    quality = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table({"vid": t.column("doc_id"), "q": t.column("n_chars")}),
+        batch_format="pyarrow",
+    )
+    in_graph = keep_best_per_cluster(
+        members, quality, id_col="vid", label_col="label", q_col="q",
+        num_shards=8,
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t.column("vid"), "kept": t.column("kept")})
+        if "vid" in t.column_names
+        else pa.table({"doc_id": pa.array([], pa.int64()), "kept": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    all_docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "kept": pa.array(np.ones(len(t), dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    graph_ids = np.concatenate(
+        [
+            b.column("doc_id").to_numpy(zero_copy_only=False)
+            for b in in_graph.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        or [np.zeros(0, dtype=np.int64)]
+    )
+    rest = semi_join_filter(all_docs, "doc_id", graph_ids, keep=False)
+    return in_graph.union(rest).sort("doc_id")
+
+
 def _r_zorder_key(sf_dir):
     """Morton/Z-order clustering key over (l_orderkey, l_partkey)
     masked to 16 bits — the lakehouse data-layout key
@@ -5360,6 +5439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist (displaced late-r5)
         "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
+        "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7233,6 +7313,37 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # the keep-first CC oracle with the representative rule changed
+        # to quality-argmax (max n_chars, tie min doc_id)
+        "t_dedup_keep_best": f"""
+WITH RECURSIVE {_WORD_GRAMS_CTE},
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.6
+),
+sym AS (SELECT a AS src, b AS dst FROM dup UNION SELECT b, a FROM dup),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+r AS (
+  SELECT id, id AS label FROM verts
+  UNION
+  SELECT s.dst AS id, r.label FROM r JOIN sym s ON s.src = r.id
+),
+comp AS (SELECT id, min(label) AS c FROM r GROUP BY id),
+ranked AS (
+  SELECT comp.id, row_number() OVER (
+    PARTITION BY comp.c ORDER BY d.n_chars DESC, comp.id) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN rk.id IS NULL OR rk.rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d LEFT JOIN ranked rk ON rk.id = d.doc_id ORDER BY d.doc_id
 """,
         # the same five Morton doubling steps in DuckDB bit arithmetic
         "r_zorder_key": """

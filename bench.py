@@ -220,6 +220,7 @@ def run_bench() -> dict:
         "x_robots_filter",
         "x_sitemap_ingest",
         "x_frontier_prep",
+        "r_zorder_key",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)

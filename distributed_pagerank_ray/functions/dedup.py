@@ -1021,3 +1021,92 @@ def sorted_neighborhood_pairs(
         )
 
     return j.map_batches(gap_filter, batch_format="pyarrow")
+
+
+def keep_best_per_cluster(
+    members: "object",
+    quality: "object",
+    id_col: str = "vid",
+    label_col: str = "label",
+    q_col: str = "q",
+    num_partitions: int = 4,
+    num_shards: int = 16,
+) -> "object":
+    """Quality-aware duplicate-cluster representative election — what a
+    production near-dedup actually keeps (the LONGEST / highest-quality
+    copy, not the smallest id): given cluster ``members`` (id, label)
+    and a ``quality`` table (id, q), keep per label the member with MAX
+    q, ties broken by MIN id. Returns (id_col, kept ∈ {0,1}).
+
+    Scale shape: ONE Acero join members⋈quality, winners via ONE
+    ``min_i64_by_key`` BSP on the packed priority
+    ``(2^31-1-q) << 31 | id`` (max-q argmin trick; requires 0 ≤ q, id
+    < 2^31 — raises otherwise), then ONE join back on label. No
+    groupby, no driver gather."""
+    import pyarrow.compute as pc
+
+    from ..util import compact_for_join, ensure_schema, min_i64_by_key
+
+    _LIM = np.int64(1) << 31
+
+    qd = quality.map_batches(
+        lambda t: pa.table(
+            {"qid": t.column(id_col).cast(pa.int64()), "qv": t.column(q_col).cast(pa.int64())}
+        )
+        if id_col in t.column_names
+        else pa.table({"qid": pa.array([], pa.int64()), "qv": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    j = compact_for_join(members, num_partitions).join(
+        compact_for_join(qd, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("qid",),
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or len(t) == 0:
+            return pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        vid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column("qv").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vid) and (vid.min() < 0 or vid.max() >= _LIM or q.min() < 0 or q.max() >= _LIM):
+            raise ValueError("keep_best_per_cluster needs 0 <= id, q < 2^31")
+        return pa.table({"k": pa.array(lab), "v": pa.array(((_LIM - 1 - q) << 31) | vid)})
+
+    best = min_i64_by_key(
+        j.map_batches(pack, batch_format="pyarrow"), "k", "v", num_shards=num_shards
+    ).map_batches(
+        lambda t: pa.table(
+            {"blab": t.column("k"), "winner": pc.bit_wise_and(t.column("v"), int(_LIM) - 1)}
+        )
+        if "k" in t.column_names
+        else pa.table({"blab": pa.array([], pa.int64()), "winner": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    j2 = compact_for_join(
+        members.map_batches(
+            ensure_schema({id_col: pa.int64(), label_col: pa.int64()}),
+            batch_format="pyarrow",
+        ),
+        num_partitions,
+    ).join(
+        compact_for_join(best, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(label_col,),
+        right_on=("blab",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names or len(t) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "kept": pa.array([], pa.int64())}
+            )
+        vid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("winner").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(vid), "kept": pa.array((vid == w).astype(np.int64))})
+
+    return j2.map_batches(fin, batch_format="pyarrow")

@@ -169,3 +169,34 @@ def test_cross_split_contamination_max_df():
     assert set(c) <= set(e)
     assert all(c[k] <= e[k] for k in c)
     assert sum(c.values()) < sum(e.values())
+
+
+def test_keep_best_per_cluster_brute():
+    """keep_best_per_cluster == argmax(q, tie min id) per cluster."""
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import keep_best_per_cluster
+
+    members = []
+    quality = []
+    want = {}
+    rng_q = [7, 3, 7, 1, 9, 9, 2]
+    for c in range(12):  # clusters of varied size incl. singletons
+        size = 1 + c % 4
+        ids = [100 * c + i for i in range(size)]
+        qs = [rng_q[(c + i) % len(rng_q)] for i in range(size)]
+        best = min(zip([-q for q in qs], ids))[1]
+        for i, q in zip(ids, qs):
+            members.append({"vid": i, "label": c})
+            quality.append({"vid": i, "q": q})
+            want[i] = 1 if i == best else 0
+
+    got = keep_best_per_cluster(
+        ray.data.from_items(members).repartition(3),
+        ray.data.from_items(quality).repartition(2),
+        num_shards=4,
+    ).take_all()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["kept"] == want[r["vid"]], r
