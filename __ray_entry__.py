@@ -3109,6 +3109,44 @@ def _x_sitemap_ingest(sf_dir):
     )
 
 
+def _r_topk_per_line(sf_dir):
+    """Grouped top-k (k=3 priciest line items per line number, exact
+    integer cents, full tie chain) through the per-shard candidate BSP
+    `util.grouped_topk_i64` — each block ships at most k rows per
+    group, never the row stream."""
+    import ray.data
+
+    from distributed_pagerank_ray.util import grouped_topk_i64
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_linenumber", "l_extendedprice", "l_orderkey", "l_partkey"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        if "l_linenumber" not in t.column_names or len(t) == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("g", "cents", "ok", "pk")}
+            )
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "g": t.column("l_linenumber").cast(pa.int64()),
+                "cents": pa.array(cents),
+                "ok": t.column("l_orderkey").cast(pa.int64()),
+                "pk": t.column("l_partkey").cast(pa.int64()),
+            }
+        )
+
+    res = grouped_topk_i64(
+        li.map_batches(prep, batch_format="pyarrow"), "g", "cents", ["ok", "pk"],
+        k=3, num_shards=8,
+    )
+    return res.sort(["g", "cents", "ok", "pk"], descending=[False, True, False, False])
+
+
 def _t_dedup_keep_best(sf_dir):
     """Quality-aware near-dedup: the SAME candidate-pairs → duplicate
     graph → distributed CC chain as t_near_dedup_keep, but the elected
@@ -5440,6 +5478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
+        "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7313,6 +7352,17 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # grouped top-k via QUALIFY; floor-cents money (bit-identical)
+        "r_topk_per_line": """
+WITH c AS (
+  SELECT l_linenumber AS g, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem
+)
+SELECT g, cents, ok, pk FROM c
+QUALIFY row_number() OVER (PARTITION BY g ORDER BY cents DESC, ok, pk) <= 3
+ORDER BY g, cents DESC, ok, pk
 """,
         # the keep-first CC oracle with the representative rule changed
         # to quality-argmax (max n_chars, tie min doc_id)

@@ -437,3 +437,77 @@ def topk_rows(ds, keys: "list[tuple[str, bool]]", k: int):
         return t.take(pa.array(_top_idx(t)))
 
     return ray.data.from_arrow_refs([merge.remote(*partials.to_arrow_refs())])
+
+
+def _topk_group_cut(g, k):
+    """Vectorized per-group head-k over PRE-SORTED arrays: rank within
+    run = arange - run_start; returns the keep mask."""
+    n = len(g)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    new = np.ones(n, dtype=bool)
+    new[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new)
+    run_id = np.cumsum(new) - 1
+    rank = np.arange(n) - starts[run_id]
+    return rank < k
+
+
+def grouped_topk_i64(ds, group_col: str, value_col: str, tie_cols: "list[str]", k: int, num_shards: int = 16):
+    """Top-k rows per group by (value desc, tie_cols asc) — the grouped
+    sibling of ``topk_rows``, as a per-shard BSP: each block contributes
+    at most k candidate rows per group (vectorized lexsort + run cut),
+    hash-routed by group to reducers that re-sort and cut k. All
+    columns must be int64; the exchange is O(groups × k × blocks),
+    never O(rows). Output columns (group_col, value_col, *tie_cols),
+    fully ordered (group asc, value desc, ties asc)."""
+    import ray
+    import ray.data
+
+    cols = [group_col, value_col, *tie_cols]
+    S = max(2, num_shards)
+
+    def _sort_cut(t: pa.Table):
+        g = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ties = [
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in tie_cols
+        ]
+        order = np.lexsort(tuple(reversed([g, -v, *ties])))
+        arrs = [a[order] for a in (g, v, *ties)]
+        keep = _topk_group_cut(arrs[0], k)
+        return [a[keep] for a in arrs]
+
+    def _block(t: pa.Table, S_: int):
+        if group_col not in t.column_names or len(t) == 0:
+            return [None] * S_
+        arrs = _sort_cut(t)
+        g = arrs[0]
+        with np.errstate(over="ignore"):
+            shard = ((g.astype(np.uint64) * _HASH_K) >> np.uint64(33)).astype(np.int64) % S_
+        order = np.argsort(shard, kind="stable")
+        arrs = [a[order] for a in arrs]
+        shard = shard[order]
+        out: list = [None] * S_
+        for s in np.unique(shard):
+            lo, hi = np.searchsorted(shard, [s, s + 1])
+            out[int(s)] = pa.table({c: pa.array(a[lo:hi]) for c, a in zip(cols, arrs)})
+        return out
+
+    gather = ray.remote(_block)
+    blocks = ds.materialize().to_arrow_refs()
+    empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+    @ray.remote
+    def reduce(*parts):
+        parts = [p for p in parts if p is not None and len(p) > 0]
+        if not parts:
+            return empty
+        t = pa.concat_tables(parts).combine_chunks()
+        arrs = _sort_cut(t)
+        return pa.table({c: pa.array(a) for c, a in zip(cols, arrs)})
+
+    gathers = [gather.options(num_returns=S).remote(b, S) for b in blocks]
+    colrefs = [list(c) for c in zip(*gathers)]
+    return ray.data.from_arrow_refs([reduce.remote(*colrefs[s]) for s in range(S)])

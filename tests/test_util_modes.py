@@ -150,3 +150,36 @@ def test_topk_rows_k_exceeds_rows():
     ds = ray.data.from_items([{"v": i, "id": i} for i in range(5)])
     got = topk_rows(ds, [("v", False), ("id", False)], 100).take_all()
     assert [r["v"] for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_grouped_topk_i64_brute():
+    """grouped_topk_i64 == per-group sort head-k with full tie chain,
+    incl. groups smaller than k and duplicate values."""
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.util import grouped_topk_i64
+
+    rows = []
+    for i in range(4000):
+        rows.append(
+            {"g": i % 7, "v": (i * i) % 50, "t1": i % 13, "t2": i}
+        )
+    rows.append({"g": 99, "v": 5, "t1": 0, "t2": 0})  # singleton group
+
+    def brute():
+        from collections import defaultdict
+
+        by = defaultdict(list)
+        for r in rows:
+            by[r["g"]].append((-r["v"], r["t1"], r["t2"]))
+        out = set()
+        for g, items in by.items():
+            for nv, t1, t2 in sorted(items)[:4]:
+                out.add((g, -nv, t1, t2))
+        return out
+
+    ds = ray.data.from_items(rows).repartition(6)
+    got = grouped_topk_i64(ds, "g", "v", ["t1", "t2"], k=4, num_shards=4).take_all()
+    got_set = {(r["g"], r["v"], r["t1"], r["t2"]) for r in got}
+    assert got_set == brute()
