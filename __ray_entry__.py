@@ -3495,6 +3495,44 @@ def _x_robots_filter(sf_dir):
     return robots_filter(urls, rules, num_shards=8).sort("url_id")
 
 
+def _x_crawl_delays(sf_dir):
+    """SQL-gated Crawl-delay extraction: per-host robots planted with
+    a decoy crawler-group delay, a bot-group fractional delay
+    (``h.k`` seconds — engine must float-parse and round to ms), a
+    '*'-fallback-only host class (doc hosts ≡ 0 mod 3 omit the bot
+    group), and one unparseable value to skip. Oracle is the
+    closed-form ms table."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.robots import crawl_delays
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        hosts, blobs = [], []
+        for d in t.column("doc_id").to_pylist():
+            parts = [
+                "User-agent: crawler\r\nCrawl-delay: 99\r\n\r\n",
+            ]
+            if d % 3 != 0:
+                parts.append(
+                    "user-agent: bot\r\nDisallow: /x\r\nCrawl-Delay: %d.%d\r\n\r\n"
+                    % (d % 10, d % 4)
+                )
+            parts.append("User-agent: *\r\nCrawl-delay: oops\r\nCrawl-delay: %d\r\n" % (d % 5))
+            hosts.append("h%d.test" % d)
+            blobs.append("".join(parts))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots": pa.array(blobs, pa.string()),
+            }
+        )
+
+    robots = docs.map_batches(synth, batch_format="pyarrow")
+    return crawl_delays(robots, agent="bot").sort("host")
+
+
 def _t_keyness(sf_dir):
     """Dunning G² keyness between two deterministic doc splits
     (double-MINSTD parity — the small-id-safe split hash). The G²
@@ -5479,6 +5517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
+        "x_crawl_delays": _x_crawl_delays,  # Crawl-delay politeness table, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7426,6 +7465,16 @@ FROM u ORDER BY url_id
         "x_robots_filter": """
 SELECT doc_id AS url_id, (doc_id % 5) IN (0, 2, 4) AS allowed
 FROM documents ORDER BY doc_id
+""",
+        # closed-form ms table for the planted Crawl-delay hazards
+        # (fractional bot delay d%10 + d%4/10 s; *-fallback d%5 s for
+        # hosts ≡ 0 mod 3 whose bot group is absent)
+        "x_crawl_delays": """
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.test' AS host,
+       CAST(CASE WHEN doc_id % 3 <> 0
+                 THEN (doc_id % 10) * 1000 + (doc_id % 4) * 100
+                 ELSE (doc_id % 5) * 1000 END AS BIGINT) AS delay_ms
+FROM documents ORDER BY host
 """,
         # Dunning G² keyness over the double-MINSTD doc split; the SQL
         # expression grouping mirrors the engine's exactly

@@ -230,3 +230,79 @@ def robots_filter(
         return pa.table({id_col: t.column("k"), "allowed": pa.array(allowed)})
 
     return best.map_batches(decide, batch_format="pyarrow")
+
+
+def parse_crawl_delays(blob: "bytes | str") -> list[tuple[str, float]]:
+    """(agent_lower, delay_seconds) per Crawl-delay directive, in file
+    order — the de-facto politeness extension (not in RFC 9309 but
+    honored by most crawlers). Same line/group hazards as
+    ``parse_robots_bytes``; unparseable values are skipped."""
+    if isinstance(blob, bytes):
+        text = blob.decode("utf-8", errors="replace")
+    else:
+        text = blob or ""
+    out: list[tuple[str, float]] = []
+    agents: list[str] = []
+    group_open = False
+    for raw in text.replace("\r\n", "\n").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not group_open:
+                agents = []
+                group_open = True
+            agents.append(value.lower())
+        else:
+            group_open = False
+            if field == "crawl-delay":
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                for a in agents:
+                    out.append((a, d))
+    return out
+
+
+def crawl_delays(
+    robots_ds: "ray.data.Dataset",
+    agent: str,
+    host_col: str = "host",
+    content_col: str = "robots",
+    default_ms: int = 0,
+) -> "ray.data.Dataset":
+    """(host, delay_ms) per host — the politeness schedule input: the
+    FIRST Crawl-delay of the agent-specific group class (exact token),
+    '*' class fallback, ``default_ms`` when absent. Milliseconds as
+    int64 (round(seconds·1000)) so the table joins/aggregates
+    exactly."""
+    agent_l = agent.lower()
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"host": pa.array([], pa.string()), "delay_ms": pa.array([], pa.int64())}
+        )
+        if host_col not in t.column_names or len(t) == 0:
+            return empty
+        hosts, delays = [], []
+        for host, blob in zip(
+            t.column(host_col).to_pylist(), t.column(content_col).to_pylist()
+        ):
+            ds_ = parse_crawl_delays(blob)
+            chosen = [d for a, d in ds_ if a == agent_l] or [
+                d for a, d in ds_ if a == "*"
+            ]
+            hosts.append(host)
+            delays.append(int(round(chosen[0] * 1000)) if chosen else int(default_ms))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "delay_ms": pa.array(delays, pa.int64()),
+            }
+        )
+
+    return robots_ds.map_batches(explode, batch_format="pyarrow")

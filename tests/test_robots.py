@@ -68,3 +68,26 @@ def test_filter_longest_match_and_anchors():
     for i, _, want in cases:
         assert got[i] is want or got[i] == want, (i, got[i], want)
     assert got[99] == True  # unknown host defaults to allow
+
+
+def test_crawl_delays():
+    from distributed_pagerank_ray.sources.robots import crawl_delays, parse_crawl_delays
+
+    blob = (
+        "User-agent: crawler\nCrawl-delay: 99\n\n"
+        "User-agent: bot\nUser-agent: spider\nDisallow: /x\nCrawl-Delay: 2.5\n\n"
+        "User-agent: *\nCrawl-delay: oops\nCrawl-delay: 7\n"
+    )
+    got = parse_crawl_delays(blob)
+    assert ("bot", 2.5) in got and ("spider", 2.5) in got and ("crawler", 99.0) in got
+    assert ("*", 7.0) in got
+    assert not any(isinstance(d, str) for _, d in got)
+
+    ds = ray.data.from_items(
+        [
+            {"host": "a.test", "robots": blob},
+            {"host": "b.test", "robots": "User-agent: *\nDisallow: /\n"},  # no delay
+        ]
+    )
+    rows = {r["host"]: r["delay_ms"] for r in crawl_delays(ds, "bot", default_ms=123).take_all()}
+    assert rows == {"a.test": 2500, "b.test": 123}
