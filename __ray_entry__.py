@@ -3495,6 +3495,37 @@ def _x_robots_filter(sf_dir):
     return robots_filter(urls, rules, num_shards=8).sort("url_id")
 
 
+def _t_sentence_stats(sf_dir):
+    """Sentence segmentation stats over punctuation-planted text (the
+    corpus may carry no terminators, so the gate appends
+    ' s{id}. t{id}! ' with the identical expression in the oracle —
+    the planting recipe): non-blank trimmed segments between [.!?]+
+    runs, counts + chars + one terminal 6dp division."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import sentence_stats_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id").cast(pa.string())
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""), " s", ids, ". t", ids, "! ", ""
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": planted})
+
+    return (
+        docs.map_batches(plant, batch_format="pyarrow")
+        .map_batches(lambda t: sentence_stats_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_sentences", "sent_chars", "avg_chars"])
+        .sort("doc_id")
+    )
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -5518,6 +5549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
         "x_crawl_delays": _x_crawl_delays,  # Crawl-delay politeness table, SQL-gated (r5 new)
+        "t_sentence_stats": _t_sentence_stats,  # sentence segmentation stats, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7465,6 +7497,25 @@ FROM u ORDER BY url_id
         "x_robots_filter": """
 SELECT doc_id AS url_id, (doc_id % 5) IN (0, 2, 4) AS allowed
 FROM documents ORDER BY doc_id
+""",
+        # punctuation-planted sentence segmentation (same plant
+        # expression; trim class pinned to \s)
+        "t_sentence_stats": """
+WITH planted AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' s' || CAST(doc_id AS VARCHAR) || '. t'
+           || CAST(doc_id AS VARCHAR) || '! ' AS text
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, regexp_replace(u.s, '^\\s+|\\s+$', '', 'g') AS s
+  FROM planted, UNNEST(regexp_split_to_array(text, '[.!?]+')) AS u(s)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN length(s) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sentences,
+       CAST(SUM(length(s)) AS BIGINT) AS sent_chars,
+       round(SUM(length(s)) * 1.0 / SUM(CASE WHEN length(s) > 0 THEN 1 ELSE 0 END), 6) AS avg_chars
+FROM segs GROUP BY doc_id ORDER BY doc_id
 """,
         # closed-form ms table for the planted Crawl-delay hazards
         # (fractional bot delay d%10 + d%4/10 s; *-fallback d%5 s for

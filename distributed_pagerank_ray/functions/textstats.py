@@ -1771,3 +1771,29 @@ def keyness_g2(
         )
 
     return merged.map_batches(score, batch_format="pyarrow").sort("word")
+
+
+def sentence_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc sentence segmentation stats — the unit the
+    sentence-level dedup / packing / readability passes need:
+    sentences = non-blank RE2-\\s-trimmed segments between ``[.!?]+``
+    runs. Appends (n_sentences, sent_chars, avg_chars) where avg =
+    round(sent_chars·1.0/n, 6) — the single terminal division, grouping
+    matched by the SQL oracle. Fully vectorized (one split kernel, one
+    trim, two bincounts over ListArray offsets)."""
+    text = pc.fill_null(batch.column(text_col), "")
+    parts = pc.split_pattern_regex(text, pattern=r"[.!?]+").combine_chunks()
+    offsets = parts.offsets.to_numpy(zero_copy_only=False)
+    flat = pc.utf8_trim(parts.flatten(), characters=RE2_WS)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ix = np.repeat(np.arange(len(batch)), np.diff(offsets))
+    nb = lens > 0
+    n_sent = np.bincount(doc_ix[nb], minlength=len(batch)).astype(np.int64)
+    chars = np.bincount(doc_ix, weights=lens.astype(np.float64), minlength=len(batch)).astype(
+        np.int64
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg = np.where(n_sent > 0, np.round(chars * 1.0 / n_sent, 6), 0.0)
+    out = batch.append_column("n_sentences", pa.array(n_sent))
+    out = out.append_column("sent_chars", pa.array(chars))
+    return out.append_column("avg_chars", pa.array(avg))

@@ -391,3 +391,29 @@ def test_keyness_g2_brute_force():
     for r in got:
         assert (r["na"], r["nb"]) == (ca[r["word"]], cb[r["word"]])
         np.testing.assert_allclose(r["g2"], g2(r["word"]), atol=1e-9)
+
+
+def test_sentence_stats_brute():
+    import numpy as np
+    import pyarrow as pa
+    import re
+
+    from distributed_pagerank_ray.functions.textstats import sentence_stats_batch
+
+    texts = [
+        "One. Two! Three?",
+        "no terminator here",
+        "",
+        "  pad . . !! x? ",
+        "a.b.c",
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    out = sentence_stats_batch(t)
+    for i, txt in enumerate(texts):
+        segs = [s.strip("\t\n\f\r ") for s in re.split(r"[.!?]+", txt)]
+        nb = [s for s in segs if s]
+        assert out.column("n_sentences")[i].as_py() == len(nb)
+        assert out.column("sent_chars")[i].as_py() == sum(len(s) for s in nb)
+        if nb:
+            want = round(sum(len(s) for s in nb) * 1.0 / len(nb), 6)
+            np.testing.assert_allclose(out.column("avg_chars")[i].as_py(), want)
