@@ -3526,6 +3526,35 @@ def _t_sentence_stats(sf_dir):
     )
 
 
+def _t_readability(sf_dir):
+    """Flesch reading-ease over the punctuation-planted text (same
+    plant as t_sentence_stats, so W ≥ 2 and S ≥ 2 always); e0 double
+    literals + matched ratio grouping keep the 6dp hash exact."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import readability_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id").cast(pa.string())
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""), " s", ids, ". t", ids, "! ", ""
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": planted})
+
+    return (
+        docs.map_batches(plant, batch_format="pyarrow")
+        .map_batches(lambda t: readability_batch(t), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_sentences", "syll_runs", "flesch"])
+        .sort("doc_id")
+    )
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -5550,6 +5579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
         "x_crawl_delays": _x_crawl_delays,  # Crawl-delay politeness table, SQL-gated (r5 new)
         "t_sentence_stats": _t_sentence_stats,  # sentence segmentation stats, SQL-gated (r5 new)
+        "t_readability": _t_readability,  # Flesch reading-ease, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7516,6 +7546,33 @@ SELECT doc_id,
        CAST(SUM(length(s)) AS BIGINT) AS sent_chars,
        round(SUM(length(s)) * 1.0 / SUM(CASE WHEN length(s) > 0 THEN 1 ELSE 0 END), 6) AS avg_chars
 FROM segs GROUP BY doc_id ORDER BY doc_id
+""",
+        # Flesch reading-ease over the same punctuation plant; e0
+        # double literals, matched ratio grouping
+        "t_readability": """
+WITH planted AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' s' || CAST(doc_id AS VARCHAR) || '. t'
+           || CAST(doc_id AS VARCHAR) || '! ' AS text
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, regexp_replace(u.s, '^\\s+|\\s+$', '', 'g') AS s
+  FROM planted, UNNEST(regexp_split_to_array(text, '[.!?]+')) AS u(s)
+),
+sc AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN length(s) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s_cnt
+  FROM segs GROUP BY doc_id
+),
+ws AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+  FROM planted
+)
+SELECT ws.doc_id, w AS n_tokens, s_cnt AS n_sentences, y AS syll_runs,
+       round(206.835e0 - 1.015e0 * (w * 1.0 / s_cnt) - 84.6e0 * (y * 1.0 / w), 6) AS flesch
+FROM ws JOIN sc ON sc.doc_id = ws.doc_id ORDER BY ws.doc_id
 """,
         # closed-form ms table for the planted Crawl-delay hazards
         # (fractional bot delay d%10 + d%4/10 s; *-fallback d%5 s for

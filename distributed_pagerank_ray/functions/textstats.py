@@ -1797,3 +1797,27 @@ def sentence_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.append_column("n_sentences", pa.array(n_sent))
     out = out.append_column("sent_chars", pa.array(chars))
     return out.append_column("avg_chars", pa.array(avg))
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch reading-ease per doc — the standard readability quality
+    signal, with the vowel-run syllable heuristic (syllables ≈ maximal
+    ``[aeiouyAEIOUY]+`` runs): flesch = 206.835 − 1.015·(W/S) −
+    84.6·(Y/W) over W tokens (pinned RE2-\\s), S sentences (non-blank
+    trimmed ``[.!?]+`` segments) and Y vowel runs. Rounded 6dp; the
+    expression structure (each ratio as x·1.0/y, left-assoc
+    subtraction, e0 double literals in the oracle) matches the SQL twin
+    bit-for-bit. Docs with W = 0 or S = 0 get flesch = 0.0 (callers
+    planting pads guarantee both ≥ 1)."""
+    out = token_count_batch(batch, text_col)
+    out = sentence_stats_batch(out, text_col)
+    text = pc.fill_null(batch.column(text_col), "")
+    y = pc.count_substring_regex(text, pattern="[aeiouyAEIOUY]+").cast(pa.int64())
+    out = out.append_column("syll_runs", y)
+    w = out.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = out.column("n_sentences").to_numpy(zero_copy_only=False).astype(np.int64)
+    yv = y.to_numpy(zero_copy_only=False).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fl = 206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (yv * 1.0 / w)
+    fl = np.where((w > 0) & (s > 0), np.round(fl, 6), 0.0)
+    return out.append_column("flesch", pa.array(fl))

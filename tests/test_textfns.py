@@ -417,3 +417,24 @@ def test_sentence_stats_brute():
         if nb:
             want = round(sum(len(s) for s in nb) * 1.0 / len(nb), 6)
             np.testing.assert_allclose(out.column("avg_chars")[i].as_py(), want)
+
+
+def test_readability_brute():
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.functions.textstats import readability_batch
+
+    texts = ["The cat sat. On a mat!", "aeiou ouy xyz. q!"]
+    out = readability_batch(pa.table({"text": pa.array(texts)}))
+    for i, txt in enumerate(texts):
+        w = len([x for x in re.split(r"[\t\n\f\r ]+", txt.strip("\t\n\f\r ")) if x])
+        s = len([x for x in re.split(r"[.!?]+", txt) if x.strip("\t\n\f\r ")])
+        y = len(re.findall(r"[aeiouyAEIOUY]+", txt))
+        want = round(206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (y * 1.0 / w), 6)
+        assert out.column("n_tokens")[i].as_py() == w
+        assert out.column("n_sentences")[i].as_py() == s
+        assert out.column("syll_runs")[i].as_py() == y
+        np.testing.assert_allclose(out.column("flesch")[i].as_py(), want)
