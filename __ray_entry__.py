@@ -3526,6 +3526,21 @@ def _t_sentence_stats(sf_dir):
     )
 
 
+def _t_stopword_ratio(sf_dir):
+    """Corpus-derived stopword density per doc: stopwords = the exact
+    top-10 words (count desc, word asc — the heavy-hitters path),
+    broadcast as sorted hashes; the oracle recomputes the same top-10
+    with QUALIFY and the ratio with matched grouping."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import stopword_ratio
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return stopword_ratio(docs, k=10, num_shards=8).sort("doc_id")
+
+
 def _t_readability(sf_dir):
     """Flesch reading-ease over the punctuation-planted text (same
     plant as t_sentence_stats, so W ≥ 2 and S ≥ 2 always); e0 double
@@ -5580,6 +5595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_crawl_delays": _x_crawl_delays,  # Crawl-delay politeness table, SQL-gated (r5 new)
         "t_sentence_stats": _t_sentence_stats,  # sentence segmentation stats, SQL-gated (r5 new)
         "t_readability": _t_readability,  # Flesch reading-ease, SQL-gated (r5 new)
+        "t_stopword_ratio": _t_stopword_ratio,  # corpus-top-10 stopword density, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7546,6 +7562,32 @@ SELECT doc_id,
        CAST(SUM(length(s)) AS BIGINT) AS sent_chars,
        round(SUM(length(s)) * 1.0 / SUM(CASE WHEN length(s) > 0 THEN 1 ELSE 0 END), 6) AS avg_chars
 FROM segs GROUP BY doc_id ORDER BY doc_id
+""",
+        # stopwords = exact corpus top-10 (count desc, word asc);
+        # per-doc density with matched ratio grouping
+        "t_stopword_ratio": """
+WITH toks AS (
+  SELECT doc_id, u.w AS w
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS arr
+    FROM documents
+    WHERE length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+  ), UNNEST(arr) AS u(w)
+),
+cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+sw AS (SELECT w FROM cnt QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 10),
+per AS (
+  SELECT t.doc_id,
+         count(*) AS nt,
+         CAST(SUM(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns
+  FROM toks t LEFT JOIN sw s ON s.w = t.w GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.nt, 0) AS n_tokens,
+       COALESCE(p.ns, 0) AS n_stop,
+       CASE WHEN COALESCE(p.nt, 0) > 0 THEN round(p.ns * 1.0 / p.nt, 6) ELSE 0.0 END AS stop_ratio
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id
 """,
         # Flesch reading-ease over the same punctuation plant; e0
         # double literals, matched ratio grouping

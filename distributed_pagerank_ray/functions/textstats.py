@@ -1821,3 +1821,65 @@ def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         fl = 206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (yv * 1.0 / w)
     fl = np.where((w > 0) & (s > 0), np.round(fl, 6), 0.0)
     return out.append_column("flesch", pa.array(fl))
+
+
+def stopword_ratio(
+    docs: "object", k: int = 10, text_col: str = "text", id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> "object":
+    """Corpus-derived stopword-density quality signal (the Gopher-style
+    filter): stopwords = the corpus's own top-k words (ties → word
+    asc, from `top_k_words`' exact heavy-hitters path), then per doc
+    (n_tokens, n_stop, stop_ratio = round(n_stop·1.0/n_tokens, 6); 0.0
+    for blank docs). The stopword set is k sorted hashes BROADCAST via
+    ray.put — membership is one vectorized searchsorted per batch,
+    never a join against the token stream."""
+    import ray
+
+    from .dedup import hash_str_array
+
+    top = top_k_words(docs, k=k, cms_w=1 << 12, cms_d=2)
+    words = top.column("word").to_pylist()
+    sw = np.sort(hash_str_array(np.array(words, dtype=object)).view(np.int64))
+    sw_ref = ray.put(sw)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_stop": pa.array([], pa.int64()),
+                "stop_ratio": pa.array([], pa.float64()),
+            }
+        )
+        if text_col not in t.column_names or len(t) == 0:
+            return empty
+        sw_local = ray.get(sw_ref)
+        trimmed = pc.utf8_trim(pc.fill_null(t.column(text_col), ""), characters=RE2_WS)
+        parts = pc.split_pattern_regex(trimmed, pattern=r"\s+").combine_chunks()
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        toks = parts.flatten().to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(t)), np.diff(offsets))
+        keep = toks != ""
+        toks, doc_ix = toks[keep], doc_ix[keep]
+        nt = np.bincount(doc_ix, minlength=len(t)).astype(np.int64)
+        if len(toks) and len(sw_local):
+            h = hash_str_array(toks.astype(object)).view(np.int64)
+            pos = np.searchsorted(sw_local, h)
+            pos[pos >= len(sw_local)] = len(sw_local) - 1
+            isin = sw_local[pos] == h
+            ns = np.bincount(doc_ix[isin], minlength=len(t)).astype(np.int64)
+        else:
+            ns = np.zeros(len(t), dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(nt > 0, np.round(ns * 1.0 / nt, 6), 0.0)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pa.array(nt),
+                "n_stop": pa.array(ns),
+                "stop_ratio": pa.array(ratio),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")

@@ -438,3 +438,34 @@ def test_readability_brute():
         assert out.column("n_sentences")[i].as_py() == s
         assert out.column("syll_runs")[i].as_py() == y
         np.testing.assert_allclose(out.column("flesch")[i].as_py(), want)
+
+
+def test_stopword_ratio_brute():
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import _re2_word_split
+    from distributed_pagerank_ray.functions.textstats import stopword_ratio
+
+    texts = [
+        "the cat and the dog and the bird",
+        "a cat a dog a fish",
+        "",
+        "the the the unique",
+        "zz yy xx",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    cnt = Counter(w for t in texts for w in _re2_word_split(t))
+    top = sorted(cnt, key=lambda w: (-cnt[w], w))[:3]
+
+    ds = ray.data.from_items(rows).repartition(2)
+    got = {r["doc_id"]: r for r in stopword_ratio(ds, k=3, num_shards=4).take_all()}
+    for i, t in enumerate(texts):
+        toks = _re2_word_split(t)
+        ns = sum(1 for w in toks if w in top)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_stop"] == ns
+        want = round(ns * 1.0 / len(toks), 6) if toks else 0.0
+        np.testing.assert_allclose(got[i]["stop_ratio"], want)
