@@ -221,6 +221,11 @@ def run_bench() -> dict:
         "x_sitemap_ingest",
         "x_frontier_prep",
         "r_zorder_key",
+        "r_topk_per_line",
+        "t_sentence_stats",
+        "t_readability",
+        "t_stopword_ratio",
+        "x_crawl_delays",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
