@@ -3570,6 +3570,15 @@ def _t_readability(sf_dir):
     )
 
 
+def _r_events_streaks(sf_dir):
+    """Gaps-and-islands activity streaks (pipelines/relational.py
+    events_streaks): all-int64 output, date_diff('second') boundary
+    gap semantics, SQL islands idiom as the oracle."""
+    from distributed_pagerank_ray.pipelines.relational import events_streaks
+
+    return events_streaks(sf_dir)
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -5596,6 +5605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_sentence_stats": _t_sentence_stats,  # sentence segmentation stats, SQL-gated (r5 new)
         "t_readability": _t_readability,  # Flesch reading-ease, SQL-gated (r5 new)
         "t_stopword_ratio": _t_stopword_ratio,  # corpus-top-10 stopword density, SQL-gated (r5 new)
+        "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7469,6 +7479,30 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # gaps-and-islands: LAG break flags + windowed SUM island ids;
+        # gap compare is date_diff('second') (floor-boundary, matches
+        # the engine's us//1e6 diff), outputs all exact int64
+        "r_events_streaks": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 900
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS isl
+  FROM o
+), s AS (
+  SELECT user_id, isl, count(*) AS len,
+         date_diff('second', min(ts), max(ts)) AS dur
+  FROM i GROUP BY user_id, isl
+)
+SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_len,
+       CAST(max(dur) AS BIGINT) AS max_dur_s
+FROM s GROUP BY user_id
 """,
         # grouped top-k via QUALIFY; floor-cents money (bit-identical)
         "r_topk_per_line": """

@@ -2477,6 +2477,97 @@ def events_moving_avg(sf_dir: str, num_buckets: "int | None" = None) -> "ray.dat
     )
 
 
+def events_streaks(
+    sf_dir: str, gap_seconds: int = 900, num_buckets: "int | None" = None
+) -> "ray.data.Dataset":
+    """Gaps-and-islands: per-user activity streaks. An island is a
+    maximal run of a user's events (ordered by ts, event_id) where
+    each event follows the previous one within ``gap_seconds`` whole
+    seconds (``date_diff('second')`` boundary semantics — floor(b) −
+    floor(a), never exact interval compare). Output per user:
+    ``n_islands``, ``max_len`` (longest streak in events) and
+    ``max_dur_s`` (longest streak's first→last whole-second span) —
+    the classic SQL islands idiom (LAG break flags + windowed SUM)
+    re-expressed without per-user window functions.
+
+    All outputs are exact int64 — no float anywhere (the gate's
+    exact-hash posture is free).
+
+    Scale shape: the hash-bucketed ordered plan (events_sessions) —
+    ~``num_buckets`` coarse pandas groups; per bucket one stable sort
+    by (user_id, ts, event_id), a shifted diff for break flags, then
+    island stats via reduceat over island-start offsets and per-user
+    maxima via reduceat over user-start offsets. No per-user
+    map_groups, no window shuffle."""
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    num_buckets = _derived_buckets(ds, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+            }
+        )
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        sec = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) // 1_000_000
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], dtype=np.int64),
+                    "n_islands": np.array([], dtype=np.int64),
+                    "max_len": np.array([], dtype=np.int64),
+                    "max_dur_s": np.array([], dtype=np.int64),
+                }
+            )
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | ((sec[1:] - sec[:-1]) > gap_seconds)
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n))
+        isl_user = uid[starts]
+        isl_dur = sec[starts + lens - 1] - sec[starts]
+        # fold islands per user (islands of one user are contiguous)
+        unew = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            unew[1:] = isl_user[1:] != isl_user[:-1]
+        ustarts = np.flatnonzero(unew)
+        return pd.DataFrame(
+            {
+                "user_id": isl_user[ustarts],
+                "n_islands": np.diff(np.append(ustarts, len(starts))).astype(np.int64),
+                "max_len": np.maximum.reduceat(lens, ustarts).astype(np.int64),
+                "max_dur_s": np.maximum.reduceat(isl_dur, ustarts).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(streaks, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {
+                    "user_id": _I64,
+                    "n_islands": _I64,
+                    "max_len": _I64,
+                    "max_dur_s": _I64,
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def time_weighted_value(sf_dir: str, num_buckets: "int | None" = None) -> "ray.data.Dataset":
     """Time-weighted average value per user — each event's value is
     weighted by its DWELL (whole seconds until the user's next event,

@@ -54,3 +54,40 @@ def test_time_weighted_bucket_invariance(ray_session):
         time_weighted_value(SF).to_pandas(),
         time_weighted_value(SF, num_buckets=257).to_pandas(),
     )
+
+
+def test_streaks_bucket_invariance(ray_session):
+    from distributed_pagerank_ray.pipelines.relational import events_streaks
+
+    _cmp(events_streaks(SF).to_pandas(), events_streaks(SF, num_buckets=257).to_pandas())
+
+
+def test_streaks_brute_force(ray_session):
+    """Per-user islands vs a plain python reference on the sf0.001
+    events table (gap compare on whole-second floors, not exact µs)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from distributed_pagerank_ray.pipelines.relational import events_streaks
+
+    t = pq.read_table(SF + "/events.parquet", columns=["event_id", "user_id", "ts"])
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want: dict[int, list[int]] = {}
+    for uid, g in df.groupby("user_id"):
+        secs = (g["ts"].to_numpy("datetime64[us]").astype(np.int64) // 1_000_000).tolist()
+        islands: list[list[int]] = [[secs[0]]]
+        for prev, cur in zip(secs, secs[1:]):
+            if cur - prev > 900:
+                islands.append([cur])
+            else:
+                islands[-1].append(cur)
+        want[int(uid)] = [
+            len(islands),
+            max(len(i) for i in islands),
+            max(i[-1] - i[0] for i in islands),
+        ]
+    got = events_streaks(SF).to_pandas().set_index("user_id")
+    assert len(got) == len(want)
+    for uid, (ni, ml, md) in want.items():
+        row = got.loc[uid]
+        assert (row["n_islands"], row["max_len"], row["max_dur_s"]) == (ni, ml, md)
