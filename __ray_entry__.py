@@ -531,6 +531,89 @@ def _g_ppr3(sf_dir):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def _g_trustrank_mass(sf_dir):
+    """TrustRank + spam mass (Gyongyi et al. 2004): two 3-iteration
+    PageRank runs over the SAME minted graph — uniform E, and E
+    concentrated on a trusted seed set (part vertices with key % 7 ==
+    0) — then per-vertex spam mass (pr − tr)/pr from the two
+    normalized rank vectors (≤ 1 everywhere; NEGATIVE on trusted
+    seeds, where tr > pr by construction). Exercises the
+    multi-run-same-graph surface (fresh run dirs per config so
+    checkpoint fingerprints can't collide) and a two-rank join.
+
+    Float-parity posture: both ranks keep the g_pagerank3 oracle's
+    expression structure (r / SUM(r), unrolled contributions), and the
+    mass division (pr − tr)/pr is grouped identically in SQL. The
+    seed e-vector is a dense driver-side array by PageRankConfig API
+    contract (same as g_ppr3_parts) — the gather is the seed-id list
+    only."""
+    from distributed_pagerank_ray.config import PageRankConfig
+    from distributed_pagerank_ray.pipelines.pagerank import pagerank
+    from distributed_pagerank_ray.pipelines.relational import ORDER_BASE
+    from distributed_pagerank_ray.util import compact_for_join, ensure_schema
+
+    edges = _g_edges(sf_dir)
+    gu = _gate_graph(sf_dir, "lineitem", edges, "trm_u")
+    gt = _gate_graph(sf_dir, "lineitem", edges, "trm_t")
+
+    def seed_ids(t: pa.Table) -> pa.Table:
+        k = t.column("key").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = t.column("id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (k < ORDER_BASE) & (k % 7 == 0)
+        return pa.table({"id": pa.array(i[m], pa.int64())})
+
+    sids = (
+        gu.vertex_map()
+        .map_batches(seed_ids, batch_format="pyarrow")
+        .to_pandas()["id"]
+        .to_numpy(dtype=np.int64)
+    )
+    ev = np.zeros(gu.n)
+    ev[sids] = 1.0 / len(sids)
+    res_u = pagerank(gu, PageRankConfig(threshold=0.0, max_iters=3))
+    res_t = pagerank(gt, PageRankConfig(threshold=0.0, max_iters=3, e_vector=ev))
+
+    rt = res_t.ranks().map_batches(
+        lambda t: pa.table({"id_t": t.column("id"), "rank_t": t.column("rank")}),
+        batch_format="pyarrow",
+    )
+    j1 = compact_for_join(res_u.ranks(), 4).join(
+        compact_for_join(rt, 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id_t",),
+    )
+    j1 = j1.map_batches(
+        ensure_schema({"id": pa.int64(), "rank": pa.float64(), "rank_t": pa.float64()}),
+        batch_format="pyarrow",
+    )
+    j2 = compact_for_join(j1, 4).join(
+        compact_for_join(gu.vertex_map(), 4), join_type="inner", num_partitions=4,
+        on=("id",), right_on=("id",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:
+            return pa.table(
+                {
+                    "vertex": pa.array([], pa.int64()),
+                    "pr": pa.array([], pa.float64()),
+                    "tr": pa.array([], pa.float64()),
+                    "spam_mass": pa.array([], pa.float64()),
+                }
+            )
+        pr = t.column("rank").to_numpy(zero_copy_only=False)
+        tr = t.column("rank_t").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vertex": t.column("key"),
+                "pr": pa.array(np.round(pr, 6)),
+                "tr": pa.array(np.round(tr, 6)),
+                "spam_mass": pa.array(np.round((pr - tr) / pr, 6)),
+            }
+        )
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
 def _r_events_sessions(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import events_sessions
 
@@ -5606,6 +5689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_readability": _t_readability,  # Flesch reading-ease, SQL-gated (r5 new)
         "t_stopword_ratio": _t_stopword_ratio,  # corpus-top-10 stopword density, SQL-gated (r5 new)
         "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
+        "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7479,6 +7563,71 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # TrustRank spam mass: TWO unrolled 3-iter pyramids sharing
+        # edges/verts/outdeg (uniform E and the %7-part seed E), each
+        # normalized r/(SUM r) exactly like the engine, then the mass
+        # division (pr - tr)/pr with identical grouping
+        "g_trustrank_mass": """
+WITH edges AS (SELECT DISTINCT l_orderkey + 10000000 AS src, l_partkey AS dst FROM lineitem),
+verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM verts),
+ns AS (SELECT count(*) AS n FROM verts WHERE v < 10000000 AND v % 7 = 0),
+ev AS (SELECT v, CASE WHEN v < 10000000 AND v % 7 = 0
+                      THEN 1.0 / (SELECT n FROM ns) ELSE 0 END AS e FROM verts),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+u1 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(r0.r / outdeg.d) AS contrib
+    FROM edges e JOIN r0 ON r0.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+u2 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(u1.r / outdeg.d) AS contrib
+    FROM edges e JOIN u1 ON u1.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+u3 AS (
+  SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, sum(u2.r / outdeg.d) AS contrib
+    FROM edges e JOIN u2 ON u2.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+t1 AS (
+  SELECT verts.v, 0.15 * ev.e + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts JOIN ev ON ev.v = verts.v LEFT JOIN (
+    SELECT e.dst AS v, sum(r0.r / outdeg.d) AS contrib
+    FROM edges e JOIN r0 ON r0.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+t2 AS (
+  SELECT verts.v, 0.15 * ev.e + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts JOIN ev ON ev.v = verts.v LEFT JOIN (
+    SELECT e.dst AS v, sum(t1.r / outdeg.d) AS contrib
+    FROM edges e JOIN t1 ON t1.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+t3 AS (
+  SELECT verts.v, 0.15 * ev.e + 0.85 * COALESCE(s.contrib, 0) AS r
+  FROM verts JOIN ev ON ev.v = verts.v LEFT JOIN (
+    SELECT e.dst AS v, sum(t2.r / outdeg.d) AS contrib
+    FROM edges e JOIN t2 ON t2.v = e.src JOIN outdeg ON outdeg.src = e.src
+    GROUP BY e.dst) s ON s.v = verts.v
+),
+fin AS (
+  SELECT u3.v,
+         u3.r / (SELECT sum(r) FROM u3) AS un,
+         t3.r / (SELECT sum(r) FROM t3) AS tn
+  FROM u3 JOIN t3 ON t3.v = u3.v
+)
+SELECT v AS vertex, round(un, 6) AS pr, round(tn, 6) AS tr,
+       round((un - tn) / un, 6) AS spam_mass
+FROM fin
 """,
         # gaps-and-islands: LAG break flags + windowed SUM island ids;
         # gap compare is date_diff('second') (floor-boundary, matches

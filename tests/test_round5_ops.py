@@ -507,3 +507,28 @@ def test_skyline_mask_brute_force_and_block_invariance():
     merged = set(zip(mp[_skyline_mask(mp, ms)], ms[_skyline_mask(mp, ms)]))
     direct = set(zip(price[keep], size[keep]))
     assert merged == direct
+
+
+def test_trustrank_mass_structure(ray_session):
+    """Structural invariants on the bipartite gate graph: order
+    vertices (pure sources, never reached from the part seed set) have
+    tr == 0 → spam_mass == 1 exactly; seeded parts carry trust (mass
+    < 1); mass is within [0, 1] for every vertex; and the two rank
+    columns each sum to ~1."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    from distributed_pagerank_ray.pipelines.relational import ORDER_BASE
+
+    df = entry.queries()["g_trustrank_mass"]("/root/testdata/sf0.001").to_pandas()
+    assert abs(df["pr"].sum() - 1.0) < 1e-3 and abs(df["tr"].sum() - 1.0) < 1e-3
+    orders = df[df["vertex"] >= ORDER_BASE]
+    assert len(orders) and (orders["tr"] == 0).all() and (orders["spam_mass"] == 1).all()
+    seeded = df[(df["vertex"] < ORDER_BASE) & (df["vertex"] % 7 == 0)]
+    assert len(seeded) and (seeded["tr"] > 0).all() and (seeded["spam_mass"] < 1).all()
+    # mass <= 1 everywhere; trusted seeds may go NEGATIVE (tr > pr is
+    # the point of the seed set), so no lower bound
+    assert (df["spam_mass"] <= 1).all()
+    assert (seeded["spam_mass"] < 0).any()
