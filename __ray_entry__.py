@@ -3653,6 +3653,21 @@ def _t_readability(sf_dir):
     )
 
 
+def _t_bigram_fluency(sf_dir):
+    """Corpus-frequency fluency scoring (functions/dedup.py
+    bigram_fluency): the integer-exact n-gram-LM-perplexity stand-in;
+    oracle recomputes bigram tf and per-doc sums over the same
+    RE2-trim positional grams as t_dup_spans."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import bigram_fluency
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_fluency(docs)
+
+
 def _r_events_streaks(sf_dir):
     """Gaps-and-islands activity streaks (pipelines/relational.py
     events_streaks): all-int64 output, date_diff('second') boundary
@@ -5690,6 +5705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_stopword_ratio": _t_stopword_ratio,  # corpus-top-10 stopword density, SQL-gated (r5 new)
         "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
+        "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7563,6 +7579,28 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # integer-exact LM-fluency: bigram tf over the t_dup_spans
+        # positional-gram CTE (k=2); the terminal division is the only
+        # float op on both sides
+        "t_bigram_fluency": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+') AS arr
+  FROM documents WHERE length({_SQL_TRIM.format(col='text')}) > 0
+),
+pos_grams AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+  FROM toks, UNNEST(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+tf AS (SELECT g, count(*) AS tf FROM pos_grams GROUP BY g)
+SELECT p.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(f.tf) AS BIGINT) AS sum_tf,
+       CAST(sum(CASE WHEN f.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(sum(f.tf) * 1.0 / count(*), 6) AS fluency
+FROM pos_grams p JOIN tf f ON f.g = p.g
+GROUP BY p.doc_id
 """,
         # TrustRank spam mass: TWO unrolled 3-iter pyramids sharing
         # edges/verts/outdeg (uniform E and the %7-part seed E), each

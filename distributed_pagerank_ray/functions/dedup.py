@@ -883,6 +883,115 @@ def dup_span_stats(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def bigram_fluency(
+    docs: "ray.data.Dataset",
+    num_shards: int = 16,
+    join_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Corpus-frequency fluency scoring — the integer-exact stand-in
+    for an n-gram-LM perplexity filter (CCNet's quality gate without
+    the float log-prob parity hazard): per document, over its word
+    BIGRAM positions, sum the corpus-wide occurrence count of each
+    position's bigram. Common phrasing scores high; text whose bigrams
+    appear nowhere else scores low. Output per doc (>= 2 words; short
+    docs absent, mirroring ``dup_span_stats``):
+
+      n_bigrams — bigram positions in the doc,
+      sum_tf    — Σ over positions of the bigram's corpus frequency,
+      n_hapax   — positions whose bigram occurs exactly ONCE corpus-wide
+                  (necessarily in this doc; the OOV-rate analogue),
+      fluency   — round(sum_tf / n_bigrams, 6), the ONLY float op.
+
+    Shape (the ``dup_span_stats`` plan with tf instead of df):
+      1. one pass emits per-doc distinct bigram hashes + position
+         counts (``_gram_pos_rows``, k=2 — Horner combine, no per-gram
+         Python);
+      2. corpus tf per gram = weighted ``count_i64_keys``;
+      3. ONE Acero join tags each (doc, gram) row with its tf (every
+         row matches — the tf table is built from these rows);
+      4. one multi-counter BSP (``sum_i64_keys_with_payload`` with a
+         weight-col list) folds the three per-doc counters in a single
+         exchange.
+    All counters are exact int64 end-to-end; the terminal division is
+    the repo's float-parity rule."""
+    from ..util import count_i64_keys, sum_i64_keys_with_payload
+
+    def rows_fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return _gram_pos_rows([], np.zeros(0, dtype=np.int64), 2)
+        return _gram_pos_rows(
+            t.column("text").to_pylist(),
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            2,
+        )
+
+    rows = docs.map_batches(rows_fn, batch_format="pyarrow").materialize()
+    tf_tbl = count_i64_keys(
+        rows, "gram", num_shards=num_shards, count_col="tf", weight_col="pos_cnt"
+    )
+    tagged = compact_for_join(rows, join_partitions).join(
+        compact_for_join(
+            tf_tbl.map_batches(
+                ensure_schema({"gram": _I64, "tf": _I64}), batch_format="pyarrow"
+            ),
+            join_partitions,
+        ),
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("gram",),
+    )
+
+    def counters(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], _I64),
+                    "n_bigrams": pa.array([], _I64),
+                    "sum_tf": pa.array([], _I64),
+                    "n_hapax": pa.array([], _I64),
+                }
+            )
+        pos = t.column("pos_cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(_I64),
+                "n_bigrams": pa.array(pos),
+                "sum_tf": pa.array(pos * tf),
+                "n_hapax": pa.array(pos * (tf == 1)),
+            }
+        )
+
+    folded = sum_i64_keys_with_payload(
+        tagged.map_batches(counters, batch_format="pyarrow"),
+        "doc_id",
+        ["n_bigrams", "sum_tf", "n_hapax"],
+        [],
+        num_shards=num_shards,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": _I64, "n_bigrams": _I64, "sum_tf": _I64, "n_hapax": _I64}
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {c: pa.array([], dt) for c, dt in cols.items()}
+                | {"fluency": pa.array([], pa.float64())}
+            )
+        nb = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        st = t.column("sum_tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(_I64),
+                "n_bigrams": pa.array(nb),
+                "sum_tf": pa.array(st),
+                "n_hapax": t.column("n_hapax").cast(_I64),
+                "fluency": pa.array(np.round(st * 1.0 / nb, 6)),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
 def sorted_neighborhood_pairs(
     ds: "ray.data.Dataset",
     key_col: str,

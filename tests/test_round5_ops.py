@@ -532,3 +532,43 @@ def test_trustrank_mass_structure(ray_session):
     # the point of the seed set), so no lower bound
     assert (df["spam_mass"] <= 1).all()
     assert (seeded["spam_mass"] < 0).any()
+
+
+def test_bigram_fluency_brute_force(ray_session):
+    """Per-doc corpus-frequency counters vs a plain python reference
+    on adversarial docs (exact dup pair, hapax-only doc, repeated
+    bigram, whitespace pads, sub-2-word docs absent)."""
+    from distributed_pagerank_ray.functions.dedup import bigram_fluency
+
+    docs = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the cat sat on the mat"},  # exact dup
+        {"doc_id": 2, "text": "the cat naps"},  # shares 'the cat'
+        {"doc_id": 3, "text": "zq xv qqq unique gibberish strings"},  # all hapax
+        {"doc_id": 4, "text": "go go go go"},  # repeated bigram, tf=3 one gram
+        {"doc_id": 5, "text": "single"},  # < 2 words: absent
+        {"doc_id": 6, "text": "  \t the cat \n "},  # pads trim to 2 words
+        {"doc_id": 7, "text": ""},  # absent
+    ]
+    grams: dict[int, list[tuple]] = {}
+    for d in docs:
+        w = d["text"].split()
+        if len(w) >= 2:
+            grams[d["doc_id"]] = [tuple(w[i : i + 2]) for i in range(len(w) - 1)]
+    tf: dict[tuple, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            tf[g] = tf.get(g, 0) + 1
+    got = (
+        bigram_fluency(ray.data.from_items(docs), num_shards=3, join_partitions=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sorted(got.index) == sorted(grams)
+    for did, gs in grams.items():
+        row = got.loc[did]
+        s = sum(tf[g] for g in gs)
+        h = sum(1 for g in gs if tf[g] == 1)
+        assert (row["n_bigrams"], row["sum_tf"], row["n_hapax"]) == (len(gs), s, h)
+        assert row["fluency"] == round(s / len(gs), 6)
