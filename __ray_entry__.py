@@ -2834,6 +2834,53 @@ def _m_bmp_decode(sf_dir):
     return decode_bmp(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_tga_decode(sf_dir):
+    """Fourth REAL image decode gate — and the third genuinely
+    COMPRESSED codec (after PNG's zlib and GIF's LZW): 8-bit grayscale
+    Truevision TGA with real run-length packets. Deterministic
+    payloads from doc_id: lum = (5·id + 9·y + 3·(x//4)) % 256 (runs of
+    4 make the RLE real), width 6+id%5, height 3+id%4, ALTERNATING
+    bottom-up/top-left origin by id parity (top_lum is the
+    orientation witness), type 3 uncompressed on id%3==0 (both stream
+    decoders witnessed via img_type), a nonzero image-ID field every
+    payload (idlen skip), and the TGA 2.0 footer on id%5==0 (exact
+    footer accepted, any other trailing bytes raise). Oracle is the
+    generation formula's analytic table."""
+    import numpy as np
+
+    import ray.data
+
+    from distributed_pagerank_ray.functions.multimodal import decode_tga, encode_tga
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            w, h = 6 + i % 5, 3 + i % 4
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            img = ((5 * i + 9 * y[:, None] + 3 * (x[None, :] // 4)) % 256).astype(
+                np.uint8
+            )
+            payloads.append(
+                encode_tga(
+                    img,
+                    top_origin=bool(i % 2),
+                    rle=(i % 3 != 0),
+                    id_field=b"dpr" + bytes([i % 251]),
+                    footer=(i % 5 == 0),
+                )
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_tga(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _x_jsonl_docs(sf_dir):
     """SQL-gated conformance read of the JSONL corpus interchange
     format (the standard web-text shard layout): a deterministic
@@ -5718,6 +5765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-parsing is witnessed in-window twice via m_png_decode +
         # m_tiff_decode; BMP keeps its local exact-hash gate + pytest)
         "m_bmp_decode": _m_bmp_decode,  # REAL BMP decode w/ orientation witness, SQL-gated (r5 new)
+        "m_tga_decode": _m_tga_decode,  # REAL RLE TGA decode, SQL-gated (r5 new)
         # (g_cc_org / g_lpa_org / g_triangles_parts displaced late-r5:
         # driver green in CORRECTNESS_r04.json with unchanged semantics;
         # still in the full local exact-hash gate)
@@ -7476,6 +7524,28 @@ FROM documents
         # BMP: analytic channel means from the generation formula plus
         # the top-row G orientation witness (7·id)%256 — flip-variant,
         # so a decoder ignoring the height sign hashes apart
+        # TGA: analytic stats from the generation formula; img_type is
+        # the compression witness (3 uncompressed / 11 RLE), top_lum
+        # the orientation witness (y=0 row of the IMAGE, which RLE
+        # bottom-up files store LAST)
+        "m_tga_decode": """
+SELECT doc_id,
+       6 + doc_id % 5 AS width,
+       3 + doc_id % 4 AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 11 END AS img_type,
+       round((SELECT avg((5 * doc_id + 9 * q.y + 3 * (g.x // 4)) % 256)
+              FROM UNNEST(range(6 + doc_id % 5)) AS g(x),
+                   UNNEST(range(3 + doc_id % 4)) AS q(y)), 6) AS mean_lum,
+       (SELECT min((5 * doc_id + 9 * q.y + 3 * (g.x // 4)) % 256)
+        FROM UNNEST(range(6 + doc_id % 5)) AS g(x),
+             UNNEST(range(3 + doc_id % 4)) AS q(y)) AS min_lum,
+       (SELECT max((5 * doc_id + 9 * q.y + 3 * (g.x // 4)) % 256)
+        FROM UNNEST(range(6 + doc_id % 5)) AS g(x),
+             UNNEST(range(3 + doc_id % 4)) AS q(y)) AS max_lum,
+       round((SELECT avg((5 * doc_id + 3 * (g.x // 4)) % 256)
+              FROM UNNEST(range(6 + doc_id % 5)) AS g(x)), 6) AS top_lum
+FROM documents
+""",
         "m_bmp_decode": """
 SELECT doc_id,
        5 + doc_id % 6 AS width,

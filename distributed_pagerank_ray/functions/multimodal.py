@@ -977,6 +977,179 @@ def decode_bmp(
     )
 
 
+_TGA_FOOTER = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(
+    gray: np.ndarray,
+    top_origin: bool = False,
+    rle: bool = True,
+    id_field: bytes = b"",
+    footer: bool = False,
+) -> bytes:
+    """Minimal 8-bit grayscale Truevision TGA encoder for an (h, w)
+    uint8 array — the test-payload generator for the real decoder
+    below. Exercises TGA's structural quirks: the variable-length
+    image-ID field (idlen byte 0 — decoders must SKIP it), bottom-up
+    default row order (descriptor bit 5 set = top-left origin),
+    genuine RLE compression (type 11; type 3 = uncompressed), and the
+    optional TGA 2.0 26-byte footer. RLE packets: high bit set =
+    run packet, count-1 in the low 7 bits, ONE pixel follows; clear =
+    raw packet, count pixels follow; packets never cross a scanline
+    boundary (spec recommendation — the decoder is packet-stream
+    lenient but validates the total)."""
+    import struct
+
+    h, w = gray.shape
+    assert gray.dtype == np.uint8 and len(id_field) < 256
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB",
+        len(id_field),
+        0,  # no colormap
+        11 if rle else 3,
+        0, 0, 0,  # colormap spec
+        0, 0,  # x/y origin
+        w, h,
+        8,  # bpp
+        0x20 if top_origin else 0,
+    )
+    rows = gray if top_origin else gray[::-1]  # file order
+    if not rle:
+        body = rows.tobytes()
+    else:
+        chunks: list[bytes] = []
+        for r in rows:
+            i = 0
+            while i < w:
+                run = 1
+                while i + run < w and run < 128 and r[i + run] == r[i]:
+                    run += 1
+                if run >= 2:
+                    chunks.append(bytes([0x80 | (run - 1), r[i]]))
+                    i += run
+                else:
+                    # gather a raw stretch up to the next run of >= 2
+                    j = i + 1
+                    while (
+                        j < w
+                        and j - i < 128
+                        and not (j + 1 < w and r[j + 1] == r[j])
+                    ):
+                        j += 1
+                    chunks.append(bytes([j - i - 1]) + r[i:j].tobytes())
+                    i = j
+        body = b"".join(chunks)
+    return hdr + id_field + body + (_TGA_FOOTER if footer else b"")
+
+
+class TgaDecode:
+    """REAL TGA decode stage — stdlib ``struct`` + numpy only: 8-bit
+    grayscale, uncompressed (type 3) AND genuinely RLE-compressed
+    (type 11) payloads, image-ID skip, bottom-up (default) vs
+    top-left (descriptor bit 5) row order, optional TGA 2.0 footer.
+    Emits width, height, ``img_type`` (the compression witness),
+    mean/min/max luminance and ``top_lum`` (mean of the visually TOP
+    row, 6 dp) — the orientation witness: a decoder that ignores the
+    origin bit reports the bottom row there while whole-image stats
+    stay blind (the m_bmp_decode lesson).
+
+    Fail-loudly contract (PpmDecode's): colormapped/truecolor types,
+    bpp != 8, RLE streams that under- or over-fill w·h pixels, and any
+    trailing bytes other than the exact 26-byte footer raise
+    ValueError. RLE packets MAY cross scanline boundaries on decode
+    (packet-stream semantics); the total pixel count is what's
+    validated."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        widths, heights, types = [], [], []
+        means, mins, maxs, tops = [], [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            if b is None or len(b) < 18:
+                raise ValueError("not a TGA payload")
+            (idlen, cmap, itype, _ce, _cl, _cb, _xo, _yo, w, h, bpp, desc) = (
+                struct.unpack_from("<BBBHHBHHHHBB", b, 0)
+            )
+            if cmap != 0 or itype not in (3, 11) or bpp != 8:
+                raise ValueError("only 8-bit grayscale type 3/11 TGA supported")
+            pos = 18 + idlen
+            n = w * h
+            if itype == 3:
+                if len(b) < pos + n:
+                    raise ValueError("truncated TGA raster")
+                px = np.frombuffer(b, np.uint8, n, pos)
+                pos += n
+            else:
+                out = np.empty(n, dtype=np.uint8)
+                filled = 0
+                while filled < n:
+                    if pos >= len(b):
+                        raise ValueError("truncated TGA RLE stream")
+                    head = b[pos]
+                    cnt = (head & 0x7F) + 1
+                    if filled + cnt > n:
+                        raise ValueError("TGA RLE overrun past w*h pixels")
+                    if head & 0x80:
+                        if pos + 2 > len(b):
+                            raise ValueError("truncated TGA RLE run packet")
+                        out[filled : filled + cnt] = b[pos + 1]
+                        pos += 2
+                    else:
+                        if pos + 1 + cnt > len(b):
+                            raise ValueError("truncated TGA RLE raw packet")
+                        out[filled : filled + cnt] = np.frombuffer(
+                            b, np.uint8, cnt, pos + 1
+                        )
+                        pos += 1 + cnt
+                    filled += cnt
+                px = out
+            rest = b[pos:]
+            if rest not in (b"", _TGA_FOOTER):
+                raise ValueError("trailing bytes after TGA raster")
+            img = px.reshape(h, w)
+            if not (desc & 0x20):
+                img = img[::-1]  # bottom-up file order -> image order
+            widths.append(w)
+            heights.append(h)
+            types.append(itype)
+            means.append(img.mean())
+            mins.append(int(img.min()))
+            maxs.append(int(img.max()))
+            tops.append(round(float(img[0].mean()), 6))
+        out_t = batch.drop_columns([self.bin_col])
+        out_t = out_t.append_column("width", pa.array(np.array(widths, dtype=np.int64)))
+        out_t = out_t.append_column("height", pa.array(np.array(heights, dtype=np.int64)))
+        out_t = out_t.append_column("img_type", pa.array(np.array(types, dtype=np.int64)))
+        out_t = out_t.append_column(
+            "mean_lum", pa.array(np.round(np.array(means), 6), pa.float64())
+        )
+        out_t = out_t.append_column("min_lum", pa.array(np.array(mins, dtype=np.int64)))
+        out_t = out_t.append_column("max_lum", pa.array(np.array(maxs, dtype=np.int64)))
+        out_t = out_t.append_column("top_lum", pa.array(np.array(tops), pa.float64()))
+        return out_t
+
+
+def decode_tga(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool TGA decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        TgaDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
 def encode_tiff(
     gray: np.ndarray,
     big_endian: bool = False,

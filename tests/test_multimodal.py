@@ -327,3 +327,109 @@ def test_tiff_malformed_rejected():
     struct.pack_into("<H", comp, off, 5)  # LZW
     with pytest.raises(ValueError, match="uncompressed"):
         dec(pa.table({"payload": pa.array([bytes(comp)], pa.binary())}))
+
+
+def test_tga_roundtrip_orientations_types_footer():
+    from distributed_pagerank_ray.functions.multimodal import TgaDecode, encode_tga
+
+    rng = np.random.default_rng(11)
+    for w, h in ((6, 3), (9, 5), (4, 1), (130, 2)):  # >128 exercises packet caps
+        img = rng.integers(0, 4, (h, w), dtype=np.uint8) * 80  # runs likely
+        for top in (False, True):
+            for rle in (False, True):
+                for foot in (False, True):
+                    enc = encode_tga(
+                        img, top_origin=top, rle=rle, id_field=b"idf", footer=foot
+                    )
+                    out = TgaDecode()(
+                        pa.table({"payload": pa.array([enc], pa.binary())})
+                    )
+                    assert out.column("width")[0].as_py() == w
+                    assert out.column("height")[0].as_py() == h
+                    assert out.column("img_type")[0].as_py() == (11 if rle else 3)
+                    assert out.column("mean_lum")[0].as_py() == round(
+                        float(img.mean()), 6
+                    )
+                    assert out.column("min_lum")[0].as_py() == int(img.min())
+                    assert out.column("max_lum")[0].as_py() == int(img.max())
+                    # orientation witness: IMAGE top row either storage order
+                    assert out.column("top_lum")[0].as_py() == round(
+                        float(img[0].mean()), 6
+                    )
+
+
+def test_tga_hand_computed_rle_stream():
+    """Hand-built packet stream (top-left origin, no ID field): a
+    5-run packet, a 3-byte raw packet, then a run CROSSING the
+    scanline boundary — packet-stream decode semantics accept it."""
+    import struct
+
+    from distributed_pagerank_ray.functions.multimodal import TgaDecode
+
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 3, 8, 0x20)
+    body = bytes(
+        [0x80 | 4, 7]  # run of 5 sevens -> fills row 0 + 1 px of row 1
+        + [2, 1, 2, 3]  # raw 3: 1 2 3
+        + [0x80 | 3, 9]  # run of 4 nines crosses rows 1->2
+    )
+    out = TgaDecode()(pa.table({"payload": pa.array([hdr + body], pa.binary())}))
+    # pixels: 7 7 7 7 | 7 1 2 3 | 9 9 9 9
+    assert out.column("mean_lum")[0].as_py() == round((7 * 5 + 1 + 2 + 3 + 9 * 4) / 12, 6)
+    assert out.column("top_lum")[0].as_py() == 7.0
+    assert out.column("min_lum")[0].as_py() == 1
+    assert out.column("max_lum")[0].as_py() == 9
+
+
+def test_tga_encoder_packets_never_cross_scanlines():
+    """The encoder honors the spec recommendation: walking its RLE
+    stream row-by-row, every packet ends exactly at a row boundary
+    count-wise (total per row == w)."""
+    from distributed_pagerank_ray.functions.multimodal import encode_tga
+
+    img = np.array([[5, 5, 5, 1], [1, 1, 2, 2]], dtype=np.uint8)
+    enc = encode_tga(img, top_origin=True, rle=True)
+    pos, w = 18, 4
+    for _row in range(2):
+        filled = 0
+        while filled < w:
+            head = enc[pos]
+            cnt = (head & 0x7F) + 1
+            pos += 2 if head & 0x80 else 1 + cnt
+            filled += cnt
+        assert filled == w  # a packet never spilled into the next row
+    assert pos == len(enc)
+
+
+def test_tga_malformed_rejected():
+    import struct
+
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import TgaDecode, encode_tga
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    dec = TgaDecode()
+
+    def run(b):
+        return dec(pa.table({"payload": pa.array([b], pa.binary())}))
+
+    enc = encode_tga(img, rle=True)
+    with pytest.raises(ValueError, match="trailing"):
+        run(enc + b"x")
+    with pytest.raises(ValueError, match="truncated"):
+        run(enc[:-1])
+    with pytest.raises(ValueError, match="truncated"):
+        run(encode_tga(img, rle=False)[:-1])
+    # RLE overrun: run of 128 into a 12-px image
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 3, 8, 0)
+    with pytest.raises(ValueError, match="overrun"):
+        run(hdr + bytes([0xFF, 1]))
+    # colormapped / truecolor / 16-bpp rejected
+    bad = bytearray(encode_tga(img, rle=False))
+    bad[2] = 2
+    with pytest.raises(ValueError, match="supported"):
+        run(bytes(bad))
+    bad = bytearray(encode_tga(img, rle=False))
+    bad[16] = 16
+    with pytest.raises(ValueError, match="supported"):
+        run(bytes(bad))
