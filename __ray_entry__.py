@@ -3700,6 +3700,39 @@ def _t_readability(sf_dir):
     )
 
 
+def _x_cdc_chunks(sf_dir):
+    """Content-defined chunking gate (functions/dedup.py
+    cdc_chunk_stats): the engine genuinely runs the 8-byte rolling
+    Horner hash (uint64 wraparound, 6-bit mask) over real bytes; the
+    oracle exploits PERIODICITY — planted text is one of four fixed
+    motifs repeated r = 2 + id%5 times, so for window positions i >= 7
+    the hash depends only on i mod L, and the boundary-residue set per
+    motif (precomputed with the same kernel, pinned in
+    tests/test_cdc.py) turns chunk counts and max-chunk spans into a
+    closed-form range enumeration in SQL — the PPM analytic-oracle
+    recipe."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import cdc_chunk_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    motifs = [
+        b"brpoig8f1cbfno6b9m80o2ra",
+        b"xk87au5bhxtpdp ff5e8ii49kq71",
+        b"pe29gd8afpk054nzdkyayq3s195jmsnd",
+        b"8dudd467kd6fleepzh pcf0 7uqnupqzit3u",
+    ]
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [
+            (motifs[int(i) % 4] * (2 + int(i) % 5)).decode("ascii") for i in ids
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(texts)})
+
+    return cdc_chunk_stats(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def _t_bigram_fluency(sf_dir):
     """Corpus-frequency fluency scoring (functions/dedup.py
     bigram_fluency): the integer-exact n-gram-LM-perplexity stand-in;
@@ -5753,6 +5786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
+        "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7649,6 +7683,42 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # CDC: periodic planted motifs -> boundary positions are a
+        # residue-set enumeration; segments via LAG over the cut list
+        "x_cdc_chunks": """
+WITH m AS (
+  SELECT * FROM (VALUES
+    (0, 24, [8]),
+    (1, 28, [24]),
+    (2, 32, [4]),
+    (3, 36, [17, 21, 24])
+  ) AS t(c, L, res)
+),
+d AS (
+  SELECT doc_id, m.L * (2 + doc_id % 5) AS n, m.L, m.res
+  FROM documents JOIN m ON m.c = doc_id % 4
+),
+cuts AS (
+  SELECT d.doc_id, g.i
+  FROM d, UNNEST(range(7, d.n - 1)) AS g(i)
+  WHERE list_contains(d.res, CAST(g.i % d.L AS INTEGER))
+),
+seg AS (
+  SELECT doc_id, i - COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -1) AS len
+  FROM cuts
+  UNION ALL
+  SELECT d.doc_id,
+         d.n - 1 - COALESCE((SELECT max(c.i) FROM cuts c WHERE c.doc_id = d.doc_id), -1)
+  FROM d
+)
+SELECT d.doc_id,
+       d.n AS n_bytes,
+       (SELECT count(*) FROM cuts c WHERE c.doc_id = d.doc_id) + 1 AS n_chunks,
+       (SELECT CAST(max(s.len) AS BIGINT) FROM seg s WHERE s.doc_id = d.doc_id) AS max_chunk,
+       round(d.n * 1.0 /
+             ((SELECT count(*) FROM cuts c WHERE c.doc_id = d.doc_id) + 1), 6) AS avg_chunk
+FROM d
 """,
         # integer-exact LM-fluency: bigram tf over the t_dup_spans
         # positional-gram CTE (k=2); the terminal division is the only

@@ -992,6 +992,88 @@ def bigram_fluency(
     return folded.map_batches(finish, batch_format="pyarrow")
 
 
+_CDC_B = np.uint64(0x9E3779B97F4A7C15)  # odd Horner multiplier (mod 2^64)
+_CDC_W = 8  # rolling window bytes
+_CDC_MASK = np.uint64(63)  # 6-bit mask: ~1/64 boundary rate
+
+
+def cdc_chunk_stats(
+    docs: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Content-defined chunking stats (the Rabin/FastCDC family —
+    storage-level dedup's shift-resistant complement to the word-gram
+    text ops): each document's UTF-8 bytes are cut AFTER byte i
+    whenever the 8-byte rolling Horner hash ending at i has its low 6
+    bits zero, so chunk boundaries depend on CONTENT, not offsets —
+    an insertion re-synchronizes within one window instead of shifting
+    every downstream chunk. Output per non-empty doc: n_bytes,
+    n_chunks, max_chunk and avg_chunk = round(n_bytes/n_chunks, 6)
+    (the only float op). Docs shorter than the window have no cut
+    candidates — one whole-doc chunk.
+
+    Shape: embarrassingly parallel ``map_batches`` — the batch's docs
+    are CONCATENATED into one byte buffer, the Horner hash runs as 8
+    shifted vectorized multiply-adds over the whole buffer (uint64
+    wraparound is the modulus), windows crossing doc joints are masked
+    out, and only the tiny per-doc cut lists are touched in Python.
+    No shuffle anywhere."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": [],
+            "n_bytes": [],
+            "n_chunks": [],
+            "max_chunk": [],
+        }
+        if len(t) and text_col in t.column_names:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = t.column(text_col).to_pylist()
+            blobs = [(x or "").encode("utf-8") for x in texts]
+            lens = np.array([len(b) for b in blobs], dtype=np.int64)
+            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            n = len(buf)
+            w = _CDC_W
+            if n >= w:
+                h = buf[: n - w + 1].astype(np.uint64)
+                for j in range(1, w):
+                    h = h * _CDC_B + buf[j : n - w + 1 + j]
+                hit = (h & _CDC_MASK) == 0  # hit[k]: window buf[k:k+w]
+            else:
+                hit = np.zeros(0, dtype=bool)
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            for d in range(len(ids)):
+                L = int(lens[d])
+                if L == 0:
+                    continue
+                s = int(starts[d])
+                # valid window starts fully inside this doc
+                k0, k1 = s, s + L - w + 1
+                if k1 > k0:
+                    cuts = np.flatnonzero(hit[k0:k1]) + (w - 1)  # local END idx
+                    cuts = cuts[cuts < L - 1]  # cut at the last byte is a no-op
+                else:
+                    cuts = np.zeros(0, dtype=np.int64)
+                edges = np.concatenate([[-1], cuts, [L - 1]])
+                seg = np.diff(edges)
+                out["doc_id"].append(int(ids[d]))
+                out["n_bytes"].append(L)
+                out["n_chunks"].append(len(seg))
+                out["max_chunk"].append(int(seg.max()))
+        nb = np.array(out["n_bytes"], dtype=np.int64)
+        nc = np.array(out["n_chunks"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(out["doc_id"], dtype=np.int64)),
+                "n_bytes": pa.array(nb),
+                "n_chunks": pa.array(nc),
+                "max_chunk": pa.array(np.array(out["max_chunk"], dtype=np.int64)),
+                "avg_chunk": pa.array(np.round(nb * 1.0 / np.maximum(nc, 1), 6)),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def sorted_neighborhood_pairs(
     ds: "ray.data.Dataset",
     key_col: str,
