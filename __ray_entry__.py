@@ -4056,6 +4056,17 @@ def _g_edge_jaccard_parts(sf_dir):
     return edge_jaccard(part_cooccurrence_edges(sf_dir), k=20, num_partitions=8)
 
 
+def _g_local_clustering(sf_dir):
+    """Per-vertex local clustering coefficient of the part
+    co-occurrence graph (pipelines/metrics.py local_clustering):
+    tri(v)/C(d,2) for degree >= 2, supports via the ktruss triangle
+    join path, zero-triangle vertices via the BSP zero-rows union."""
+    from distributed_pagerank_ray.pipelines.metrics import local_clustering
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+
+    return local_clustering(part_cooccurrence_edges(sf_dir), num_partitions=8)
+
+
 def _e_cov_matrix(sf_dir):
     """Embedding covariance matrix (upper triangle, d=64): mergeable
     (n, Σx, Σxxᵀ) moment partials — O(blocks·d²) exchange — with the
@@ -5787,6 +5798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
+        "g_local_clustering": _g_local_clustering,  # per-vertex lcc, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7683,6 +7695,36 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # per-vertex lcc: triangle enumeration credits each corner once
+        # (tv.t == tri(v)); 2*t is the engine's edge-support sum, the
+        # division structure mirrors finish() exactly
+        "g_local_clustering": """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+  SELECT v, count(*) AS t FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY v
+)
+SELECT deg.v AS vertex, deg.d AS degree,
+       COALESCE(tv.t, 0) AS n_tri,
+       round(2 * COALESCE(tv.t, 0) * 1.0 / (deg.d * (deg.d - 1)), 6) AS lcc
+FROM deg LEFT JOIN tv ON tv.v = deg.v
+WHERE deg.d >= 2
 """,
         # CDC: periodic planted motifs -> boundary positions are a
         # residue-set enumeration; segments via LAG over the cut list

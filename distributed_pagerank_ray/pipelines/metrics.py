@@ -1124,3 +1124,131 @@ def butterfly_count(
     if max_hub_degree is not None:
         row["n_hubs_dropped"] = int(n_hubs_dropped)
     return ray.data.from_items([row])
+
+
+def local_clustering(
+    und_edges: "ray.data.Dataset",
+    num_partitions: int = 8,
+    num_shards: int = 16,
+) -> "ray.data.Dataset":
+    """Per-vertex LOCAL clustering coefficient over a canonical
+    undirected edge set ``(a, b), a < b``: for every vertex with
+    degree >= 2, ``lcc = tri(v) / C(d, 2)`` — the per-vertex sibling
+    of the global coefficient above, and the standard "how clique-like
+    is this page's neighborhood" feature.
+
+    Shape: per-edge triangle supports ride the ktruss triangle join
+    path (``edge_support`` — O(triangles) work, never wedge
+    expansion); each support row credits BOTH endpoints, so one
+    weighted count-BSP folds Σ support per vertex = 2·tri(v).
+    Zero-triangle vertices re-enter via (v, 0) rows UNIONed into the
+    same BSP from the degree table (the ktruss zero-rows rule — never
+    an outer join against a possibly fully-empty support set). One
+    Acero join pairs (v, degree) with (v, 2tri); the terminal rounded
+    division is the only float op, and its expression structure
+    (2·tri·1.0 / (d·(d−1))) is mirrored by the SQL oracle.
+
+    Output (vertex, degree, n_tri, lcc), degree >= 2 only."""
+    from .ktruss import edge_support
+
+    P = num_partitions
+    sup = edge_support(und_edges, num_partitions=P, num_shards=num_shards)
+
+    def expand_edges(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"v": pa.array([], _I64)})
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        t.column("a").cast(_I64).combine_chunks(),
+                        t.column("b").cast(_I64).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = count_i64_keys(
+        und_edges.map_batches(expand_edges, batch_format="pyarrow"),
+        "v",
+        num_shards=num_shards,
+        count_col="degree",
+    )
+
+    def expand_support(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table({"v": pa.array([], _I64), "w": pa.array([], _I64)})
+        s = t.column("support").cast(_I64).combine_chunks()
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [
+                        t.column("a").cast(_I64).combine_chunks(),
+                        t.column("b").cast(_I64).combine_chunks(),
+                    ]
+                ),
+                "w": pa.concat_arrays([s, s]),
+            }
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "v" not in t.column_names:
+            return pa.table({"v": pa.array([], _I64), "w": pa.array([], _I64)})
+        return pa.table(
+            {
+                "v": t.column("v").cast(_I64),
+                "w": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    s2 = count_i64_keys(
+        sup.map_batches(expand_support, batch_format="pyarrow").union(
+            deg.map_batches(zero_rows, batch_format="pyarrow")
+        ),
+        "v",
+        num_shards=num_shards,
+        count_col="s2",
+        weight_col="w",
+    )
+    joined = compact_for_join(
+        deg.map_batches(ensure_schema({"v": _I64, "degree": _I64}), batch_format="pyarrow"),
+        P,
+    ).join(
+        compact_for_join(
+            s2.map_batches(
+                lambda t: pa.table({"v2": t.column("v"), "s2": t.column("s2")}),
+                batch_format="pyarrow",
+            ),
+            P,
+        ),
+        join_type="inner",
+        num_partitions=P,
+        on=("v",),
+        right_on=("v2",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "v" not in t.column_names:
+            return pa.table(
+                {
+                    "vertex": pa.array([], _I64),
+                    "degree": pa.array([], _I64),
+                    "n_tri": pa.array([], _I64),
+                    "lcc": pa.array([], _F64),
+                }
+            )
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s2").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d >= 2
+        d, s = d[keep], s[keep]
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "vertex": pa.array(v),
+                "degree": pa.array(d),
+                "n_tri": pa.array(s // 2),
+                "lcc": pa.array(np.round(s * 1.0 / (d * (d - 1)), 6)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

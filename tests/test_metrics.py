@@ -90,3 +90,38 @@ def test_butterfly_count_brute_force():
     ).take_all()[0]
     assert (capped["n_pairs"], capped["butterflies"]) == brute(15)
     assert capped["n_hubs_dropped"] > 0
+
+
+def test_local_clustering_brute_force(ray_session):
+    """Per-vertex lcc on a random G(n, p) graph vs itertools brute
+    force, plus the structural corners: triangle-free vertices emit
+    lcc 0 (the zero-rows union path), degree-1 vertices are absent."""
+    import itertools
+
+    import numpy as np
+
+    from distributed_pagerank_ray.pipelines.metrics import local_clustering
+
+    rng = np.random.default_rng(17)
+    n = 40
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2) if rng.random() < 0.12]
+    edges.append((n, n + 1))  # isolated degree-1 pair: absent from output
+    adj = {v: set() for v in range(n + 2)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d >= 2:
+            t = sum(1 for x, y in itertools.combinations(sorted(nb), 2) if y in adj[x])
+            want[v] = (d, t, round(2 * t / (d * (d - 1)), 6))
+    ds = ray.data.from_items([{"a": a, "b": b} for a, b in edges]).repartition(5)
+    got = local_clustering(ds, num_partitions=4, num_shards=4).to_pandas()
+    got = got.set_index("vertex").sort_index()
+    assert sorted(got.index) == sorted(want)
+    for v, (d, t, lcc) in want.items():
+        row = got.loc[v]
+        assert (row["degree"], row["n_tri"]) == (d, t), v
+        assert row["lcc"] == lcc, v
+    assert (got["lcc"] == 0).any()  # zero-triangle vertices present
