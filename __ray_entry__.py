@@ -3733,6 +3733,15 @@ def _x_cdc_chunks(sf_dir):
     return cdc_chunk_stats(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _r_item_cosine(sf_dir):
+    """Cosine-normalized item co-occurrence (relational.py
+    item_pair_cosine): item_pairs counts + per-item audience counts,
+    dot/(sqrt*sqrt) float structure."""
+    from distributed_pagerank_ray.pipelines.relational import item_pair_cosine
+
+    return item_pair_cosine(sf_dir, min_count=5)
+
+
 def _t_bigram_fluency(sf_dir):
     """Corpus-frequency fluency scoring (functions/dedup.py
     bigram_fluency): the integer-exact n-gram-LM-perplexity stand-in;
@@ -5799,6 +5808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
         "g_local_clustering": _g_local_clustering,  # per-vertex lcc, SQL-gated (r5 new)
+        "r_item_cosine": _r_item_cosine,  # cosine co-occurrence weights, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7695,6 +7705,23 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # cosine co-occurrence: audience counts + the r_item_pairs
+        # join; the rounded expression is n/(sqrt*sqrt) on both sides
+        "r_item_cosine": """
+WITH x AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+),
+du AS (SELECT DISTINCT user_id, k FROM x),
+ic AS (SELECT k, count(*) AS c FROM du GROUP BY k),
+p AS (
+  SELECT a.k AS a, b.k AS b, CAST(count(*) AS BIGINT) AS n
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.k < b.k
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.a, p.b, p.n,
+       round(p.n * 1.0 / (sqrt(ca.c) * sqrt(cb.c)), 6) AS cosine
+FROM p JOIN ic ca ON ca.k = p.a JOIN ic cb ON cb.k = p.b
 """,
         # per-vertex lcc: triangle enumeration credits each corner once
         # (tv.t == tri(v)); 2*t is the engine's edge-support sum, the

@@ -2116,6 +2116,117 @@ def item_pairs(
     return counts.map_batches(fin, batch_format="pyarrow")
 
 
+def item_pair_cosine(
+    sf_dir: str,
+    min_count: int = 20,
+    num_partitions: int = 8,
+    max_items_per_user: "int | None" = 4096,
+) -> "ray.data.Dataset":
+    """Cosine-normalized co-occurrence (the bipartite-projection edge
+    weight behind item-item recommenders): for each ``item_pairs``
+    pair, ``cosine = n_ab / (√n_a · √n_b)`` with ``n_x`` = the item's
+    distinct-user audience — raw counts favor popular items, cosine
+    measures affinity.
+
+    Shape: :func:`item_pairs` (distinct-pair BSP → self-join → packed
+    count BSP) plus ONE more count-BSP for per-item audiences and two
+    Acero joins onto the pair table (schema-pinned between — the
+    chained-join rule). Float rule: the single rounded expression is
+    ``n·1.0 / (sqrt(na)·sqrt(nb))`` — dot/(sqrt·sqrt), never
+    normalize-then-dot — mirrored by the SQL twin.
+
+    Output (a, b, n, cosine 6dp)."""
+    from ..util import count_i64_keys, distinct_i64_pairs
+
+    pairs = item_pairs(
+        sf_dir,
+        min_count=min_count,
+        num_partitions=num_partitions,
+        max_items_per_user=max_items_per_user,
+    ).materialize()
+    if pairs.count() == 0:
+        # zero pairs above the threshold -> a fully-empty Dataset has
+        # no schema and the hash join would raise (the chained-join
+        # count-guard rule); short-circuit with the typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], _I64),
+                    "b": pa.array([], _I64),
+                    "n": pa.array([], _I64),
+                    "cosine": pa.array([], _F64),
+                }
+            )
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": t.column("user_id").cast(_I64), "k": _props_k_array(t.column("props"))}
+        )
+
+    du = distinct_i64_pairs(ds.map_batches(parse, batch_format="pyarrow"), "u", "k")
+    ic = count_i64_keys(du, "k", count_col="c")
+
+    j1 = compact_for_join(
+        pairs.map_batches(
+            ensure_schema({"a": _I64, "b": _I64, "n": _I64}), batch_format="pyarrow"
+        ),
+        num_partitions,
+    ).join(
+        compact_for_join(
+            ic.map_batches(
+                lambda t: pa.table({"ka": t.column("k"), "ca": t.column("c")}),
+                batch_format="pyarrow",
+            ),
+            num_partitions,
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("ka",),
+    )
+    j1 = j1.map_batches(
+        ensure_schema({"a": _I64, "b": _I64, "n": _I64, "ca": _I64}),
+        batch_format="pyarrow",
+    )
+    j2 = compact_for_join(j1, num_partitions).join(
+        compact_for_join(
+            ic.map_batches(
+                lambda t: pa.table({"kb": t.column("k"), "cb": t.column("c")}),
+                batch_format="pyarrow",
+            ),
+            num_partitions,
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("kb",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        cols = {"a": _I64, "b": _I64, "n": _I64}
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {c: pa.array([], dt) for c, dt in cols.items()}
+                | {"cosine": pa.array([], _F64)}
+            )
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": t.column("a").cast(_I64),
+                "b": t.column("b").cast(_I64),
+                "n": pa.array(n),
+                "cosine": pa.array(np.round(n * 1.0 / (np.sqrt(ca) * np.sqrt(cb)), 6)),
+            }
+        )
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
 def retention_cohorts(sf_dir: str, num_partitions: int = 8) -> "ray.data.Dataset":
     """Cohort retention matrix: users bucketed by their FIRST active
     day (the cohort), counted per (cohort, day_offset) — the product

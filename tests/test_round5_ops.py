@@ -572,3 +572,38 @@ def test_bigram_fluency_brute_force(ray_session):
         h = sum(1 for g in gs if tf[g] == 1)
         assert (row["n_bigrams"], row["sum_tf"], row["n_hapax"]) == (len(gs), s, h)
         assert row["fluency"] == round(s / len(gs), 6)
+
+
+def test_item_pair_cosine_matches_pandas(ray_session):
+    """Cosine co-occurrence vs a pandas brute force over the sf0.001
+    events table (json props parse, distinct incidence, pair counts,
+    audience normalization) — and the empty-threshold short-circuit."""
+    import json
+
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import item_pair_cosine
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(sf + "/events.parquet", columns=["user_id", "props"])
+    ev["k"] = ev["props"].map(lambda p: int(json.loads(p)["k"]))
+    du = ev[["user_id", "k"]].drop_duplicates()
+    ic = du.groupby("k").size()
+    m = du.merge(du, on="user_id")
+    m = m[m["k_x"] < m["k_y"]]
+    cnt = m.groupby(["k_x", "k_y"]).size()
+    cnt = cnt[cnt >= 5]
+    got = item_pair_cosine(sf, min_count=5).to_pandas().set_index(["a", "b"]).sort_index()
+    assert sorted(got.index) == sorted(cnt.index)
+    for (a, b), n in cnt.items():
+        row = got.loc[(a, b)]
+        assert row["n"] == n
+        import numpy as np
+
+        assert row["cosine"] == round(float(n * 1.0 / (np.sqrt(ic[a]) * np.sqrt(ic[b]))), 6)
+    # threshold above every count -> typed empty result, no join crash
+    # (0-row to_pandas loses columns on this Ray version; the schema
+    # is the contract)
+    empty = item_pair_cosine(sf, min_count=10**9)
+    assert empty.count() == 0
+    assert empty.schema().names == ["a", "b", "n", "cosine"]
