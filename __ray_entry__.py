@@ -3733,6 +3733,41 @@ def _x_cdc_chunks(sf_dir):
     return cdc_chunk_stats(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _t_pattern_hits(sf_dir):
+    """Blocklist pattern counting gate (textstats.pattern_hits_batch):
+    per-doc planted spam phrases ('click here '·(id%3),
+    'buy now '·(id%2)) and an 'x'·(2+id%5) run (the OVERLAP witness —
+    non-overlapping greedy counting gives n//2 'xx' hits, a naive
+    sliding count gives n−1); the oracle rebuilds the identical
+    augmented string with repeat() and counts via the
+    replace-length identity."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import pattern_hits_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        aug = [
+            (x or "")
+            + " "
+            + "click here " * (int(i) % 3)
+            + "buy now " * (int(i) % 2)
+            + "x" * (2 + int(i) % 5)
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(aug)})
+
+    return docs.map_batches(plant, batch_format="pyarrow").map_batches(
+        lambda t: pattern_hits_batch(t, ["click here", "buy now", "xx"]),
+        batch_format="pyarrow",
+    )
+
+
 def _r_item_cosine(sf_dir):
     """Cosine-normalized item co-occurrence (relational.py
     item_pair_cosine): item_pairs counts + per-item audience counts,
@@ -5809,6 +5844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
         "g_local_clustering": _g_local_clustering,  # per-vertex lcc, SQL-gated (r5 new)
         "r_item_cosine": _r_item_cosine,  # cosine co-occurrence weights, SQL-gated (r5 new)
+        "t_pattern_hits": _t_pattern_hits,  # blocklist pattern counts, SQL-gated (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7705,6 +7741,22 @@ SELECT doc_id,
               ELSE 'https://ex.test/r/' || doc_id || '/2' END AS loc,
        CAST(20250000 + (1 + doc_id % 12) * 100 + (j + 1) AS BIGINT) AS lastmod_key
 FROM u ORDER BY doc_id, loc
+""",
+        # blocklist counting via the replace-length identity; the
+        # planted x-run witnesses NON-OVERLAPPING greedy semantics
+        "t_pattern_hits": """
+WITH pats AS (SELECT * FROM (VALUES ('click here'), ('buy now'), ('xx')) AS p(pattern)),
+t AS (
+  SELECT doc_id,
+         text || ' ' || repeat('click here ', doc_id % 3)
+              || repeat('buy now ', doc_id % 2)
+              || repeat('x', 2 + doc_id % 5) AS tt
+  FROM documents
+)
+SELECT doc_id, pattern,
+       CAST((length(tt) - length(replace(tt, pattern, ''))) // length(pattern) AS BIGINT) AS n_hits
+FROM t, pats
+WHERE length(tt) - length(replace(tt, pattern, '')) > 0
 """,
         # cosine co-occurrence: audience counts + the r_item_pairs
         # join; the rounded expression is n/(sqrt*sqrt) on both sides

@@ -1883,3 +1883,53 @@ def stopword_ratio(
         )
 
     return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+def pattern_hits_batch(
+    batch: pa.Table, patterns: "list[str]", text_col: str = "text"
+) -> pa.Table:
+    """Multi-pattern literal blocklist counting — the spam/boilerplate
+    filter primitive: per document and pattern, the number of
+    NON-OVERLAPPING left-to-right occurrences (Arrow
+    ``count_substring`` semantics, which equal SQL's
+    ``(len(t) − len(replace(t, p, ''))) / len(p)``). Emits one row per
+    (doc, pattern) with n_hits > 0.
+
+    Stateless per-batch kernel: one vectorized ``count_substring``
+    sweep per pattern (the pattern list is tiny and broadcast in the
+    closure; compile-once actor pools are overkill for literal
+    matching). Use inside ``map_batches``."""
+    if len(batch) == 0 or text_col not in batch.column_names:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pattern": pa.array([], pa.string()),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+    ids = batch.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    col = batch.column(text_col)
+    out_id, out_p, out_n = [], [], []
+    for p in patterns:
+        cnt = pc.count_substring(col, p).to_numpy(zero_copy_only=False)
+        cnt = np.nan_to_num(cnt.astype(np.float64), nan=0.0).astype(np.int64)
+        m = cnt > 0
+        if m.any():
+            out_id.append(ids[m])
+            out_p.append(np.full(int(m.sum()), p, dtype=object))
+            out_n.append(cnt[m])
+    if not out_id:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pattern": pa.array([], pa.string()),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "pattern": pa.array(np.concatenate(out_p), pa.string()),
+            "n_hits": pa.array(np.concatenate(out_n)),
+        }
+    )

@@ -607,3 +607,19 @@ def test_item_pair_cosine_matches_pandas(ray_session):
     empty = item_pair_cosine(sf, min_count=10**9)
     assert empty.count() == 0
     assert empty.schema().names == ["a", "b", "n", "cosine"]
+
+
+def test_pattern_hits_overlap_semantics():
+    """Non-overlapping greedy counting: 'xx' in an x-run of n counts
+    n//2; patterns absent emit no row; NULL text tolerated."""
+    from distributed_pagerank_ray.functions.textstats import pattern_hits_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["xxxxx", "ab xx ab xx", "clean", None]),
+        }
+    )
+    got = pattern_hits_batch(t, ["xx", "ab"]).to_pandas()
+    rows = {(r.doc_id, r.pattern): r.n_hits for r in got.itertuples()}
+    assert rows == {(0, "xx"): 2, (1, "xx"): 2, (1, "ab"): 2}
