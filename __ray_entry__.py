@@ -3733,6 +3733,31 @@ def _x_cdc_chunks(sf_dir):
     return cdc_chunk_stats(docs.map_batches(plant, batch_format="pyarrow"))
 
 
+def _x_redirect_resolve(sf_dir):
+    """Redirect-chain resolution gate (pipelines/redirects.py
+    resolve_redirects): plant the functional redirect table
+    i -> i-1 for every doc_id with i % 8 != 0 (doc_ids are contiguous
+    0..n-1 at all gate scales, so every chain closes at its floor
+    i - i%8); the engine pointer-DOUBLES — chains up to 7 hops resolve
+    in 4 exchanges, witnessed by LAST_STATS in pytest — while the
+    oracle follows the same chain one hop at a time with a recursive
+    CTE. Terminal self-rows (j % 8 == 0 appearing as a target, i.e.
+    j < max id) are emitted too, so the dst-closure path is covered."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.redirects import resolve_redirects
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = ids[ids % 8 != 0]
+        return pa.table({"src": pa.array(src), "dst": pa.array(src - 1)})
+
+    red = docs.map_batches(plant, batch_format="pyarrow")
+    return resolve_redirects(red, num_partitions=4, num_shards=4)
+
+
 def _t_pattern_hits(sf_dir):
     """Blocklist pattern counting gate (textstats.pattern_hits_batch):
     per-doc planted spam phrases ('click here '·(id%3),
@@ -5845,6 +5870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_local_clustering": _g_local_clustering,  # per-vertex lcc, SQL-gated (r5 new)
         "r_item_cosine": _r_item_cosine,  # cosine co-occurrence weights, SQL-gated (r5 new)
         "t_pattern_hits": _t_pattern_hits,  # blocklist pattern counts, SQL-gated (r5 new)
+        "x_redirect_resolve": _x_redirect_resolve,  # pointer-doubling redirect chains, recursive-CTE oracle (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7757,6 +7783,24 @@ SELECT doc_id, pattern,
        CAST((length(tt) - length(replace(tt, pattern, ''))) // length(pattern) AS BIGINT) AS n_hits
 FROM t, pats
 WHERE length(tt) - length(replace(tt, pattern, '')) > 0
+""",
+        # redirect resolution: the oracle walks the planted i -> i-1
+        # chain ONE hop per recursion (the engine pointer-doubles);
+        # terminal self-rows are ids j%8==0 that appear as a target,
+        # i.e. j < max(doc_id) given contiguity
+        "x_redirect_resolve": """
+WITH RECURSIVE r AS (
+  SELECT doc_id AS url_id, doc_id AS cur, CAST(0 AS BIGINT) AS n_hops
+  FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL
+  SELECT url_id, cur - 1, n_hops + 1 FROM r WHERE cur % 8 <> 0
+)
+SELECT url_id, cur AS final_id, n_hops FROM r WHERE cur % 8 = 0
+UNION ALL
+SELECT doc_id AS url_id, doc_id AS final_id, CAST(0 AS BIGINT) AS n_hops
+FROM documents
+WHERE doc_id % 8 = 0 AND doc_id < (SELECT max(doc_id) FROM documents)
+ORDER BY url_id
 """,
         # cosine co-occurrence: audience counts + the r_item_pairs
         # join; the rounded expression is n/(sqrt*sqrt) on both sides

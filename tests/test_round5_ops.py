@@ -623,3 +623,41 @@ def test_pattern_hits_overlap_semantics():
     got = pattern_hits_batch(t, ["xx", "ab"]).to_pandas()
     rows = {(r.doc_id, r.pattern): r.n_hits for r in got.itertuples()}
     assert rows == {(0, "xx"): 2, (1, "xx"): 2, (1, "ab"): 2}
+
+
+def test_resolve_redirects_doubling_and_cycle():
+    """Pointer doubling matches a brute-force chain walk; chains of
+    length 7 resolve in ceil(log2 7)+1 = 4 exchanges (O(log L), not
+    O(L)); a redirect cycle raises instead of looping forever."""
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines import redirects as rd
+
+    # chains: 1->0, 2->1, ... 7->6 (len up to 7); a second family
+    # 20->10 (cross-jump), 10->0 is NOT planted so 10 is terminal
+    src = list(range(1, 8)) + [20]
+    dst = list(range(0, 7)) + [10]
+    tbl = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    out = rd.resolve_redirects(ray.data.from_arrow(tbl), num_partitions=2, num_shards=2)
+    got = {r["url_id"]: (r["final_id"], r["n_hops"]) for r in out.take_all()}
+    # brute force
+    m = dict(zip(src, dst))
+    exp = {}
+    for u in set(src) | set(dst):
+        cur, hops = u, 0
+        while cur in m:
+            cur, hops = m[cur], hops + 1
+        exp[u] = (cur, hops)
+    assert got == exp
+    assert rd.LAST_STATS["jump_rounds"] <= 4  # log2(7) doublings + settle
+
+    cyc = pa.table(
+        {"src": pa.array([1, 2, 3], pa.int64()), "dst": pa.array([2, 3, 1], pa.int64())}
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="cycle"):
+        rd.resolve_redirects(
+            ray.data.from_arrow(cyc), num_partitions=2, num_shards=2, max_rounds=8
+        )
