@@ -3758,6 +3758,21 @@ def _x_redirect_resolve(sf_dir):
     return resolve_redirects(red, num_partitions=4, num_shards=4)
 
 
+def _r_kmv_distinct(sf_dir):
+    """KMV distinct-count sketch gate (sketches.kmv_distinct): an
+    APPROXIMATE estimator under an EXACT hash gate — the double-MINSTD
+    per-value hash and the (k-1)*m/h_k estimate are both computable in
+    SQL, so the oracle reproduces the identical kth_hash and rounded
+    estimate with ORDER BY hash LIMIT k (no tolerance, unlike the HLL
+    rows-only path). k=64 < the 200 distinct partkeys at sf0.001."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sketches import kmv_distinct
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return kmv_distinct(li, "l_partkey", k=64)
+
+
 def _t_pattern_hits(sf_dir):
     """Blocklist pattern counting gate (textstats.pattern_hits_batch):
     per-doc planted spam phrases ('click here '·(id%3),
@@ -5871,6 +5886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_item_cosine": _r_item_cosine,  # cosine co-occurrence weights, SQL-gated (r5 new)
         "t_pattern_hits": _t_pattern_hits,  # blocklist pattern counts, SQL-gated (r5 new)
         "x_redirect_resolve": _x_redirect_resolve,  # pointer-doubling redirect chains, recursive-CTE oracle (r5 new)
+        "r_kmv_distinct": _r_kmv_distinct,  # KMV sketch, exact-hash SQL gate on the estimate (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7801,6 +7817,21 @@ SELECT doc_id AS url_id, doc_id AS final_id, CAST(0 AS BIGINT) AS n_hops
 FROM documents
 WHERE doc_id % 8 = 0 AND doc_id < (SELECT max(doc_id) FROM documents)
 ORDER BY url_id
+""",
+        # KMV: same double-MINSTD hash, k smallest DISTINCT hashes,
+        # (k-1)*m/h_k with e0 double literals (bare decimals go through
+        # DECIMAL — the CLAUDE.md 1ulp landmine)
+        "r_kmv_distinct": """
+WITH h AS (
+  SELECT DISTINCT ((l_partkey * 48271) % 2147483647 * 48271) % 2147483647 AS h
+  FROM lineitem
+),
+mins AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT CAST(64 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_seen_min,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       ROUND(63e0 * 2147483647 / max(h), 6) AS est_distinct
+FROM mins
 """,
         # cosine co-occurrence: audience counts + the r_item_pairs
         # join; the rounded expression is n/(sqrt*sqrt) on both sides

@@ -280,3 +280,63 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
     for r in rows:
         acc.merge(HLL.from_bytes(r["sketch"], p))
     return acc.estimate()
+
+
+def kmv_distinct(
+    ds: "ray.data.Dataset", col: str, k: int = 64, m: int = 2147483647
+) -> "ray.data.Dataset":
+    """K-minimum-values distinct-count sketch, DETERMINISTIC and
+    SQL-mirrorable (unlike HLL's siphash, the per-value hash here is
+    the repo's double-MINSTD map ``((x*48271) % m * 48271) % m`` —
+    single-multiply MINSTD never wraps for small ids, the CLAUDE.md
+    landmine — so a DuckDB oracle can compute the IDENTICAL estimate
+    with ORDER BY hash LIMIT k).
+
+    Estimator (Bar-Yossef et al. 2002): with h_k the k-th smallest
+    DISTINCT hash value over [0, m), ``est = (k-1) * m / h_k``.
+    Scale shape: each block emits at most k unique hashes (the only
+    values that can matter globally), one tiny final task merges —
+    the exchange is O(k * blocks), never O(rows).
+
+    Fewer than k distinct hashes overall degrades to the EXACT count
+    (the classic KMV small-side rule). Requires non-negative int64
+    inputs below ~2**44 (k*48271 must stay inside int64 — true for
+    every id/key column in the repo's tables).
+
+    Returns one row: (k, n_seen_min, kth_hash, est_distinct) —
+    ``n_seen_min`` = len(min-set) = min(k, total distinct hashes).
+    """
+    M = np.int64(m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or col not in t.column_names:
+            return pa.table({"h": pa.array([], pa.int64())})
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (v * np.int64(48271)) % M
+        h = (h * np.int64(48271)) % M
+        u = np.unique(h)  # sorted ascending
+        return pa.table({"h": pa.array(u[:k])})
+
+    def final(t: pa.Table) -> pa.Table:
+        h = np.unique(t.column("h").to_numpy(zero_copy_only=False))
+        n = min(k, len(h))
+        if len(h) >= k:
+            kth = int(h[k - 1])
+            est = round(float(np.float64(k - 1) * np.float64(m) / np.float64(kth)), 6)
+        else:  # degenerate small side: exact
+            kth = int(h[-1]) if len(h) else 0
+            est = float(len(h))
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_seen_min": pa.array([n], pa.int64()),
+                "kth_hash": pa.array([kth], pa.int64()),
+                "est_distinct": pa.array([est], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

@@ -661,3 +661,30 @@ def test_resolve_redirects_doubling_and_cycle():
         rd.resolve_redirects(
             ray.data.from_arrow(cyc), num_partitions=2, num_shards=2, max_rounds=8
         )
+
+
+def test_kmv_distinct_matches_brute_force():
+    """KMV estimate equals the brute-force (k-1)*m/h_k over the same
+    double-MINSTD hashes; fewer-than-k distinct degrades to exact."""
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sketches import kmv_distinct
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100_000, size=5000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+    row = kmv_distinct(ds, "x", k=32).take_all()[0]
+    M = 2147483647
+    h = np.unique((vals * 48271 % M) * 48271 % M)
+    kth = int(h[31])
+    assert row["kth_hash"] == kth
+    assert row["est_distinct"] == round(31.0 * M / kth, 6)
+    assert row["n_seen_min"] == 32
+    # sanity: the estimate is in the right ballpark of true distinct
+    true = len(np.unique(vals))
+    assert 0.5 * true < row["est_distinct"] < 2.0 * true
+
+    small = ray.data.from_arrow(pa.table({"x": pa.array([5, 5, 9], pa.int64())}))
+    r2 = kmv_distinct(small, "x", k=64).take_all()[0]
+    assert r2["est_distinct"] == 2.0 and r2["n_seen_min"] == 2
