@@ -5391,6 +5391,54 @@ def _g_mis_doc(sf_dir):
     )
 
 
+def _g_coloring_doc(sf_dir):
+    """Greedy MIS-wave coloring (pipelines/coloring.py) on the mis-gate
+    planted graph (even 8-groups = K8 cliques, odd = stars, capped at
+    2048 vertices): every mis_luby call restarts its round counter at
+    0, so a clique's colors are EXACTLY the rank order of the round-0
+    priorities (8 successive argmin waves — witnesses the remove-and-
+    recolor loop), and a star two-colors by the center-vs-leaves
+    round-0 comparison ({center} first iff the center holds the group
+    min, else all leaves first, center in wave 2). Both closed-form in
+    SQL from the same quadratic hash the g_mis_doc oracle pins."""
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.coloring import greedy_color
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+    nf = min(2048, n // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bases = i[(i < nf) & (i % 8 == 0)]
+        eb = bases[(bases // 8) % 2 == 0]  # clique groups
+        ob = bases[(bases // 8) % 2 == 1]  # star groups
+        combos = np.array([(a, b) for a in range(8) for b in range(a + 1, 8)], np.int64)
+        src = np.concatenate(
+            [(eb[:, None] + combos[None, :, 0]).ravel(), np.repeat(ob, 7)]
+        )
+        dst = np.concatenate(
+            [
+                (eb[:, None] + combos[None, :, 1]).ravel(),
+                (ob[:, None] + np.arange(1, 8)[None, :]).ravel(),
+            ]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def verts(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v[v < nf])})
+
+    return greedy_color(
+        docs.map_batches(make, batch_format="pyarrow"),
+        docs.map_batches(verts, batch_format="pyarrow"),
+        num_partitions=4,
+        num_shards=4,
+        max_colors=10,
+    )
+
+
 def _g_matching_doc(sf_dir):
     """Maximal matching (greedy edge-priority rounds) on a PLANTED
     graph of disjoint 8-vertex groups capped at 2048 vertices:
@@ -5815,6 +5863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_skyline": _r_skyline,  # 2D Pareto frontier, mergeable block partials (r5 new)
         "r_top_user_by_type": _r_top_user_by_type,  # argmax-per-group, packed count BSP
         "g_mis_doc": _g_mis_doc,  # Luby MIS, planted clique+star closed-form oracle (r5 new)
+        "g_coloring_doc": _g_coloring_doc,  # MIS-wave greedy coloring, rank-order oracle (r5 new)
         # ---- driver window: round-5 semantics changes to re-witness
         # (RE2-\s trim/tokenizer alignment + planted whitespace pads;
         # the r4 t_pack_seqs fix) ----
@@ -7121,6 +7170,29 @@ WHERE (g % 2 = 0 AND p = pmin)
    OR (g % 2 = 1 AND pos = 0 AND pc = pmin)
    OR (g % 2 = 1 AND pos > 0 AND pc <> pmin)
 ORDER BY v.v
+""",
+        # coloring: clique color = round-0 priority rank (each MIS call
+        # restarts at round 0); star = two waves split by the
+        # center-vs-group-min comparison — same hash as g_mis_doc
+        "g_coloring_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents),
+v AS (SELECT doc_id AS v, doc_id // 8 AS g, doc_id % 8 AS pos,
+             ((doc_id*doc_id*1315423911 + doc_id*2654435761 + 12345)
+              % 2147483647) * 4096 + doc_id AS p
+      FROM documents, nn WHERE doc_id < nn.nf),
+m AS (SELECT g, min(p) AS pmin FROM v GROUP BY g),
+cent AS (SELECT g, p AS pc FROM v WHERE pos = 0),
+rk AS (SELECT v, g, pos, p,
+              row_number() OVER (PARTITION BY g ORDER BY p) - 1 AS rnk
+       FROM v)
+SELECT rk.v,
+       CAST(CASE
+         WHEN g % 2 = 0 THEN rnk
+         WHEN pos = 0 THEN CASE WHEN pc = pmin THEN 0 ELSE 1 END
+         ELSE CASE WHEN pc = pmin THEN 1 ELSE 0 END
+       END AS BIGINT) AS color
+FROM rk JOIN m USING (g) JOIN cent USING (g)
+ORDER BY rk.v
 """,
         # money as exact integer cents (r_orders_rollup rule); bounds
         # are quantile_disc = element at ceil(q*n)-1, matching

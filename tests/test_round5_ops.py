@@ -688,3 +688,58 @@ def test_kmv_distinct_matches_brute_force():
     small = ray.data.from_arrow(pa.table({"x": pa.array([5, 5, 9], pa.int64())}))
     r2 = kmv_distinct(small, "x", k=64).take_all()[0]
     assert r2["est_distinct"] == 2.0 and r2["n_seen_min"] == 2
+
+
+def test_greedy_color_proper_and_deterministic():
+    """Coloring is PROPER on a random graph (no monochromatic edge),
+    covers every vertex exactly once, is deterministic across calls,
+    and a K5 clique colors in exactly rank order of round-0 priority."""
+    import numpy as np
+    import ray.data
+
+    from distributed_pagerank_ray.pipelines.coloring import greedy_color
+    from distributed_pagerank_ray.pipelines.mis import _priority
+
+    rng = np.random.default_rng(11)
+    n = 60
+    a = rng.integers(0, n, 150, dtype=np.int64)
+    b = rng.integers(0, n, 150, dtype=np.int64)
+    keep = a != b
+    edges = pa.table({"src": pa.array(a[keep]), "dst": pa.array(b[keep])})
+    verts = pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
+
+    def run():
+        out = greedy_color(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(verts),
+            num_partitions=2,
+            num_shards=2,
+            max_colors=32,
+        )
+        return {r["v"]: r["color"] for r in out.take_all()}
+
+    col = run()
+    assert len(col) == n and set(col) == set(range(n))
+    for u, w in zip(a[keep], b[keep]):
+        assert col[int(u)] != col[int(w)], (u, w)
+    assert col == run()  # deterministic
+
+    # K5: colors are the rank order of round-0 priorities
+    k5v = np.arange(5, dtype=np.int64)
+    combos = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    ke = pa.table(
+        {
+            "src": pa.array([i for i, _ in combos], pa.int64()),
+            "dst": pa.array([j for _, j in combos], pa.int64()),
+        }
+    )
+    out = greedy_color(
+        ray.data.from_arrow(ke),
+        ray.data.from_arrow(pa.table({"v": pa.array(k5v)})),
+        num_partitions=2,
+        num_shards=2,
+        max_colors=6,
+    )
+    got = {r["v"]: r["color"] for r in out.take_all()}
+    exp = {int(v): int(r) for r, v in enumerate(k5v[np.argsort(_priority(k5v, 0))])}
+    assert got == exp
