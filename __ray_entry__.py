@@ -3758,6 +3758,56 @@ def _x_redirect_resolve(sf_dir):
     return resolve_redirects(red, num_partitions=4, num_shards=4)
 
 
+def _t_unicode_nfc(sf_dir):
+    """Unicode NFC normalization gate (textstats.unicode_normalize_
+    batch vs DuckDB nfc_normalize — two independent implementations of
+    the same Unicode algorithm): the corpus is ASCII (NFC no-op), so
+    the witness is PLANTED — each doc gets reps=1+id%3 copies of a
+    DECOMPOSED combining sequence (e/acute, A/ring, o/diaeresis,
+    n/tilde, c/cedilla by id%5) appended; output pins the composed
+    codepoint length, the composition count, and the composed tail
+    string itself (so a pass requires actual recomposition, not just
+    length bookkeeping)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.textstats import unicode_normalize_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    seqs = ["e\u0301", "A\u030A", "o\u0308", "n\u0303", "c\u0327"]  # DECOMPOSED base+mark
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        aug = [
+            (x or "") + seqs[int(i) % 5] * (1 + int(i) % 3)
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(aug)})
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        before = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False)
+        norm = unicode_normalize_batch(t, "text")
+        nt = norm.column("text")
+        after = pc.utf8_length(nt).to_numpy(zero_copy_only=False)
+        reps = 1 + ids % 3
+        tails = [s[-int(r):] for s, r in zip(nt.to_pylist(), reps)]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nfc_len": pa.array(after.astype(np.int64)),
+                "n_composed": pa.array((before - after).astype(np.int64)),
+                "tail": pa.array(tails, pa.string()),
+            }
+        )
+
+    return docs.map_batches(plant, batch_format="pyarrow").map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
 def _r_kmv_distinct(sf_dir):
     """KMV distinct-count sketch gate (sketches.kmv_distinct): an
     APPROXIMATE estimator under an EXACT hash gate — the double-MINSTD
@@ -4020,6 +4070,56 @@ def _m_png_decode(sf_dir):
         )
 
     return decode_png(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
+def _m_qoi_decode(sf_dir):
+    """REAL QOI decode gate (qoiformat.org op-stream format):
+    deterministic 16x12 RGB payloads from doc_id with three row
+    regimes — constant rows (RUN ops, crossing row boundaries),
+    gradient rows stepping (1,1,1) on y%6==1 (DIFF ops) and (1,2,3) on
+    y%6==4 (LUMA ops), and alternating-color rows (INDEX hits after
+    the first period, RGB on the regime break) — encoded by
+    ``encode_qoi``. The SQL oracle computes per-channel means
+    ANALYTICALLY from the same CASE formula over the pixel grid, so
+    matching requires every op kind, the wrapping byte arithmetic and
+    the shared hash-index update rule to decode correctly."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_qoi_ds, encode_qoi
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    W, H = 16, 12
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        x = np.arange(W, dtype=np.int64)
+        payloads = []
+        for i in ids:
+            base = int(i) % 256
+            img = np.zeros((H, W, 3), np.int64)
+            for y in range(H):
+                if y % 3 == 0:
+                    img[y, :] = (base, (base + 60) % 256, (base + 120) % 256)
+                elif y % 3 == 1:
+                    gx, bx = (1, 1) if y % 6 == 1 else (2, 3)
+                    img[y, :, 0] = (base + x) % 256
+                    img[y, :, 1] = (base + 60 + gx * x) % 256
+                    img[y, :, 2] = (base + 120 + bx * x) % 256
+                else:
+                    img[y, 0::2] = (base, (base + 60) % 256, (base + 120) % 256)
+                    img[y, 1::2] = (
+                        (base + 7) % 256,
+                        (base + 67) % 256,
+                        (base + 127) % 256,
+                    )
+            payloads.append(encode_qoi(img.astype(np.uint8)))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_qoi_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
 def _m_gif_decode(sf_dir):
@@ -5883,6 +5983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_scc_doc": _g_scc_doc,  # SCC, fused F+B exchanges (r5 rework)
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG (size-derived buckets, r5)
         "m_png_decode": _m_png_decode,  # REAL PNG inflate+unfilter decode (r5 new)
+        "m_qoi_decode": _m_qoi_decode,  # REAL QOI op-stream decode, analytic oracle (r5 new)
         "m_gif_decode": _m_gif_decode,  # REAL GIF LZW decode, analytic oracle (r5 new)
         "x_edgelist_text": _x_edgelist_text,  # vectorized strict text-edge parse (r5 new)
         "t_dup_spans": _t_dup_spans,  # duplicated-span exposure per doc, SQL-gated (r5 new)
@@ -5936,6 +6037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pattern_hits": _t_pattern_hits,  # blocklist pattern counts, SQL-gated (r5 new)
         "x_redirect_resolve": _x_redirect_resolve,  # pointer-doubling redirect chains, recursive-CTE oracle (r5 new)
         "r_kmv_distinct": _r_kmv_distinct,  # KMV sketch, exact-hash SQL gate on the estimate (r5 new)
+        "t_unicode_nfc": _t_unicode_nfc,  # NFC normalization vs DuckDB nfc_normalize (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -7890,6 +7992,30 @@ FROM documents
 WHERE doc_id % 8 = 0 AND doc_id < (SELECT max(doc_id) FROM documents)
 ORDER BY url_id
 """,
+        # NFC: DuckDB nfc_normalize vs Python unicodedata — the same
+        # Unicode algorithm implemented independently; length() and
+        # right() are codepoint-based in DuckDB, matching Python
+        "t_unicode_nfc": """
+WITH m AS (
+  SELECT doc_id,
+         coalesce(text, '') || repeat(
+           CASE doc_id % 5
+             WHEN 0 THEN 'e' || chr(769)
+             WHEN 1 THEN 'A' || chr(778)
+             WHEN 2 THEN 'o' || chr(776)
+             WHEN 3 THEN 'n' || chr(771)
+             ELSE 'c' || chr(807) END,
+           1 + doc_id % 3) AS aug,
+         1 + doc_id % 3 AS reps
+  FROM documents
+),
+t AS (SELECT doc_id, reps, length(aug) AS len_before, nfc_normalize(aug) AS nt FROM m)
+SELECT doc_id,
+       CAST(length(nt) AS BIGINT) AS nfc_len,
+       CAST(len_before - length(nt) AS BIGINT) AS n_composed,
+       right(nt, reps) AS tail
+FROM t ORDER BY doc_id
+""",
         # KMV: same double-MINSTD hash, k smallest DISTINCT hashes,
         # (k-1)*m/h_k with e0 double literals (bare decimals go through
         # DECIMAL — the CLAUDE.md 1ulp landmine)
@@ -8378,6 +8504,35 @@ SELECT doc_id,
        (SELECT max((7 * doc_id + 3 * g.x + 13 * q.y) % 256)
         FROM UNNEST(range(5 + doc_id % 6)) AS g(x),
              UNNEST(range(4 + doc_id % 5)) AS q(y)) AS max_gray
+FROM documents
+""",
+        # analytic expectation of the QOI generation formula in
+        # _m_qoi_decode: per-channel means over the 16x12 grid with the
+        # same three row regimes (decode must run every op kind)
+        "m_qoi_decode": """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(12 AS BIGINT) AS height,
+       round((SELECT avg(CASE
+                WHEN q.y % 3 = 0 THEN doc_id % 256
+                WHEN q.y % 3 = 1 THEN (doc_id % 256 + g.x) % 256
+                WHEN g.x % 2 = 0 THEN doc_id % 256
+                ELSE (doc_id % 256 + 7) % 256 END)
+              FROM UNNEST(range(16)) AS g(x), UNNEST(range(12)) AS q(y)), 6) AS mean_r,
+       round((SELECT avg(CASE
+                WHEN q.y % 3 = 0 THEN (doc_id % 256 + 60) % 256
+                WHEN q.y % 3 = 1 THEN (doc_id % 256 + 60
+                     + g.x * (CASE WHEN q.y % 6 = 1 THEN 1 ELSE 2 END)) % 256
+                WHEN g.x % 2 = 0 THEN (doc_id % 256 + 60) % 256
+                ELSE (doc_id % 256 + 67) % 256 END)
+              FROM UNNEST(range(16)) AS g(x), UNNEST(range(12)) AS q(y)), 6) AS mean_g,
+       round((SELECT avg(CASE
+                WHEN q.y % 3 = 0 THEN (doc_id % 256 + 120) % 256
+                WHEN q.y % 3 = 1 THEN (doc_id % 256 + 120
+                     + g.x * (CASE WHEN q.y % 6 = 1 THEN 1 ELSE 3 END)) % 256
+                WHEN g.x % 2 = 0 THEN (doc_id % 256 + 120) % 256
+                ELSE (doc_id % 256 + 127) % 256 END)
+              FROM UNNEST(range(16)) AS g(x), UNNEST(range(12)) AS q(y)), 6) AS mean_b
 FROM documents
 """,
         # the gate payloads are deterministic LZW-compressed GIFs from

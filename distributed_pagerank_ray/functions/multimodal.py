@@ -1723,3 +1723,159 @@ def decode_wav_mulaw_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- real QOI codec
+
+
+def encode_qoi(rgb: np.ndarray) -> bytes:
+    """REAL QOI encoder (qoiformat.org spec, public domain format):
+    RUN / INDEX / DIFF / LUMA / RGB ops with the 64-entry (r3+g5+b7+a11)
+    hash index, wrapping byte arithmetic, op preference run > index >
+    diff > luma > rgb — the reference encoder's order, so the pytest
+    conformance vector pins byte-exact output. channels=3 (alpha fixed
+    255). Per-pixel Python loop — the per-file sequential-codec posture
+    (GIF LZW note in CLAUDE.md); gate images are tiny."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    out = bytearray(b"qoif")
+    out += int(w).to_bytes(4, "big") + int(h).to_bytes(4, "big") + bytes([3, 0])
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = rgb.reshape(-1, 3)
+    for i in range(len(flat)):
+        px = (int(flat[i, 0]), int(flat[i, 1]), int(flat[i, 2]), 255)
+        if px == prev:
+            run += 1
+            if run == 62:  # 63/64 collide with the RGB/RGBA tags
+                out.append(0xC0 | (run - 1))
+                run = 0
+            prev = px
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hi = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+        if index[hi] == px:
+            out.append(hi)  # QOI_OP_INDEX (0b00xxxxxx)
+        else:
+            dr = (px[0] - prev[0] + 128) % 256 - 128
+            dg = (px[1] - prev[1] + 128) % 256 - 128
+            db = (px[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, px[0], px[1], px[2]])
+        index[hi] = px
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(b: bytes) -> np.ndarray:
+    """REAL QOI decoder: full header validation, every op kind, the
+    shared index-update rule (index[hash] refreshed after EVERY pixel,
+    however encoded), end-marker + exact-length checks — truncated or
+    trailing payloads raise (fail loudly, quarantine upstream).
+    Returns (h, w, channels) uint8 (alpha dropped for channels=3)."""
+    if len(b) < 14 + 8 or b[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w = int.from_bytes(b[4:8], "big")
+    h = int.from_bytes(b[8:12], "big")
+    channels, colorspace = b[12], b[13]
+    if channels not in (3, 4) or colorspace > 1:
+        raise ValueError(f"bad QOI header: channels={channels} colorspace={colorspace}")
+    n = w * h
+    px = np.zeros((n, 4), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, bl, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    end = len(b) - 8
+    while i < n:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        byte = b[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            r, g, bl = b[pos], b[pos + 1], b[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # RGBA
+            r, g, bl, a = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+            pos += 4
+        elif byte >> 6 == 0:  # INDEX
+            r, g, bl, a = index[byte]
+        elif byte >> 6 == 1:  # DIFF (wrapping, bias 2)
+            r = (r + ((byte >> 4) & 3) - 2) % 256
+            g = (g + ((byte >> 2) & 3) - 2) % 256
+            bl = (bl + (byte & 3) - 2) % 256
+        elif byte >> 6 == 2:  # LUMA (second byte: dr-dg / db-dg, bias 8)
+            dg = (byte & 0x3F) - 32
+            b2 = b[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            bl = (bl + dg + (b2 & 0xF) - 8) % 256
+        else:  # RUN (bias -1; length 1..62)
+            run = (byte & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI run overflows pixel count")
+            px[i : i + run] = (r, g, bl, a)
+            i += run
+            continue
+        index[(r * 3 + g * 5 + bl * 7 + a * 11) % 64] = (r, g, bl, a)
+        px[i] = (r, g, bl, a)
+        i += 1
+    if b[pos:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker or trailing bytes")
+    out = px.reshape(h, w, 4)
+    return out[:, :, :3].copy() if channels == 3 else out
+
+
+class QoiDecode:
+    """Actor-pool QOI decode stage: real per-payload decode via
+    ``decode_qoi``, emitting width/height and per-channel means (6dp,
+    the PngDecode stats shape). Malformed payloads raise."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, mr, mg, mb = [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            px = decode_qoi(buf.as_py())
+            heights.append(px.shape[0])
+            widths.append(px.shape[1])
+            m = px.reshape(-1, px.shape[2]).astype(np.float64).mean(axis=0)
+            mr.append(m[0])
+            mg.append(m[1])
+            mb.append(m[2])
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("width", pa.array(np.array(widths, dtype=np.int64)))
+        out = out.append_column("height", pa.array(np.array(heights, dtype=np.int64)))
+        for name, vals in (("mean_r", mr), ("mean_g", mg), ("mean_b", mb)):
+            out = out.append_column(
+                name, pa.array(np.round(np.array(vals, dtype=np.float64), 6), pa.float64())
+            )
+        return out
+
+
+def decode_qoi_ds(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool QOI decode — same shape/sizing rationale as decode_ppm."""
+    return ds.map_batches(
+        QoiDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

@@ -1933,3 +1933,22 @@ def pattern_hits_batch(
             "n_hits": pa.array(np.concatenate(out_n)),
         }
     )
+
+
+def unicode_normalize_batch(t: pa.Table, col: str = "text", form: str = "NFC") -> pa.Table:
+    """Unicode-normalize a string column (stdlib unicodedata — NFC by
+    default; NFD/NFKC/NFKD accepted). Per-string Python call: CPython
+    exposes no vectorized normalizer, and the fast path inside
+    unicodedata short-circuits already-normalized (quick-check YES)
+    strings in C, so ASCII-dominant corpora pay ~a memcmp per doc.
+    DuckDB's nfc_normalize() implements the same Unicode algorithm —
+    the t_unicode_nfc gate pins engine/oracle parity on planted
+    decomposed sequences."""
+    import unicodedata
+
+    if len(t) == 0 or col not in t.column_names:
+        return t
+    vals = t.column(col).to_pylist()
+    out = [None if v is None else unicodedata.normalize(form, v) for v in vals]
+    idx = t.column_names.index(col)
+    return t.set_column(idx, col, pa.array(out, pa.string()))

@@ -743,3 +743,23 @@ def test_greedy_color_proper_and_deterministic():
     got = {r["v"]: r["color"] for r in out.take_all()}
     exp = {int(v): int(r) for r, v in enumerate(k5v[np.argsort(_priority(k5v, 0))])}
     assert got == exp
+
+
+def test_unicode_normalize_batch_forms():
+    """NFC composes decomposed pairs; NFD undoes it; NULLs pass
+    through; already-normalized ASCII is unchanged."""
+    from distributed_pagerank_ray.functions.textstats import unicode_normalize_batch
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["plain ascii", "éé", "Å", None, ""]
+            )
+        }
+    )
+    nfc = unicode_normalize_batch(t, "text").column("text").to_pylist()
+    assert nfc == ["plain ascii", "éé", "Å", None, ""]
+    back = unicode_normalize_batch(
+        pa.table({"text": pa.array(nfc)}), "text", form="NFD"
+    ).column("text").to_pylist()
+    assert back == ["plain ascii", "éé", "Å", None, ""]
