@@ -4122,6 +4122,41 @@ def _m_qoi_decode(sf_dir):
     return decode_qoi_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_adpcm_decode(sf_dir):
+    """REAL predictive-codec audio decode gate (IMA ADPCM, WAV format
+    tag 0x11): deterministic one-block payloads from doc_id — seed
+    predictor (id*37)%1024-512, seed step index id%89, k=32+2*(id%9)
+    nibbles n_j=(id+7j)%16 packed low-first — built by
+    ``encode_wav_adpcm`` and decoded by the stateful (predictor,
+    step-index) recurrence. The codec is LOSSY but the decoder is pure
+    integer arithmetic, so the oracle replays the exact recurrence in
+    a DuckDB RECURSIVE CTE with the 89-entry step table inlined: one
+    wrong clamp, index adjust, or nibble order diverges every later
+    sample and the integer sum_abs/last_pred/last_idx witness it."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_wav_adpcm_ds,
+        encode_wav_adpcm,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            k = 32 + 2 * (i % 9)
+            nib = (i + 7 * np.arange(k, dtype=np.int64)) % 16
+            payloads.append(encode_wav_adpcm(nib, (i * 37) % 1024 - 512, i % 89))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_wav_adpcm_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _m_gif_decode(sf_dir):
     """REAL dictionary-compressed image decode gate (grayscale GIF89a):
     deterministic payloads built from doc_id with pixel(y,x) =
@@ -5984,6 +6019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_user_journeys": _r_user_journeys,  # ordered STRING_AGG (size-derived buckets, r5)
         "m_png_decode": _m_png_decode,  # REAL PNG inflate+unfilter decode (r5 new)
         "m_qoi_decode": _m_qoi_decode,  # REAL QOI op-stream decode, analytic oracle (r5 new)
+        "m_adpcm_decode": _m_adpcm_decode,  # REAL IMA ADPCM decode, recursive-CTE recurrence oracle (r5 new)
         "m_gif_decode": _m_gif_decode,  # REAL GIF LZW decode, analytic oracle (r5 new)
         "x_edgelist_text": _x_edgelist_text,  # vectorized strict text-edge parse (r5 new)
         "t_dup_spans": _t_dup_spans,  # duplicated-span exposure per doc, SQL-gated (r5 new)
@@ -8534,6 +8570,49 @@ SELECT doc_id,
                 ELSE (doc_id % 256 + 127) % 256 END)
               FROM UNNEST(range(16)) AS g(x), UNNEST(range(12)) AS q(y)), 6) AS mean_b
 FROM documents
+""",
+        # IMA ADPCM: the oracle REPLAYS the decoder recurrence in a
+        # recursive CTE (89-entry step table inlined as VALUES); the
+        # engine must parse real RIFF bytes and run the same integer
+        # clamp/index arithmetic to match
+        "m_adpcm_decode": """
+WITH RECURSIVE steps(si, sv) AS (VALUES (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),(10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),(18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),(25,80),(26,88),(27,97),(28,107),(29,118),(30,130),(31,143),(32,157),(33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),(40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),(47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),(54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),(60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),(66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),(72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),(78,12635),(79,13899),(80,15289),(81,16818),(82,18500),(83,20350),(84,22385),(85,24623),(86,27086),(87,29794),(88,32767)),
+seed AS (SELECT doc_id, 32 + 2*(doc_id % 9) AS k,
+                (doc_id*37) % 1024 - 512 AS p0, doc_id % 89 AS i0 FROM documents),
+r AS (
+  SELECT doc_id, k, 0 AS pos, p0 AS pred, i0 AS idx, abs(p0) AS sabs FROM seed
+  UNION ALL
+  SELECT doc_id, k, pos + 1,
+         least(32767, greatest(-32768,
+           CASE WHEN ((doc_id + 7*pos) % 16) // 8 = 1
+                THEN pred - (sv//8
+                     + CASE WHEN ((doc_id + 7*pos) % 16) % 2 = 1 THEN sv//4 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 2 % 2 = 1 THEN sv//2 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 4 % 2 = 1 THEN sv ELSE 0 END)
+                ELSE pred + (sv//8
+                     + CASE WHEN ((doc_id + 7*pos) % 16) % 2 = 1 THEN sv//4 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 2 % 2 = 1 THEN sv//2 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 4 % 2 = 1 THEN sv ELSE 0 END)
+           END)) AS pred2,
+         least(88, greatest(0, idx + CASE ((doc_id + 7*pos) % 16) % 8
+              WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)) AS idx2,
+         sabs + abs(least(32767, greatest(-32768,
+           CASE WHEN ((doc_id + 7*pos) % 16) // 8 = 1
+                THEN pred - (sv//8
+                     + CASE WHEN ((doc_id + 7*pos) % 16) % 2 = 1 THEN sv//4 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 2 % 2 = 1 THEN sv//2 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 4 % 2 = 1 THEN sv ELSE 0 END)
+                ELSE pred + (sv//8
+                     + CASE WHEN ((doc_id + 7*pos) % 16) % 2 = 1 THEN sv//4 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 2 % 2 = 1 THEN sv//2 ELSE 0 END
+                     + CASE WHEN ((doc_id + 7*pos) % 16) // 4 % 2 = 1 THEN sv ELSE 0 END)
+           END)))
+  FROM r JOIN steps ON steps.si = r.idx
+  WHERE pos < k
+)
+SELECT doc_id, CAST(k + 1 AS BIGINT) AS n_samples, CAST(sabs AS BIGINT) AS sum_abs,
+       CAST(pred AS BIGINT) AS last_pred, CAST(idx AS BIGINT) AS last_idx
+FROM r WHERE pos = k ORDER BY doc_id
 """,
         # the gate payloads are deterministic LZW-compressed GIFs from
         # _m_gif_decode (decode must walk sub-blocks + inflate to match)

@@ -1879,3 +1879,170 @@ def decode_qoi_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- real IMA ADPCM WAV codec
+#
+# IMA/DVI4 ADPCM (WAV format tag 0x11) is the first PREDICTIVE codec in
+# the stack: 4-bit nibbles drive a stateful (predictor, step-index)
+# recurrence with the 89-entry step table — decode is pure integer
+# arithmetic, so a DuckDB RECURSIVE CTE can replay the exact recurrence
+# (step table inlined as VALUES) and the gate is value-exact even
+# though the codec is lossy. The decoder is inherently sequential per
+# stream (each nibble's output feeds the next) — the per-file-loop
+# posture of the GIF LZW note; files are one block here.
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def _ima_step(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: nibble ``n`` advances
+    (predictor, step index). The magnitude is rebuilt bit-by-bit
+    (step>>3 + conditional step>>2 / step>>1 / step) — the integer
+    form every IMA implementation shares, and the exact expression
+    the SQL oracle replays."""
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+    return pred, idx
+
+
+def encode_wav_adpcm(
+    nibbles: np.ndarray, pred0: int, idx0: int, sample_rate: int = 8000
+) -> bytes:
+    """Canonical one-block IMA ADPCM WAV writer (format tag 0x11,
+    mono): 20-byte fmt chunk (cbSize=2 carrying samples-per-block),
+    spec-mandated fact chunk, then the data block — 4-byte header
+    (seed predictor int16 LE = output sample 0, step index u8,
+    reserved) + nibbles packed LOW-FIRST two per byte. Nibble count
+    must be even (the WAV block layout has no half-byte tail)."""
+    import struct
+
+    nib = np.asarray(nibbles, np.int64)
+    if len(nib) % 2:
+        raise ValueError("IMA ADPCM block needs an even nibble count")
+    if nib.min(initial=0) < 0 or nib.max(initial=0) > 15:
+        raise ValueError("nibbles must be 4-bit")
+    data_bytes = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8).tobytes()
+    block_align = 4 + len(data_bytes)
+    spb = 1 + len(nib)  # samples per block (header sample + one per nibble)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, sample_rate * block_align // spb,
+        block_align, 4, 2, spb,
+    )
+    data = struct.pack("<hBB", pred0, idx0, 0) + data_bytes
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, spb)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_adpcm(b: bytes) -> tuple[int, np.ndarray, int]:
+    """REAL IMA ADPCM WAV decode: RIFF chunk walk (decode_wav_mulaw's
+    rules), fmt validation (tag 0x11, mono, 4-bit), one-block profile;
+    sample 0 = the block-header seed predictor, then the sequential
+    nibble recurrence (LOW nibble first). Returns (rate, int32
+    samples, final step index). Malformed payloads raise."""
+    import struct
+
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        payload = b[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"data":
+            data = payload
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, channels, rate, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 0x11 or channels != 1 or bits != 4:
+        raise ValueError("only mono 4-bit IMA ADPCM (format tag 0x11) supported")
+    if len(data) < 4 or len(data) != block_align:
+        raise ValueError("one-block profile: data length must equal block align")
+    pred, idx, _rsv = struct.unpack_from("<hBB", data, 0)
+    if idx > 88:
+        raise ValueError("step index out of range")
+    raw = np.frombuffer(data, np.uint8, offset=4)
+    out = np.empty(1 + 2 * len(raw), np.int32)
+    out[0] = pred
+    k = 1
+    for byte in raw.tolist():
+        for n in (byte & 0xF, byte >> 4):  # LOW nibble first
+            pred, idx = _ima_step(pred, idx, n)
+            out[k] = pred
+            k += 1
+    return int(rate), out, idx
+
+
+class AdpcmWavDecode:
+    """Actor-pool IMA ADPCM decode stage (``decode_wav_adpcm``): emits
+    n_samples, integer-exact sum_abs of the decoded linear samples,
+    and the final (predictor, step index) — the recurrence witness
+    (one wrong clamp or index adjust diverges every later sample)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts, sums, preds, idxs = [], [], [], []
+        for buf in batch.column(self.bin_col):
+            _rate, lin, fidx = decode_wav_adpcm(buf.as_py())
+            lin64 = lin.astype(np.int64)
+            counts.append(len(lin))
+            sums.append(int(np.abs(lin64).sum()))
+            preds.append(int(lin64[-1]))
+            idxs.append(fidx)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("n_samples", pa.array(np.array(counts, dtype=np.int64)))
+        out = out.append_column("sum_abs", pa.array(np.array(sums, dtype=np.int64)))
+        out = out.append_column("last_pred", pa.array(np.array(preds, dtype=np.int64)))
+        out = out.append_column("last_idx", pa.array(np.array(idxs, dtype=np.int64)))
+        return out
+
+def decode_wav_adpcm_ds(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool IMA ADPCM decode — same shape/sizing as decode_ppm."""
+    return ds.map_batches(
+        AdpcmWavDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

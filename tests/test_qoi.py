@@ -86,3 +86,51 @@ def test_decode_rejects_malformed():
         decode_qoi(_BYTES + b"\x00")
     with pytest.raises(ValueError, match="end marker|trailing"):
         decode_qoi(_BYTES[:-8] + b"\x00" * 7 + b"\x02")
+
+
+# --------------------------------------------------------------- IMA ADPCM
+
+
+def test_adpcm_hand_vectors():
+    """Hand-worked recurrence steps from the IMA spec arithmetic:
+    seed (0,0): nibble 3 -> step 7, diff 0+1+3=4, pred 4, idx-1->0;
+    nibble 9 -> diff 1, sign bit, pred 3. [7,15]: diff 11 then 30 at
+    step 16 after the +8 index jump."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    r, s, idx = decode_wav_adpcm(encode_wav_adpcm(np.array([3, 9]), 0, 0))
+    assert (list(s), idx, r) == ([0, 4, 3], 0, 8000)
+    _, s, idx = decode_wav_adpcm(encode_wav_adpcm(np.array([7, 15]), 0, 0))
+    assert (list(s), idx) == ([0, 11, -19], 16)
+
+
+def test_adpcm_clamps_and_malformed():
+    import numpy as np
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    # positive clamp: max-magnitude nibbles from a high seed
+    _, s, idx = decode_wav_adpcm(
+        encode_wav_adpcm(np.array([7] * 40), 32000, 88)
+    )
+    assert s.max() == 32767 and idx == 88
+    # negative clamp
+    _, s, _ = decode_wav_adpcm(encode_wav_adpcm(np.array([15] * 40), -32000, 88))
+    assert s.min() == -32768
+    with pytest.raises(ValueError, match="even nibble"):
+        encode_wav_adpcm(np.array([1, 2, 3]), 0, 0)
+    good = encode_wav_adpcm(np.array([1, 2]), 0, 0)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_adpcm(b"nope" + good[4:])
+    # shrink the declared data size below block_align (4+1 -> 4)
+    with pytest.raises(ValueError, match="block align"):
+        decode_wav_adpcm(good.replace(b"data\x05\x00\x00\x00", b"data\x04\x00\x00\x00"))
