@@ -3180,6 +3180,54 @@ def _x_anchor_stats(sf_dir):
     return res.sort("dst_id")
 
 
+def _x_meta_robots(sf_dir):
+    """Crawl-directive extraction gate (stages.extract.MetaDirectives):
+    planted per-doc HTML exercises the real attribute-level hazards —
+    swapped attribute order with UPPERCASE names and single quotes
+    (d%4==2), a doubled robots meta whose union must be
+    most-restrictive (d%4==3), space-padded token lists, a stylesheet
+    <link> decoy BEFORE the canonical, and a canonical variant with an
+    extra leading attribute (d%6==0). Oracle regenerates the flags and
+    canonical URL analytically from the planting formula."""
+    import ray.data
+
+    from distributed_pagerank_ray.stages.extract import meta_directives
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        htmls = []
+        for d in ids:
+            parts = [b"<html><head><title>p%d</title>" % d]
+            if d % 4 == 1:
+                parts.append(b'<meta name="robots" content="noindex">')
+            elif d % 4 == 2:
+                parts.append(b"<META CONTENT='NOFOLLOW, NOARCHIVE' NAME='ROBOTS'>")
+            elif d % 4 == 3:
+                parts.append(b'<meta name="robots" content=" noindex ">')
+                parts.append(b"<meta content='nofollow,nosnippet' name='robots'>")
+            parts.append(b'<link rel="stylesheet" href="http://c.test/style.css">')
+            if d % 3 == 0:
+                if d % 6 == 0:
+                    parts.append(
+                        b"<link data-v='1' rel='canonical' href='http://c.test/%d'>"
+                        % (d % 50)
+                    )
+                else:
+                    parts.append(
+                        b'<link rel="canonical" href="http://c.test/%d">' % (d % 50)
+                    )
+            parts.append(b"</head><body>x</body></html>")
+            htmls.append(b"".join(parts))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "html": pa.array(htmls, pa.binary())}
+        )
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    return meta_directives(pages, concurrency=2)
+
+
 def _x_sitemap_ingest(sf_dir):
     """SQL-gated sitemap XML parse: per-doc <urlset> payloads planted
     with the real hazards — entity-escaped &amp; in one loc, a CDATA
@@ -3805,6 +3853,23 @@ def _t_unicode_nfc(sf_dir):
 
     return docs.map_batches(plant, batch_format="pyarrow").map_batches(
         stats, batch_format="pyarrow"
+    )
+
+
+def _r_hrw_assign(sf_dir):
+    """Rendezvous-hash shard routing gate (shards.hrw_assign_batch):
+    every order key assigned to argmax over 8 salted quadratic hashes
+    (totalized p = h*8+s, so ties are impossible); the oracle
+    reproduces the identical argmax with UNNEST(range(8)) + arg_max.
+    The property under test is the consistent-routing rule a crawl
+    frontier reshards by — minimal key movement when shards change."""
+    import ray.data
+
+    from distributed_pagerank_ray.state.shards import hrw_assign_batch
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return orders.map_batches(
+        lambda t: hrw_assign_batch(t, "o_orderkey", 8), batch_format="pyarrow"
     )
 
 
@@ -6074,6 +6139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_redirect_resolve": _x_redirect_resolve,  # pointer-doubling redirect chains, recursive-CTE oracle (r5 new)
         "r_kmv_distinct": _r_kmv_distinct,  # KMV sketch, exact-hash SQL gate on the estimate (r5 new)
         "t_unicode_nfc": _t_unicode_nfc,  # NFC normalization vs DuckDB nfc_normalize (r5 new)
+        "r_hrw_assign": _r_hrw_assign,  # rendezvous-hash shard routing, arg_max oracle (r5 new)
+        "x_meta_robots": _x_meta_robots,  # meta-robots + canonical extraction, planted-HTML oracle (r5 new)
         "m_tone_detect": _m_tone_detect,  # FFT dominant-tone features, closed-form harmonic oracle (r5 new)
         # (g_densest_doc also OUTSIDE the window: the graph family is
         # witnessed in-window nine ways this round — mst/mis/matching/
@@ -8027,6 +8094,30 @@ SELECT doc_id AS url_id, doc_id AS final_id, CAST(0 AS BIGINT) AS n_hops
 FROM documents
 WHERE doc_id % 8 = 0 AND doc_id < (SELECT max(doc_id) FROM documents)
 ORDER BY url_id
+""",
+        # meta-robots: flags/canonical regenerated from the planting
+        # formula (engine must parse attributes, not substring-match)
+        "x_meta_robots": """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END AS BIGINT) AS noindex,
+       CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END AS BIGINT) AS nofollow,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS BIGINT) AS n_robots_metas,
+       CASE WHEN doc_id % 3 = 0 THEN 'http://c.test/' || (doc_id % 50) ELSE '' END AS canonical
+FROM documents ORDER BY doc_id
+""",
+        # HRW: same quadratic (key, salt) mix, argmax via arg_max over
+        # the totalized priority (h*8+s — ties impossible)
+        "r_hrw_assign": """
+WITH x AS (
+  SELECT o_orderkey AS k, s.s AS s,
+         ((((o_orderkey + s.s*1000003) % 32768) * ((o_orderkey + s.s*1000003) % 32768)
+            * 1315423911
+           + ((o_orderkey + s.s*1000003) % 32768) * 2654435761 + 12345)
+          % 2147483647) * 8 + s.s AS p
+  FROM orders, UNNEST(range(8)) AS s(s)
+)
+SELECT k AS o_orderkey, CAST(arg_max(s, p) AS BIGINT) AS shard_hrw
+FROM x GROUP BY k ORDER BY o_orderkey
 """,
         # NFC: DuckDB nfc_normalize vs Python unicodedata — the same
         # Unicode algorithm implemented independently; length() and

@@ -174,3 +174,34 @@ def map_reduce_shards(vec: ShardedVector, fn, combine=sum):
         [f.remote(r, s * vec.shard_rows) for s, r in enumerate(vec.refs)]
     )
     return combine(out)
+
+
+def hrw_assign_batch(
+    t: "pa.Table", key_col: str, n_shards_: int = 8, out_col: str = "shard_hrw"
+) -> "pa.Table":
+    """Rendezvous (highest-random-weight) hashing: each key goes to the
+    shard with the max mixing hash h(key, s) — the consistent-routing
+    rule whose reshard cost is 1/n of the keys when a shard is added
+    (vs ~all keys under mod-N), the property a long-lived crawl
+    frontier needs. Hash is the repo's quadratic (key, salt) mix
+    (mis.py/matching.py — affine maps have lattice-correlated parity),
+    totalized by the shard id so ties are impossible:
+    p = h(key, s) * n_shards + s, assignment = argmax over s.
+    Pure vectorized numpy over an (n, S) matrix; SQL-mirrorable
+    (the r_hrw_assign gate reproduces the argmax with a CASE chain)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if len(t) == 0 or key_col not in t.column_names:
+        return t
+    v = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    best_p = np.full(len(v), -1, np.int64)
+    best_s = np.zeros(len(v), np.int64)
+    for s in range(n_shards_):
+        w = (v + np.int64(s) * 1000003) % 32768
+        h = (w * w * 1315423911 + w * 2654435761 + 12345) % 2147483647
+        p = h * n_shards_ + s
+        take = p > best_p
+        best_p = np.where(take, p, best_p)
+        best_s = np.where(take, s, best_s)
+    return t.append_column(out_col, pa.array(best_s))

@@ -763,3 +763,47 @@ def test_unicode_normalize_batch_forms():
         pa.table({"text": pa.array(nfc)}), "text", form="NFD"
     ).column("text").to_pylist()
     assert back == ["plain ascii", "éé", "Å", None, ""]
+
+
+def test_hrw_assign_stability():
+    """Rendezvous property: adding a 9th shard moves ONLY keys whose
+    new shard is 8 — no key moves between surviving shards (the
+    consistent-routing guarantee mod-N lacks); distribution is
+    non-degenerate across shards."""
+    import numpy as np
+
+    from distributed_pagerank_ray.state.shards import hrw_assign_batch
+
+    keys = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64) * 7 + 1)})
+    a8 = hrw_assign_batch(keys, "k", 8).column("shard_hrw").to_numpy()
+    a9 = hrw_assign_batch(keys, "k", 9).column("shard_hrw").to_numpy()
+    moved = a8 != a9
+    assert (a9[moved] == 8).all()
+    assert 0 < moved.sum() < len(keys) // 4  # ~1/9 expected
+    assert len(np.unique(a8)) == 8
+
+
+def test_meta_directives_parsing_hazards():
+    """Attribute-order/quote/case hazards; most-restrictive union
+    across doubled metas; canonical is first-match and skips the
+    stylesheet decoy; pages without directives default clean."""
+    from distributed_pagerank_ray.stages.extract import MetaDirectives
+
+    md = MetaDirectives()
+    pages = [
+        b"<html><body>no directives</body></html>",
+        b"<META CONTENT='NOFOLLOW' NAME='ROBOTS'>"
+        b'<meta name="robots" content=" noindex , noarchive ">'
+        b'<link rel="stylesheet" href="http://x/s.css">'
+        b"<link data-v='1' rel='CANONICAL' href='http://c/1'>"
+        b'<link rel="canonical" href="http://c/2">',
+        b'<meta content="noindex" name="generator">',  # name!=robots
+    ]
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()), "html": pa.array(pages, pa.binary())}
+    )
+    got = md(t).to_pydict()
+    assert got["noindex"] == [0, 1, 0]
+    assert got["nofollow"] == [0, 1, 0]
+    assert got["n_robots_metas"] == [0, 2, 0]
+    assert got["canonical"] == ["", "http://c/1", ""]
