@@ -4292,6 +4292,47 @@ def _m_mulaw_decode(sf_dir):
     return decode_wav_mulaw_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_aiff_decode(sf_dir):
+    """REAL big-endian container decode gate (AIFF 16-bit PCM):
+    payloads are canonical FORM/AIFF files with an IEEE 754 80-bit
+    EXTENDED-float sample rate in COMM (rate = 8000 + 250·(id%7) —
+    the decoder must genuinely unpack sign/exp15/mant64 to recover
+    it), an SSND offset of id%3 poison bytes the reader must skip,
+    and SSND-before-COMM chunk order for odd ids (walk, don't assume
+    layout). Sample j is the SIGNED int16 reading of
+    (37·id + 11·j) mod 2^16 over n = 16 + id%17 frames; the SQL
+    oracle evaluates the same two's-complement fold analytically, so
+    byte order (first_smp), the 80-bit float parse (sample_rate), the
+    offset skip and the chunk walk are all witnessed value-exactly."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_aiff_ds,
+        encode_aiff,
+    )
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n = 16 + i % 17
+            j = np.arange(n, dtype=np.int64)
+            s = ((37 * i + 11 * j) % 65536).astype(np.uint16).astype(np.int16)
+            payloads.append(
+                encode_aiff(s, 8000 + 250 * (i % 7), ssnd_offset=i % 3, comm_last=bool(i % 2))
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_aiff_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -6103,6 +6144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window slot holds a never-witnessed or semantics-changed
         # entry; the full local exact-hash gate covers it)
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
+        "m_aiff_decode": _m_aiff_decode,  # REAL AIFF 80-bit-float/big-endian decode, analytic oracle (r5 new)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
         # (g_host_graph OUTSIDE the window: the graph family is
         # witnessed in-window nine ways and URL normalization carries
@@ -8745,6 +8787,25 @@ SELECT doc_id,
        CAST(max(abs(v)) AS BIGINT) AS peak,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
+GROUP BY doc_id
+""",
+        # planted AIFF PCM: sample j is the signed-int16 reading of
+        # (37·id + 11·j) mod 2^16; sample_rate/offset/chunk-order are
+        # witnessed through the analytic rate formula + first sample.
+        "m_aiff_decode": """
+WITH s AS (
+  SELECT doc_id, j.j AS j,
+         (37 * doc_id + 11 * j.j) % 65536
+         - CASE WHEN (37 * doc_id + 11 * j.j) % 65536 >= 32768 THEN 65536 ELSE 0 END AS v
+  FROM documents, UNNEST(range(16 + doc_id % 17)) AS j(j)
+)
+SELECT doc_id,
+       CAST(8000 + 250 * (doc_id % 7) AS BIGINT) AS sample_rate,
+       count(*) AS n_samples,
+       round(CAST(sum(abs(v)) AS DOUBLE) / count(*), 6) AS mean_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_smp
+FROM s
 GROUP BY doc_id
 """,
         # closed-form harmonic ladder of the planted phase-accumulator

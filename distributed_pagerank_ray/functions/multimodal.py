@@ -2046,3 +2046,170 @@ def decode_wav_adpcm_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ----------------------------------------------------- real AIFF PCM codec
+# AIFF is the big-endian IFF sibling of RIFF/WAVE (Apple, 1988; EA IFF 85
+# container): FORM/AIFF with a COMM chunk whose sample rate is an IEEE 754
+# 80-bit EXTENDED float (sign 1 / exponent 15 / mantissa 64 with an
+# EXPLICIT integer bit — the one format x86 FPUs use internally), and an
+# SSND chunk whose payload starts with an (offset, blockSize) header the
+# reader must honor before the big-endian PCM samples. Reference parity
+# anchor: the reference engine ingests only text edge lists
+# (pkg/graph/graph.go:16-49); audio columns are the new-engine multimodal
+# treatment mandated by the survey (§2.5), modeled as opaque binary +
+# typed metadata.
+
+
+def _float80_encode(rate: float) -> bytes:
+    """Pack a positive finite float as IEEE 754 80-bit extended
+    (big-endian, explicit integer bit). Exact for every value a sample
+    rate can be (the 64-bit mantissa strictly contains float64)."""
+    import math
+    import struct
+
+    if rate <= 0 or not math.isfinite(rate):
+        raise ValueError("sample rate must be positive finite")
+    m, e = math.frexp(rate)  # rate = m * 2**e, m in [0.5, 1)
+    exp = e - 1 + 16383  # extended-float biased exponent
+    if not (0 < exp < 0x7FFF):
+        raise ValueError("sample rate out of 80-bit range")
+    mant = int(m * (1 << 64))  # top bit set (explicit integer bit)
+    return struct.pack(">HQ", exp, mant)
+
+
+def _float80_decode(b: bytes) -> float:
+    """Unpack a big-endian IEEE 754 80-bit extended float. Rejects the
+    non-finite exponent (0x7FFF) and unnormalized forms a sample rate
+    can never be; zero mantissa+exponent decodes to 0.0 (rejected by
+    the COMM validator downstream)."""
+    import struct
+
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    se, mant = struct.unpack(">HQ", b)
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    # value = mant * 2**(exp - 16383 - 63); mantissa carries its own
+    # integer bit so no implicit-1 adjustment applies.
+    return sign * float(mant) * 2.0 ** (exp - 16383 - 63)
+
+
+def encode_aiff(
+    pcm: "np.ndarray", sample_rate: float, ssnd_offset: int = 0, comm_last: bool = False
+) -> bytes:
+    """Canonical AIFF writer (FORM/AIFF, mono, 16-bit big-endian PCM):
+    COMM (channels=1, numSampleFrames, sampleSize=16, 80-bit rate) +
+    SSND (offset/blockSize header, `ssnd_offset` junk bytes the reader
+    must skip, then the samples). `comm_last=True` emits SSND before
+    COMM — the chunk-order-independence test payload. Odd-sized chunks
+    get the IFF pad byte."""
+    import struct
+
+    s = np.asarray(pcm, dtype=">i2")
+    junk = bytes((0xA5 + i) % 256 for i in range(ssnd_offset))  # poison if not skipped
+    comm = b"COMM" + struct.pack(">I", 18) + struct.pack(">hIh", 1, len(s), 16) + _float80_encode(sample_rate)
+    ssnd_payload = struct.pack(">II", ssnd_offset, 0) + junk + s.tobytes()
+    ssnd = b"SSND" + struct.pack(">I", len(ssnd_payload)) + ssnd_payload
+    if len(ssnd_payload) % 2:
+        ssnd += b"\x00"  # IFF word alignment
+    body = b"AIFF" + (ssnd + comm if comm_last else comm + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(b: bytes) -> tuple[float, "np.ndarray"]:
+    """REAL AIFF decode: big-endian IFF chunk walk (any chunk order,
+    unknown chunks skipped by size, odd sizes padded), COMM validation
+    (mono 16-bit), IEEE 80-bit extended sample-rate decode, SSND
+    offset honored, numSampleFrames cross-checked against the SSND
+    payload. Returns (sample_rate, int16 samples). Raises ValueError
+    on anything malformed — fail loudly, quarantine upstream (the
+    PpmDecode contract)."""
+    import struct
+
+    if b is None or len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    (form_size,) = struct.unpack_from(">I", b, 4)
+    if form_size + 8 > len(b):
+        raise ValueError("truncated FORM")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", b, pos + 4)
+        payload = b[pos + 8 : pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError(f"truncated AIFF chunk {tag!r}")
+        if tag == b"COMM":
+            comm = payload
+        elif tag == b"SSND":
+            ssnd = payload
+        pos += 8 + size + (size % 2)  # IFF pads odd chunks
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    if len(comm) != 18:
+        raise ValueError("COMM chunk must be 18 bytes")
+    channels, n_frames, bits = struct.unpack_from(">hIh", comm, 0)
+    if channels != 1 or bits != 16:
+        raise ValueError("only mono 16-bit AIFF supported")
+    rate = _float80_decode(comm[8:18])
+    if rate <= 0:
+        raise ValueError("non-positive AIFF sample rate")
+    if len(ssnd) < 8:
+        raise ValueError("SSND chunk too short")
+    offset, _block = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + offset :]
+    if len(data) != 2 * n_frames:
+        raise ValueError("SSND payload does not match COMM numSampleFrames")
+    return rate, np.frombuffer(data, dtype=">i2").astype(np.int16)
+
+
+class AiffDecode:
+    """Actor-pool AIFF decode stage (stateless parse per payload; the
+    struct formats are module-level). Emits sample_rate (Hz, int64 —
+    gate rates are integral; the 80-bit decode is exact for them),
+    n_samples, mean_abs (int64 sum, ONE terminal division, 6 dp),
+    peak, and first_smp (signed first sample — the byte-order witness:
+    a little-endian misread flips its magnitude class)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, counts, means, peaks, firsts = [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            rate, s = decode_aiff(buf.as_py())
+            s64 = s.astype(np.int64)
+            rates.append(int(round(rate)))
+            counts.append(len(s))
+            means.append(round(float(np.abs(s64).sum()) / len(s), 6) if len(s) else 0.0)
+            peaks.append(int(np.abs(s64).max()) if len(s) else 0)
+            firsts.append(int(s64[0]) if len(s) else 0)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("sample_rate", pa.array(np.array(rates, dtype=np.int64)))
+        out = out.append_column("n_samples", pa.array(np.array(counts, dtype=np.int64)))
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(np.array(peaks, dtype=np.int64)))
+        out = out.append_column("first_smp", pa.array(np.array(firsts, dtype=np.int64)))
+        return out
+
+
+def decode_aiff_ds(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool AIFF decode — same shape/sizing as decode_ppm."""
+    return ds.map_batches(
+        AiffDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
