@@ -3956,6 +3956,17 @@ def _r_events_streaks(sf_dir):
     return events_streaks(sf_dir)
 
 
+def _r_interval_cover(sf_dir):
+    """Per-user interval-union coverage (pipelines/relational.py
+    interval_cover): event spans [s, s + 60 + event_id%600) merged
+    when overlapping or touching; all-int64 output (n_events,
+    n_blocks, covered_s). The SQL twin is the textbook running-max
+    islands idiom (window MAX over the preceding frame)."""
+    from distributed_pagerank_ray.pipelines.relational import interval_cover
+
+    return interval_cover(sf_dir)
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -6172,6 +6183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_readability": _t_readability,  # Flesch reading-ease, SQL-gated (r5 new)
         "t_stopword_ratio": _t_stopword_ratio,  # corpus-top-10 stopword density, SQL-gated (r5 new)
         "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
+        "r_interval_cover": _r_interval_cover,  # interval-union coverage, SQL-gated (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
@@ -8393,6 +8405,39 @@ WITH o AS (
 SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_len,
        CAST(max(dur) AS BIGINT) AS max_dur_s
 FROM s GROUP BY user_id
+""",
+        # interval-union islands: running-max window over the
+        # preceding frame; touching spans (s == running max) merge,
+        # strictly-later break; window SUM is HUGEINT → CAST BIGINT
+        "r_interval_cover": """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000 + 60 + event_id % 600 AS e
+  FROM events
+), o AS (
+  SELECT user_id, event_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), b AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+  FROM o
+), g AS (
+  SELECT user_id, s, e,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS blk
+  FROM b
+), spans AS (
+  SELECT user_id, blk, count(*) AS n_ev, max(e) - min(s) AS covered
+  FROM g GROUP BY user_id, blk
+)
+SELECT user_id,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       count(*) AS n_blocks,
+       CAST(sum(covered) AS BIGINT) AS covered_s
+FROM spans GROUP BY user_id
 """,
         # grouped top-k via QUALIFY; floor-cents money (bit-identical)
         "r_topk_per_line": """

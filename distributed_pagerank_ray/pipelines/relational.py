@@ -2679,6 +2679,112 @@ def events_streaks(
     )
 
 
+def interval_cover(
+    sf_dir: str, num_buckets: "int | None" = None
+) -> "ray.data.Dataset":
+    """Per-user interval-union coverage — the other classic
+    gaps-and-islands shape (events_streaks merges by GAP between
+    points; this merges OVERLAPPING/touching spans). Each event spans
+    [s, e) with s = whole-second epoch of ts and e = s + 60 +
+    event_id % 600 (a deterministic per-event duration both engines
+    derive identically — the planting recipe); per user the output is
+    ``n_events``, ``n_blocks`` (merged maximal spans; touching
+    intervals s == running-max-e merge, strictly-later ones break) and
+    ``covered_s`` (total union length, exact int64).
+
+    Scale shape: the hash-bucketed ordered plan (events_sessions) —
+    per bucket ONE stable sort by (user_id, s, e, event_id), then a
+    single global ``np.maximum.accumulate`` running max where each
+    user's timeline is shifted into a disjoint int64 range (shift =
+    per-bucket user index · 2⁴², cancelling inside any one user's
+    arithmetic) so no per-user loop or reset pass exists; block edges
+    fall out of one shifted compare and per-user folds are reduceat
+    over user-start offsets. No per-user map_groups, no window
+    shuffle."""
+    from .temporal import _bucket_of
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    num_buckets = _derived_buckets(ds, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, num_buckets)),
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(keys),
+                "ts": t.column("ts"),
+            }
+        )
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": np.array([], dtype=np.int64),
+                "n_events": np.array([], dtype=np.int64),
+                "n_blocks": np.array([], dtype=np.int64),
+                "covered_s": np.array([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        eid = g["event_id"].to_numpy(dtype=np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        s = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) // 1_000_000
+        e = s + 60 + eid % 600
+        order = np.lexsort((eid, e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        n = len(uid)
+        # shift each user's timeline into a disjoint range so one
+        # global running max respects per-user resets
+        _, inv = np.unique(uid, return_inverse=True)
+        shift = inv.astype(np.int64) << 42
+        m = np.maximum.accumulate(e + shift)  # running max of shifted ends
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (s + shift)[1:] > m[:-1]  # touching (==) merges
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1  # last row of each block
+        covered = (m[ends] - shift[ends]) - s[starts]  # shift cancels in-user
+        blk_user = uid[starts]
+        unew = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            unew[1:] = blk_user[1:] != blk_user[:-1]
+        ustarts = np.flatnonzero(unew)
+        out_user = blk_user[ustarts]
+        n_blocks = np.diff(np.append(ustarts, len(starts))).astype(np.int64)
+        covered_s = np.add.reduceat(covered, ustarts).astype(np.int64)
+        n_events = np.bincount(inv, minlength=inv.max() + 1)
+        # bincount is keyed by the per-bucket user index; remap to the
+        # block-order user sequence (np.unique sorted uid ascending and
+        # lexsort's primary key is uid, so both walks are ascending)
+        return pd.DataFrame(
+            {
+                "user_id": out_user,
+                "n_events": n_events[inv[starts[ustarts]]].astype(np.int64),
+                "n_blocks": n_blocks,
+                "covered_s": covered_s,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cover, batch_format="pandas")
+        .map_batches(
+            ensure_schema(
+                {
+                    "user_id": _I64,
+                    "n_events": _I64,
+                    "n_blocks": _I64,
+                    "covered_s": _I64,
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def time_weighted_value(sf_dir: str, num_buckets: "int | None" = None) -> "ray.data.Dataset":
     """Time-weighted average value per user — each event's value is
     weighted by its DWELL (whole seconds until the user's next event,

@@ -807,3 +807,66 @@ def test_meta_directives_parsing_hazards():
     assert got["nofollow"] == [0, 1, 0]
     assert got["n_robots_metas"] == [0, 2, 0]
     assert got["canonical"] == ["", "http://c/1", ""]
+
+
+def test_interval_cover_brute_force(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import interval_cover
+
+    rng = np.random.default_rng(7)
+    n = 400
+    uid = rng.integers(0, 12, n)
+    sec = rng.integers(0, 3000, n)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": uid.astype(np.int64),
+            "ts": pd.to_datetime(sec * 1_000_000, unit="us"),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        interval_cover(str(tmp_path), num_buckets=3)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # brute force: per user, merge sorted [s, e) with touching == merge
+    s = sec.astype(np.int64)
+    e = s + 60 + np.arange(n, dtype=np.int64) % 600
+    want = []
+    for u in sorted(set(uid.tolist())):
+        idx = np.flatnonzero(uid == u)
+        spans = sorted(zip(s[idx].tolist(), e[idx].tolist()))
+        blocks = []
+        for a, b in spans:
+            if blocks and a <= blocks[-1][1]:
+                blocks[-1][1] = max(blocks[-1][1], b)
+            else:
+                blocks.append([a, b])
+        want.append(
+            (u, len(idx), len(blocks), sum(b - a for a, b in blocks))
+        )
+    want_df = pd.DataFrame(want, columns=["user_id", "n_events", "n_blocks", "covered_s"])
+    pd.testing.assert_frame_equal(got.astype("int64"), want_df.astype("int64"))
+
+
+def test_interval_cover_bucket_invariance(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import interval_cover
+
+    rng = np.random.default_rng(11)
+    n = 100
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 5, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 900, n) * 1_000_000, unit="us"),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    a = interval_cover(str(tmp_path), num_buckets=1).to_pandas().sort_values("user_id").reset_index(drop=True)
+    b = interval_cover(str(tmp_path), num_buckets=257).to_pandas().sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
