@@ -127,3 +127,61 @@ def test_levenshtein_bytes_byte_not_codepoint():
     # sub + one delete), not 1
     assert levenshtein_bytes(["éx"], ["ex"])[0] == 2
     assert levenshtein_bytes(["aé"], ["a"])[0] == 2
+
+
+def test_jaro_winkler_published_vectors():
+    from distributed_pagerank_ray.functions.editdist import jaro_winkler_bytes
+
+    cases = {
+        ("MARTHA", "MARHTA"): 0.9611111111111111,
+        ("DIXON", "DICKSONX"): 0.8133333333333332,
+        ("JELLYFISH", "SMELLYFISH"): 0.8962962962962964,
+        ("DWAYNE", "DUANE"): 0.8400000000000001,
+        ("abc", "abc"): 1.0,
+        ("", "abc"): 0.0,
+        ("", ""): 0.0,  # DuckDB returns 0 for empty-vs-empty
+        ("ab", "ba"): 0.0,  # zero window: no matches possible
+        ("éx", "ex"): 0.0,  # BYTE semantics break the é match
+        ("abcd", "dcba"): 0.5,
+        ("aXXXXXX", "aYYYYYY"): 0.42857142857142855,  # jaro <= 0.7: NO boost
+        ("aaab", "aaac"): 0.8833333333333334,  # boost, prefix 3
+        ("aaaaaaaaaa", "aaaaabaaaa"): 0.96,  # prefix capped at 4
+    }
+    got = jaro_winkler_bytes([k[0] for k in cases], [k[1] for k in cases])
+    for (a, b), want, g in zip(cases.keys(), cases.values(), got):
+        assert g == want, (a, b, g, want)
+
+
+def test_jaro_winkler_matches_brute_and_duckdb():
+    from distributed_pagerank_ray.functions.editdist import (
+        jaro_winkler_brute,
+        jaro_winkler_bytes,
+    )
+
+    rng = random.Random(13)
+    alpha = "abcdé漢 xyz\t"
+    pairs = [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60))),
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60))),
+        )
+        for _ in range(300)
+    ]
+    pairs += [("", ""), ("a", ""), ("", "b"), ("héllo wörld", "hello world")]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = jaro_winkler_bytes(a, b, prefix_chars=40)
+    exp = np.array([jaro_winkler_brute(x[:40], y[:40]) for x, y in pairs])
+    assert (got == exp).all()  # bit-exact, not allclose
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    duck = np.array(
+        [
+            r[0]
+            for r in con.sql(
+                "SELECT jaro_winkler_similarity(substr(a,1,40), substr(b,1,40)) FROM t"
+            ).fetchall()
+        ]
+    )
+    assert (got == duck).all()
