@@ -3956,6 +3956,16 @@ def _r_events_streaks(sf_dir):
     return events_streaks(sf_dir)
 
 
+def _r_mode_per_user(sf_dir):
+    """Deterministic grouped MODE (count desc, value asc tie rule —
+    bare SQL mode() is tie-unstable so the oracle uses row_number).
+    Two packed-key BSPs: np.unique pre-agg + weighted count fold, then
+    the keep_best argmin packing (see relational.mode_value_per_user)."""
+    from distributed_pagerank_ray.pipelines.relational import mode_value_per_user
+
+    return mode_value_per_user(sf_dir)
+
+
 def _r_interval_cover(sf_dir):
     """Per-user interval-union coverage (pipelines/relational.py
     interval_cover): event spans [s, s + 60 + event_id%600) merged
@@ -6244,6 +6254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_stopword_ratio": _t_stopword_ratio,  # corpus-top-10 stopword density, SQL-gated (r5 new)
         "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
         "r_interval_cover": _r_interval_cover,  # interval-union coverage, SQL-gated (r5 new)
+        "r_mode_per_user": _r_mode_per_user,  # deterministic grouped mode, SQL-gated (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
@@ -8474,6 +8485,17 @@ WITH o AS (
 SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_len,
        CAST(max(dur) AS BIGINT) AS max_dur_s
 FROM s GROUP BY user_id
+""",
+        # deterministic mode: tie rule (count desc, cents asc) via
+        # row_number — bare mode() is tie-unstable across engines
+        "r_mode_per_user": """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents, count(*) AS n
+  FROM events GROUP BY user_id, cents
+)
+SELECT user_id, cents AS mode_cents, CAST(n AS BIGINT) AS n_mode
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, cents) = 1
 """,
         # interval-union islands: running-max window over the
         # preceding frame; touching spans (s == running max) merge,

@@ -2679,6 +2679,89 @@ def events_streaks(
     )
 
 
+def mode_value_per_user(sf_dir: str, num_shards: int = 16) -> "ray.data.Dataset":
+    """Deterministic grouped MODE — most frequent value per group with
+    the tie rule pinned (count desc, value asc; SQL's bare ``mode()``
+    is tie-unstable across engines so a gate can't use it). Values are
+    floor-cents (floor is bit-identical across engines); output per
+    user: ``mode_cents``, ``n_mode``.
+
+    Scale shape: two packed-key BSPs, no row-level groupby —
+    (1) per-batch np.unique pre-aggregation of packed (user≪31 | cents)
+    into partial counts, folded by the weighted count BSP (exchange is
+    O(distinct pairs × blocks), never O(rows));
+    (2) the keep_best_per_cluster argmin recipe: min over packed
+    ((2³¹−1−count)≪31 | cents) keyed by user IS the (count desc,
+    cents asc) winner. Both packings need cents and count in
+    [0, 2³¹) — counts above that raise (fail loudly, repartition the
+    key first)."""
+    from ..util import count_i64_keys, min_i64_by_key
+
+    _MASK = (1 << 31) - 1
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return pa.table({"k": pa.array([], _I64), "p": pa.array([], _I64)})
+        u = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").cast(_F64).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        if cents.size and (cents.min() < 0 or cents.max() > _MASK):
+            raise ValueError("mode packing needs cents in [0, 2^31)")
+        k, p = np.unique((u << 31) | cents, return_counts=True)
+        return pa.table({"k": pa.array(k), "p": pa.array(p.astype(np.int64))})
+
+    counts = count_i64_keys(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        "k",
+        num_shards=num_shards,
+        count_col="cnt",
+        weight_col="p",
+    )
+
+    def pack_winner(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "k" not in t.column_names:
+            return pa.table({"user_id": pa.array([], _I64), "w": pa.array([], _I64)})
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        if cnt.size and cnt.max() > _MASK:
+            raise ValueError("mode packing needs counts < 2^31")
+        return pa.table(
+            {
+                "user_id": pa.array(k >> 31),
+                "w": pa.array(((_MASK - cnt) << 31) | (k & _MASK)),
+            }
+        )
+
+    won = min_i64_by_key(
+        counts.map_batches(pack_winner, batch_format="pyarrow"),
+        "user_id",
+        "w",
+        num_shards=num_shards,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], _I64),
+                    "mode_cents": pa.array([], _I64),
+                    "n_mode": pa.array([], _I64),
+                }
+            )
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "mode_cents": pa.array(w & _MASK),
+                "n_mode": pa.array(_MASK - (w >> 31)),
+            }
+        )
+
+    return won.map_batches(unpack, batch_format="pyarrow")
+
+
 def interval_cover(
     sf_dir: str, num_buckets: "int | None" = None
 ) -> "ray.data.Dataset":

@@ -870,3 +870,38 @@ def test_interval_cover_bucket_invariance(tmp_path):
     a = interval_cover(str(tmp_path), num_buckets=1).to_pandas().sort_values("user_id").reset_index(drop=True)
     b = interval_cover(str(tmp_path), num_buckets=257).to_pandas().sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mode_per_user_tie_rule(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import mode_value_per_user
+
+    # user 1: tie 2x1.00 vs 2x0.50 -> smaller cents (50) wins
+    # user 2: clear winner 3x2.00
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 1, 2, 2, 2, 2], dtype=np.int64),
+            "value": [1.0, 0.5, 1.0, 0.5, 2.0, 2.0, 2.0, 9.99],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        mode_value_per_user(str(tmp_path), num_shards=2)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["mode_cents"].tolist() == [50, 200]
+    assert got["n_mode"].tolist() == [2, 3]
+
+
+def test_mode_per_user_packing_guard(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import mode_value_per_user
+
+    df = pd.DataFrame({"user_id": [1], "value": [-0.5]})  # negative cents
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    with pytest.raises(Exception):
+        mode_value_per_user(str(tmp_path), num_shards=2).to_pandas()
