@@ -4683,6 +4683,50 @@ def _g_betweenness_doc(sf_dir):
     return betweenness_centrality(g, batch_k=512, directed=False)
 
 
+def _g_closeness_doc(sf_dir):
+    """Closeness centrality (landmark matrix-BFS fold,
+    pipelines/centrality.py::closeness_centrality) on the SAME planted
+    diamond+tail 8-groups as g_betweenness_doc: per-position distance
+    sums have the closed form [22,18,18,14,14,16,20,26] (verified by
+    brute BFS in tests/test_betweenness.py's closeness sibling), so
+    the oracle is a VALUES lookup. Exact all-landmarks run, vertex set
+    capped at 2048."""
+    import tempfile
+
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.centrality import closeness_centrality
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
+            sel = i[p == pos]
+            for o in offs:
+                srcs.append(sel)
+                dsts.append(sel + o)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    g = build_graph(
+        docs.map_batches(make, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix="dpr_close_gate_"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
+    )
+    return closeness_centrality(g, batch_k=512, directed=False)
+
+
 def _planted_k4_chain_edges(sf_dir):
     """The planted cohesive-subgraph gate graph: consecutive groups of
     8 doc ids carry a K4 on positions {0,1,2,3}, a triangle CHAIN
@@ -6245,6 +6289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_sitemap_ingest": _x_sitemap_ingest,  # sitemap XML entries, SQL-gated (r5 new)
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist (displaced late-r5)
         "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
+        "g_closeness_doc": _g_closeness_doc,  # closeness via the matrix-BFS fold, closed-form oracle (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -7285,6 +7330,21 @@ SELECT doc_id AS id,
          WHEN 3 THEN 25.0 WHEN 4 THEN 24.0 WHEN 5 THEN 20.0
          WHEN 6 THEN 12.0 ELSE 0.0 END AS DOUBLE) AS betweenness
 FROM documents, nn WHERE doc_id < nf
+""",
+        # closed-form per-position closeness of the same planted
+        # diamond+tail 8-groups (distance sums verified by brute BFS
+        # in tests/test_betweenness.py)
+        "g_closeness_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents),
+c(p, sumd) AS (VALUES (0, 22), (1, 18), (2, 18), (3, 14),
+                      (4, 14), (5, 16), (6, 20), (7, 26))
+SELECT doc_id AS id,
+       CAST(7 AS BIGINT) AS n_reach,
+       CAST(c.sumd AS BIGINT) AS sum_dist,
+       round(7.0 / c.sumd, 6) AS closeness
+FROM documents, nn
+JOIN c ON c.p = CAST(doc_id % 8 AS INTEGER)
+WHERE doc_id < nf
 """,
         # planted K4 + cascading triangle chain per 8-group: the
         # 4-truss is exactly the K4, support 2 per edge (closed form;

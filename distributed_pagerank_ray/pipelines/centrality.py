@@ -318,6 +318,111 @@ def distance_summary(
     )
 
 
+@ray.remote
+def _lm_close_fold(acc_prev, D: np.ndarray):
+    """Row-wise (Σd, count) over finite non-self distances in this
+    landmark batch's shard matrix, added to the running per-shard
+    (sum, count) pair — the closeness sibling of ``_lm_harmonic``
+    (exact int64 sums: BFS distances are small ints in float cells)."""
+    finite = np.isfinite(D) & (D > 0)
+    sm = np.where(finite, D, 0.0).sum(axis=1).astype(np.int64)
+    ct = finite.sum(axis=1).astype(np.int64)
+    if acc_prev is None:
+        return (sm, ct)
+    return (acc_prev[0] + sm, acc_prev[1] + ct)
+
+
+def closeness_centrality(
+    graph: GraphTables,
+    landmarks: "np.ndarray | list[int] | None" = None,
+    batch_k: int = 256,
+    max_iters: int = 100,
+    directed: bool = False,
+    combine_fanin: int = 0,
+) -> "ray.data.Dataset":
+    """(id, n_reach, sum_dist, closeness) for every vertex, closeness =
+    n_reach / Σ dist over the source set (6 dp) — the reciprocal-mean
+    sibling of ``harmonic_centrality`` (harmonic sums 1/d and handles
+    disconnection gracefully; closeness reports the raw component-local
+    ratio, 0.0 for isolated vertices). ``landmarks=None`` is EXACT (all
+    sources); with a landmark sample the sums cover the sampled sources
+    only (reported raw — the estimator is the caller's choice, unlike
+    harmonic's n/K linear scaling, because a ratio of sums doesn't
+    scale linearly).
+
+    Same batched landmark matrix-BFS shape as harmonic_centrality —
+    only the per-batch fold differs ((Σd, count) int64 pairs per shard,
+    additive across batches = the resume unit)."""
+    n, shard_rows = graph.n, graph.shard_rows
+    if landmarks is None:
+        landmarks = np.arange(n, dtype=np.int64)
+    else:
+        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
+        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
+            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
+
+    if directed:
+        edge_src = graph.edges()
+    else:
+        edge_src = ray.data.read_parquet(
+            symmetrize_edges(graph), columns=["src", "dst"]
+        )
+    S = n_shards(n, shard_rows)
+    edges_mat = edge_src.materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
+    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
+
+    acc_refs: list = [None] * S
+    for b0 in range(0, len(landmarks), batch_k):
+        lms = landmarks[b0 : b0 + batch_k]
+        K = len(lms)
+        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
+        for _ in range(max_iters):
+            gathers = [
+                _lm_gather.options(num_returns=S).remote(
+                    b, dist_refs, n, shard_rows, S, K
+                )
+                for b in blocks
+            ]
+            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+            if combine_fanin > 0:
+                from ..util import tree_combine_refs
+
+                cols = [
+                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
+                    for s in range(S)
+                ]
+            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
+            changed = int(sum(ray.get([o[0] for o in outs])))
+            dist_refs = [o[1] for o in outs]
+            if changed == 0:
+                break
+        acc_refs = [_lm_close_fold.remote(acc_refs[s], dist_refs[s]) for s in range(S)]
+
+    @ray.remote
+    def to_table(s: int, acc):
+        lo = s * shard_rows
+        rows = min(shard_rows, n - lo)
+        if acc is None:
+            sm = np.zeros(rows, np.int64)
+            ct = np.zeros(rows, np.int64)
+        else:
+            sm, ct = acc
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cl = np.where(sm > 0, ct / np.maximum(sm, 1), 0.0)
+        return pa.table(
+            {
+                "id": pa.array(np.arange(lo, lo + rows, dtype=np.int64)),
+                "n_reach": pa.array(ct),
+                "sum_dist": pa.array(sm),
+                "closeness": pa.array(np.round(cl, 6)),
+            }
+        )
+
+    return ray.data.from_arrow_refs([to_table.remote(s, acc_refs[s]) for s in range(S)])
+
+
 # ------------------------------------------------------- betweenness (Brandes)
 #
 # bc(v) = Σ_{s≠v≠t} σ_st(v) / σ_st over ORDERED (s, t) pairs (the

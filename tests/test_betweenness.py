@@ -138,3 +138,75 @@ def test_betweenness_landmark_validation(tmp_path):
         betweenness_centrality(g, landmarks=[])
     with pytest.raises(ValueError):
         betweenness_centrality(g, landmarks=[99])
+
+
+# ---------------------------------------------------------- closeness sibling
+
+
+def _brute_closeness(src, dst, n):
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = []
+    for s in range(n):
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        sm = sum(d for v, d in dist.items() if v != s)
+        ct = len(dist) - 1
+        out.append((s, ct, sm, round(ct / sm, 6) if sm else 0.0))
+    return out
+
+
+def test_closeness_random_matches_brute(tmp_path, ray_session):
+    from distributed_pagerank_ray.pipelines.centrality import closeness_centrality
+
+    rng = np.random.default_rng(3)
+    n = 24
+    src = rng.integers(0, n, 60)
+    dst = rng.integers(0, n, 60)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # ensure every id appears (build_graph vertex set = src ∪ dst)
+    src = np.concatenate([src, np.arange(n - 1)])
+    dst = np.concatenate([dst, np.arange(1, n)])
+    g = _graph(tmp_path, src, dst, "close_rand", shard_rows=7)
+    got = (
+        closeness_centrality(g, batch_k=5)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = _brute_closeness(src, dst, n)
+    for (s, ct, sm, cl), row in zip(want, got.itertuples(index=False)):
+        assert row.id == s and row.n_reach == ct and row.sum_dist == sm
+        assert row.closeness == cl
+
+
+def test_closeness_diamond_tail_closed_form(tmp_path, ray_session):
+    from distributed_pagerank_ray.pipelines.centrality import closeness_centrality
+
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    src = [a for a, _ in pairs]
+    dst = [b for _, b in pairs]
+    g = _graph(tmp_path, src, dst, "close_diamond", shard_rows=3)
+    got = closeness_centrality(g).to_pandas().sort_values("id")
+    assert got["sum_dist"].tolist() == [22, 18, 18, 14, 14, 16, 20, 26]
+    assert (got["n_reach"] == 7).all()
+
+
+def test_closeness_landmark_subset_sums_sources_only(tmp_path, ray_session):
+    from distributed_pagerank_ray.pipelines.centrality import closeness_centrality
+
+    # path 0-1-2-3; landmarks {0}: sum_dist[v] = dist(0, v), n_reach = 1
+    g = _graph(tmp_path, [0, 1, 2], [1, 2, 3], "close_lm", shard_rows=3)
+    got = closeness_centrality(g, landmarks=[0]).to_pandas().sort_values("id")
+    assert got["sum_dist"].tolist() == [0, 1, 2, 3]
+    assert got["n_reach"].tolist() == [0, 1, 1, 1]
