@@ -4378,6 +4378,19 @@ def _g_reciprocity_doc(sf_dir):
     return reciprocity(docs.map_batches(make, batch_format="pyarrow"), num_partitions=4)
 
 
+def _g_resource_alloc_parts(sf_dir):
+    """Resource Allocation index (Zhou/Lü/Zhang 2009) of the part
+    co-occurrence graph's own edges (top-20): Σ 1/deg(m) over common
+    neighbors — the hub-punishing sibling of Adamic-Adar, sharing the
+    whole wedge-join/edge-filter pipeline via the weight parameter."""
+    from distributed_pagerank_ray.pipelines.metrics import adamic_adar_scores
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+
+    return adamic_adar_scores(
+        part_cooccurrence_edges(sf_dir), k=20, num_partitions=8, weight="resource_alloc"
+    )
+
+
 def _g_adamic_adar_parts(sf_dir):
     """Adamic-Adar link strength of the part co-occurrence graph's own
     edges (top-20 by score): Σ 1/ln(deg m) over common neighbors m —
@@ -6290,6 +6303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_cume": _r_events_cume,  # tie-stable per-group cume_dist (displaced late-r5)
         "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
         "g_closeness_doc": _g_closeness_doc,  # closeness via the matrix-BFS fold, closed-form oracle (r5 new)
+        "g_resource_alloc_parts": _g_resource_alloc_parts,  # RA link index via the shared wedge pipeline (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -9055,6 +9069,32 @@ paths AS (
 scores AS (
   SELECT p.u AS a, p.w AS b,
          sum(CASE WHEN d.d > 1 THEN 1.0 / ln(d.d) ELSE 0 END) AS score
+  FROM paths p JOIN deg d ON d.v = p.m
+  GROUP BY p.u, p.w
+)
+SELECT s.a, s.b, round(s.score, 6) AS score
+FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
+ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
+LIMIT 20
+""",
+        # Resource Allocation: same CTEs as AA with 1/d relay weight
+        # (deg-1 relays impossible on a symmetrized existing-edge
+        # graph's wedge, but the CASE mirrors the engine's guard)
+        "g_resource_alloc_parts": """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a),
+paths AS (
+  SELECT s1.a AS u, s1.b AS m, s2.b AS w
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+  WHERE s1.a < s2.b
+),
+scores AS (
+  SELECT p.u AS a, p.w AS b, sum(1.0 / d.d) AS score
   FROM paths p JOIN deg d ON d.v = p.m
   GROUP BY p.u, p.w
 )

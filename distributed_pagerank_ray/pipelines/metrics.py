@@ -412,6 +412,7 @@ def adamic_adar_scores(
     k: int = 20,
     num_partitions: int = 8,
     num_shards: int = 16,
+    weight: str = "adamic_adar",
 ) -> "ray.data.Dataset":
     """Adamic-Adar link strength for EXISTING edges: for each distinct
     undirected edge (a < b), score = Σ_{m ∈ N(a) ∩ N(b)} 1 / ln(deg m)
@@ -433,7 +434,13 @@ def adamic_adar_scores(
     → partial-prune top-k (no full sort).
 
     Input must be canonical undirected (a < b) distinct edges with ids
-    in [0, 2^31) (the packed-key bound)."""
+    in [0, 2^31) (the packed-key bound).
+
+    ``weight="resource_alloc"`` swaps the relay weight to 1/deg(m) —
+    the Resource Allocation index (Zhou/Lü/Zhang 2009), empirically
+    the strongest of the local link-prediction indices on skewed
+    graphs (it punishes hub relays harder than 1/ln); everything else
+    (wedge join, edge-set filter, top-k) is shared."""
     import ray
 
     from ray.data.aggregate import Sum as _Sum
@@ -441,6 +448,8 @@ def adamic_adar_scores(
     from ..util import topk_rows
 
     SHIFT = np.int64(1) << 31
+    if weight not in ("adamic_adar", "resource_alloc"):
+        raise ValueError("weight must be 'adamic_adar' or 'resource_alloc'")
 
     und = und_edges.map_batches(
         lambda t: pa.table(
@@ -499,7 +508,7 @@ def adamic_adar_scores(
             )
         d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
         with np.errstate(divide="ignore"):
-            w = 1.0 / np.log(d)
+            w = 1.0 / d if weight == "resource_alloc" else 1.0 / np.log(d)
         w[~np.isfinite(w)] = 0.0  # deg-1 relays contribute nothing (ln 1 = 0)
         return pa.table({"u": t.column("u"), "m": t.column("m"), "wgt": pa.array(w, _F64)})
 

@@ -905,3 +905,39 @@ def test_mode_per_user_packing_guard(tmp_path):
     df.to_parquet(tmp_path / "events.parquet", index=False)
     with pytest.raises(Exception):
         mode_value_per_user(str(tmp_path), num_shards=2).to_pandas()
+
+
+def test_resource_alloc_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import adamic_adar_scores
+
+    rng = np.random.default_rng(23)
+    raw = {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 25, 150), rng.integers(0, 25, 150))
+        if a != b
+    }
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in und], pa.int64()),
+                "b": pa.array([e[1] for e in und], pa.int64()),
+            }
+        )
+    )
+    got = adamic_adar_scores(
+        ds, k=10, num_partitions=2, num_shards=2, weight="resource_alloc"
+    ).to_pandas()
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    for a, b in und:
+        s = sum(1.0 / len(adj[m]) for m in adj[a] & adj[b])
+        want.append((a, b, round(s, 6)))
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+    gl = [(int(r.a), int(r.b), float(r.score)) for r in got.itertuples(index=False)]
+    assert gl == want[:10]
+    with pytest.raises(ValueError):
+        adamic_adar_scores(ds, weight="nope")
