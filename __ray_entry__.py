@@ -5650,6 +5650,86 @@ def _t_jaro_winkler(sf_dir):
     )
 
 
+def _t_bigram_overlap(sf_dir):
+    """BLEU-style modified bigram precision between candidate pairs
+    (consecutive doc ids): POSITIONAL bigrams with multiplicity,
+    clipped matches Σ min(count_a, count_b), one terminal division —
+    the n-gram side of dedup verification (t_edit_dist/t_jaro_winkler
+    are the character side). Texts carry the planted whitespace pad so
+    trim parity is witnessed; tokenizer is the pinned RE2-\\s split."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.dedup import clipped_ngram_overlap_batch
+    from distributed_pagerank_ray.util import compact_for_join, ensure_schema
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_plant_ws_pad, batch_format="pyarrow")
+
+    def right(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return pa.table({"j": pa.array([], pa.int64()), "text_b": pa.array([], pa.string())})
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "j": pc.subtract(t.column("doc_id").cast(pa.int64()), 1),
+                "text_b": t.column("text"),
+            }
+        )
+
+    pairs = compact_for_join(docs, 4).join(
+        compact_for_join(docs.map_batches(right, batch_format="pyarrow"), 4),
+        join_type="inner",
+        num_partitions=4,
+        on=("doc_id",),
+        right_on=("j",),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "text" not in t.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                    "n_clip": pa.array([], pa.int64()),
+                    "prec2": pa.array([], pa.float64()),
+                }
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        na, nb, nc = clipped_ngram_overlap_batch(
+            t.column("text").to_pylist(), t.column("text_b").to_pylist(), n=2
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = np.where(na > 0, nc.astype(np.float64) / np.maximum(na, 1), 0.0)
+        return pa.table(
+            {
+                "a": pa.array(ids),
+                "b": pa.array(ids + 1),
+                "n_a": pa.array(na),
+                "n_b": pa.array(nb),
+                "n_clip": pa.array(nc),
+                "prec2": pa.array(np.round(p, 6)),
+            }
+        )
+
+    return pairs.map_batches(score, batch_format="pyarrow").map_batches(
+        ensure_schema(
+            {
+                "a": pa.int64(),
+                "b": pa.int64(),
+                "n_a": pa.int64(),
+                "n_b": pa.int64(),
+                "n_clip": pa.int64(),
+                "prec2": pa.float64(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _r_time_weighted(sf_dir):
     """Dwell-weighted engagement: time-weighted average value per user
     (LEAD window surface; integer-exact accumulation, one terminal
@@ -6283,6 +6363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
         "m_aiff_decode": _m_aiff_decode,  # REAL AIFF 80-bit-float/big-endian decode, analytic oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
+        "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
         # (g_host_graph OUTSIDE the window: the graph family is
         # witnessed in-window nine ways and URL normalization carries
@@ -7623,6 +7704,40 @@ FROM c, b GROUP BY l_returnflag ORDER BY l_returnflag
 SELECT a.doc_id AS a, b.doc_id AS b,
        levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+ORDER BY a
+""",
+        # positional bigrams with multiplicity (NOT the DISTINCT
+        # _WORD_GRAMS_CTE); clipped sum is HUGEINT -> CAST; division
+        # via CAST AS DOUBLE (bare *1.0 routes through DECIMAL)
+        "t_bigram_overlap": f"""
+WITH {_SQL_PAD_CTE},
+t AS (
+  SELECT doc_id,
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+') END AS arr
+  FROM padded
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+  FROM t, UNNEST(range(1, greatest(len(arr) - 1, 0) + 1)) AS u(i)
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+clip AS (
+  SELECT ca.doc_id AS a, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS nclip
+  FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1 AND cb.g = ca.g
+  GROUP BY ca.doc_id
+),
+ng AS (SELECT doc_id, CAST(greatest(len(arr) - 1, 0) AS BIGINT) AS m FROM t)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       na.m AS n_a, nb.m AS n_b,
+       COALESCE(c.nclip, 0) AS n_clip,
+       CASE WHEN na.m > 0
+            THEN round(CAST(COALESCE(c.nclip, 0) AS DOUBLE) / na.m, 6)
+            ELSE 0.0 END AS prec2
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+JOIN ng na ON na.doc_id = a.doc_id
+JOIN ng nb ON nb.doc_id = b.doc_id
+LEFT JOIN clip c ON c.a = a.doc_id
 ORDER BY a
 """,
         # DuckDB jaro_winkler_similarity is byte-based with a strict

@@ -1301,3 +1301,58 @@ def keep_best_per_cluster(
         return pa.table({id_col: pa.array(vid), "kept": pa.array((vid == w).astype(np.int64))})
 
     return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def clipped_ngram_overlap_batch(
+    texts_a: "list[str]", texts_b: "list[str]", n: int = 2
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BLEU-style clipped n-gram overlap for a batch of candidate
+    pairs: per pair i, (n_a, n_b, n_clip) where n_a/n_b are the
+    POSITIONAL n-gram counts (multiplicity kept — max(0, len−n+1),
+    unlike the distinct-shingle generators above) and n_clip =
+    Σ_g min(count_a(g), count_b(g)) — the clipped-match numerator of
+    modified n-gram precision (Papineni et al. 2002).
+
+    Tokens = the pinned RE2-\\s split; ALL tokens of both sides hash
+    in ONE pandas-siphash call, n-grams are the Horner combine, and
+    the per-pair clip is a sorted-multiset intersection (np.unique
+    counts + searchsorted) — per-row Python is only the O(pairs) loop
+    around vectorized kernels, the verify-stage posture shared with
+    the sequential codecs."""
+    from .textstats import poly_kgram_hashes
+
+    toks_a = [_re2_word_split(t) for t in texts_a]
+    toks_b = [_re2_word_split(t) for t in texts_b]
+    lens = [len(w) for w in toks_a] + [len(w) for w in toks_b]
+    total = sum(lens)
+    P = len(texts_a)
+    na = np.zeros(P, np.int64)
+    nb = np.zeros(P, np.int64)
+    nc = np.zeros(P, np.int64)
+    if total == 0:
+        return na, nb, nc
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in toks_a:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    for w in toks_b:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    h = hash_str_array(flat)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    for i in range(P):
+        ha = h[offs[i] : offs[i + 1]]
+        hb = h[offs[P + i] : offs[P + i + 1]]
+        ga = poly_kgram_hashes(ha, n) if len(ha) >= n else np.zeros(0, np.uint64)
+        gb = poly_kgram_hashes(hb, n) if len(hb) >= n else np.zeros(0, np.uint64)
+        na[i], nb[i] = len(ga), len(gb)
+        if len(ga) and len(gb):
+            ua, ca = np.unique(ga, return_counts=True)
+            ub, cb = np.unique(gb, return_counts=True)
+            idx = np.searchsorted(ua, ub)
+            idx[idx >= len(ua)] = len(ua) - 1
+            hit = ua[idx] == ub
+            nc[i] = np.minimum(ca[idx[hit]], cb[hit]).sum()
+    return na, nb, nc

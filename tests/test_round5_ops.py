@@ -941,3 +941,29 @@ def test_resource_alloc_brute_force():
     assert gl == want[:10]
     with pytest.raises(ValueError):
         adamic_adar_scores(ds, weight="nope")
+
+
+def test_clipped_ngram_overlap_brute_force():
+    from collections import Counter
+
+    from distributed_pagerank_ray.functions.dedup import (
+        _re2_word_split,
+        clipped_ngram_overlap_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "cat", "sat", "on", "mat", "a"]
+    pairs = []
+    for _ in range(60):
+        la, lb = int(rng.integers(0, 12)), int(rng.integers(0, 12))
+        a = " ".join(rng.choice(vocab, la))
+        b = " ".join(rng.choice(vocab, lb))
+        pairs.append((a, b))
+    pairs += [("", ""), ("one", "one"), ("\tx  y\n", "x y")]
+    na, nb, nc = clipped_ngram_overlap_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    for (a, b), ga, gb, gc in zip(pairs, na, nb, nc):
+        ta, tb = _re2_word_split(a), _re2_word_split(b)
+        ca = Counter(zip(ta, ta[1:]))
+        cb = Counter(zip(tb, tb[1:]))
+        assert ga == sum(ca.values()) and gb == sum(cb.values())
+        assert gc == sum(min(ca[g], cb[g]) for g in ca)
