@@ -2624,6 +2624,21 @@ def _e_label_sims(sf_dir):
     )
 
 
+def _e_silhouette(sf_dir):
+    """Centroid-based silhouette per label (functions/similarity.py
+    ::centroid_silhouette): a = dist to own centroid, b = min dist to
+    another centroid, s = (b−a)/max(a,b) — the embedding-space
+    cluster-quality report next to e_label_sims. The SQL twin unrolls
+    the same per-dim squared-diff sums over the exploded column."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.similarity import centroid_silhouette
+
+    return centroid_silhouette(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    )
+
+
 def _r_hourly_users(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import hourly_distinct_users
 
@@ -6531,6 +6546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_rand_proj": _e_rand_proj,  # JL sign projection, quadratic-hash signs
         "e_label_centroids": _e_label_centroids,  # mean-pooled embedding centroids
         "e_label_sims": _e_label_sims,  # pairwise centroid cosine
+        "e_silhouette": _e_silhouette,  # centroid-based silhouette per label, SQL-gated (r5 new)
         "g_out_degree": _g_out_degree,
         "g_in_degree_top20": _g_in_degree_top20,
         "g_vertex_count": _g_vertex_count,
@@ -8176,6 +8192,36 @@ WITH e AS (
   FROM embeddings, UNNEST(range(len(embedding))) AS g(j)
 )
 SELECT label, j, round(avg(v), 6) AS m FROM e GROUP BY label, j
+""",
+        # centroid silhouette: same per-dim squared-diff structure as
+        # the engine ((v-m)*(v-m) summed, sqrt OUTSIDE the aggregate;
+        # sqrt commutes with min, so sqrt(min(ss)) == min-of-dists)
+        "e_silhouette": """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, g.j AS j,
+         CAST(embedding[g.j + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS g(j)
+),
+c AS (SELECT label, j, avg(v) AS m FROM e GROUP BY label, j),
+d2 AS (
+  SELECT e.vec_id, e.label AS own, c.label AS other,
+         sum((e.v - c.m) * (e.v - c.m)) AS ss
+  FROM e JOIN c ON c.j = e.j
+  GROUP BY e.vec_id, e.label, c.label
+),
+ab AS (
+  SELECT vec_id, own,
+         sqrt(max(CASE WHEN other = own THEN ss END)) AS a,
+         sqrt(min(CASE WHEN other <> own THEN ss END)) AS b
+  FROM d2 GROUP BY vec_id, own
+),
+s AS (
+  SELECT own AS label,
+         CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+  FROM ab
+)
+SELECT label, count(*) AS n, round(avg(sil), 6) AS mean_sil
+FROM s GROUP BY label
 """,
         "r_hourly_users": """
 SELECT date_trunc('hour', ts) AS window_start,

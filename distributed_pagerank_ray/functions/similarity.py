@@ -715,3 +715,124 @@ def pca_project(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def centroid_silhouette(
+    emb: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    num_shards: int = 8,
+) -> "ray.data.Dataset":
+    """Simplified (centroid-based) silhouette per label — the cluster
+    cohesion/separation score computed against CENTROIDS instead of
+    all-pairs distances (the O(n·L·d) formulation that scales; true
+    silhouette is O(n²·d)). Per vector: a = ‖x − c_own‖,
+    b = min_{l≠own} ‖x − c_l‖, s = (b − a)/max(a, b) (0 when both are
+    0 or when only one label exists); output one row per label
+    (label, n, mean_sil 6dp), labels BOUNDED by contract (the
+    label_centroids posture — only L×d floats are ever gathered).
+
+    Centroids include each vector's own contribution (the plain
+    grouped mean — matches the SQL twin exactly). Scale shape:
+    per-batch (label, Σvec, count) partials → one tiny grouped fold →
+    centroid matrix broadcast via ray.put → one distance map over the
+    stream → per-batch (label, Σs, n) partials → final tiny fold."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..util import ensure_schema
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or label_col not in t.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], _I64),
+                    "j": pa.array([], _I64),
+                    "s": pa.array([], _F64),
+                    "c": pa.array([], _I64),
+                }
+            )
+        E = _batch_matrix(t, vec_col)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = E.shape[1]
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, E)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel(), _F64),
+                "c": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    sums = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "j"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .map_batches(
+            ensure_schema({"label": _I64, "j": _I64, "s": _F64, "c": _I64}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["label", "j"], kind="stable")
+    )
+    labels = sums["label"].unique()
+    L = len(labels)
+    d = sums["j"].nunique()
+    C = (sums["s"].to_numpy(dtype=np.float64) / sums["c"].to_numpy(dtype=np.float64)).reshape(L, d)
+    cref = ray.put((labels.astype(np.int64), C))
+
+    def sil_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or label_col not in t.column_names:
+            return pa.table(
+                {"label": pa.array([], _I64), "ssum": pa.array([], _F64), "n": pa.array([], _I64)}
+            )
+        labs, Cm = ray.get(cref)
+        X = _batch_matrix(t, vec_col)
+        own = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        own_idx = np.searchsorted(labs, own)
+        # n×L distance matrix: sqrt of per-dim squared-diff sums
+        D = np.sqrt(((X[:, None, :] - Cm[None, :, :]) ** 2).sum(-1))
+        a = D[np.arange(len(X)), own_idx]
+        D[np.arange(len(X)), own_idx] = np.inf
+        b = D.min(axis=1) if Cm.shape[0] > 1 else np.zeros(len(X))
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        uniq, inv = np.unique(own, return_inverse=True)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "ssum": pa.array(np.bincount(inv, weights=s, minlength=len(uniq)), _F64),
+                "n": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+            }
+        )
+
+    folded = (
+        emb.map_batches(sil_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("ssum", alias_name="ssum"), Sum("n", alias_name="n"))
+        .map_batches(
+            ensure_schema({"label": _I64, "ssum": _F64, "n": _I64}), batch_format="pyarrow"
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "label" not in t.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], _I64),
+                    "n": pa.array([], _I64),
+                    "mean_sil": pa.array([], _F64),
+                }
+            )
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        m = np.round(t.column("ssum").to_numpy(zero_copy_only=False) / n, 6)
+        return pa.table(
+            {"label": t.column("label"), "n": pa.array(n), "mean_sil": pa.array(m, _F64)}
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -175,3 +175,31 @@ def test_pca_project_matches_numpy():
     # variance ordering: pc1 spread >= pc2 >= pc3
     sd = got[["pc1", "pc2", "pc3"]].std().to_numpy()
     assert sd[0] > sd[1] > sd[2]
+
+
+def test_centroid_silhouette_brute_force(ray_session):
+    from distributed_pagerank_ray.functions.similarity import centroid_silhouette
+
+    rng = np.random.default_rng(9)
+    n, d, L = 120, 6, 4
+    lab = rng.integers(0, L, n)
+    X = rng.normal(size=(n, d)) + lab[:, None] * 2.0  # separated clusters
+    ds = ray.data.from_items(
+        [
+            {"label": int(l), "embedding": [float(x) for x in row]}
+            for l, row in zip(lab, X)
+        ]
+    ).repartition(3)
+    got = centroid_silhouette(ds).to_pandas().sort_values("label").reset_index(drop=True)
+    C = np.stack([X[lab == l].mean(axis=0) for l in range(L)])
+    D = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+    a = D[np.arange(n), lab]
+    D[np.arange(n), lab] = np.inf
+    b = D.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for l in range(L):
+        row = got[got["label"] == l].iloc[0]
+        assert row["n"] == (lab == l).sum()
+        assert abs(row["mean_sil"] - round(s[lab == l].mean(), 6)) < 2e-6
+    # separated clusters must score well
+    assert (got["mean_sil"] > 0.3).all()
