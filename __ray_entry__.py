@@ -4755,6 +4755,48 @@ def _g_closeness_doc(sf_dir):
     return closeness_centrality(g, batch_k=512, directed=False)
 
 
+def _g_eccentricity_doc(sf_dir):
+    """Per-vertex eccentricity (max-distance fold through the landmark
+    matrix-BFS, pipelines/centrality.py::eccentricity) on the planted
+    diamond+tail 8-groups: closed-form per-position eccentricities
+    [6,5,5,4,3,4,5,6] (position 4 is the graph center). Exact
+    all-landmarks run, capped at 2048 vertices."""
+    import tempfile
+
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.centrality import eccentricity
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
+            sel = i[p == pos]
+            for o in offs:
+                srcs.append(sel)
+                dsts.append(sel + o)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    g = build_graph(
+        docs.map_batches(make, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix="dpr_ecc_gate_"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
+    )
+    return eccentricity(g, batch_k=512, directed=False)
+
+
 def _planted_k4_chain_edges(sf_dir):
     """The planted cohesive-subgraph gate graph: consecutive groups of
     8 doc ids carry a K4 on positions {0,1,2,3}, a triangle CHAIN
@@ -6400,6 +6442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_bipartite_doc": _g_bipartite_doc,  # double-cover bipartiteness, SQL-gated (r5 new)
         "g_closeness_doc": _g_closeness_doc,  # closeness via the matrix-BFS fold, closed-form oracle (r5 new)
         "g_resource_alloc_parts": _g_resource_alloc_parts,  # RA link index via the shared wedge pipeline (r5 new)
+        "g_eccentricity_doc": _g_eccentricity_doc,  # per-vertex eccentricity fold, closed-form oracle (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -7453,6 +7496,16 @@ SELECT doc_id AS id,
        CAST(7 AS BIGINT) AS n_reach,
        CAST(c.sumd AS BIGINT) AS sum_dist,
        round(7.0 / c.sumd, 6) AS closeness
+FROM documents, nn
+JOIN c ON c.p = CAST(doc_id % 8 AS INTEGER)
+WHERE doc_id < nf
+""",
+        # closed-form per-position eccentricity of the planted
+        # diamond+tail 8-groups (position 4 is the center)
+        "g_eccentricity_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents),
+c(p, e) AS (VALUES (0, 6), (1, 5), (2, 5), (3, 4), (4, 3), (5, 4), (6, 5), (7, 6))
+SELECT doc_id AS id, CAST(c.e AS BIGINT) AS ecc
 FROM documents, nn
 JOIN c ON c.p = CAST(doc_id % 8 AS INTEGER)
 WHERE doc_id < nf

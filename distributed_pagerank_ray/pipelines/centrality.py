@@ -423,6 +423,97 @@ def closeness_centrality(
     return ray.data.from_arrow_refs([to_table.remote(s, acc_refs[s]) for s in range(S)])
 
 
+@ray.remote
+def _lm_ecc_fold(acc_prev, D: np.ndarray):
+    """Row-wise max over finite distances in this landmark batch's
+    shard matrix, max-merged into the running per-shard vector — the
+    eccentricity fold (self-distance 0 participates harmlessly)."""
+    Df = np.where(np.isfinite(D), D, 0.0)
+    mx = Df.max(axis=1).astype(np.int64) if D.shape[1] else np.zeros(len(D), np.int64)
+    return mx if acc_prev is None else np.maximum(acc_prev, mx)
+
+
+def eccentricity(
+    graph: GraphTables,
+    landmarks: "np.ndarray | list[int] | None" = None,
+    batch_k: int = 256,
+    max_iters: int = 100,
+    directed: bool = False,
+    combine_fanin: int = 0,
+) -> "ray.data.Dataset":
+    """(id, ecc) for every vertex: eccentricity = max shortest-path
+    distance to any REACHABLE source (unreached pairs are ignored, the
+    component-local convention; isolated vertices get 0). EXACT with
+    ``landmarks=None``; a landmark sample lower-bounds the true value
+    (the standard 2-sweep/iFUB building block). Max over sources of
+    dist(s, v) equals max over targets on an undirected graph; on a
+    directed one this is IN-eccentricity (distance FROM sources).
+
+    Same batched landmark matrix-BFS as harmonic_centrality; only the
+    fold differs (running per-shard max, idempotent = the resume
+    unit)."""
+    n, shard_rows = graph.n, graph.shard_rows
+    if landmarks is None:
+        landmarks = np.arange(n, dtype=np.int64)
+    else:
+        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
+        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
+            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
+
+    if directed:
+        edge_src = graph.edges()
+    else:
+        edge_src = ray.data.read_parquet(
+            symmetrize_edges(graph), columns=["src", "dst"]
+        )
+    S = n_shards(n, shard_rows)
+    edges_mat = edge_src.materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
+    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
+
+    acc_refs: list = [None] * S
+    for b0 in range(0, len(landmarks), batch_k):
+        lms = landmarks[b0 : b0 + batch_k]
+        K = len(lms)
+        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
+        for _ in range(max_iters):
+            gathers = [
+                _lm_gather.options(num_returns=S).remote(
+                    b, dist_refs, n, shard_rows, S, K
+                )
+                for b in blocks
+            ]
+            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+            if combine_fanin > 0:
+                from ..util import tree_combine_refs
+
+                cols = [
+                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
+                    for s in range(S)
+                ]
+            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
+            changed = int(sum(ray.get([o[0] for o in outs])))
+            dist_refs = [o[1] for o in outs]
+            if changed == 0:
+                break
+        acc_refs = [_lm_ecc_fold.remote(acc_refs[s], dist_refs[s]) for s in range(S)]
+
+    @ray.remote
+    def to_table(s: int, acc):
+        lo = s * shard_rows
+        rows = min(shard_rows, n - lo)
+        ecc = np.zeros(rows, np.int64) if acc is None else acc
+        return pa.table(
+            {
+                "id": pa.array(np.arange(lo, lo + rows, dtype=np.int64)),
+                "ecc": pa.array(ecc),
+            }
+        )
+
+    return ray.data.from_arrow_refs([to_table.remote(s, acc_refs[s]) for s in range(S)])
+
+
 # ------------------------------------------------------- betweenness (Brandes)
 #
 # bc(v) = Σ_{s≠v≠t} σ_st(v) / σ_st over ORDERED (s, t) pairs (the

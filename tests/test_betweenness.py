@@ -210,3 +210,36 @@ def test_closeness_landmark_subset_sums_sources_only(tmp_path, ray_session):
     got = closeness_centrality(g, landmarks=[0]).to_pandas().sort_values("id")
     assert got["sum_dist"].tolist() == [0, 1, 2, 3]
     assert got["n_reach"].tolist() == [0, 1, 1, 1]
+
+
+def test_eccentricity_brute_and_landmark_lower_bound(tmp_path, ray_session):
+    from distributed_pagerank_ray.pipelines.centrality import eccentricity
+
+    rng = np.random.default_rng(17)
+    n = 20
+    src = np.concatenate([rng.integers(0, n, 40), np.arange(n - 1)])
+    dst = np.concatenate([rng.integers(0, n, 40), np.arange(1, n)])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = _graph(tmp_path, src, dst, "ecc_rand", shard_rows=7)
+    got = eccentricity(g, batch_k=6).to_pandas().sort_values("id").reset_index(drop=True)
+    # brute force
+    adj = collections.defaultdict(set)
+    for a, b in zip(src, dst):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    want = []
+    for s in range(n):
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        want.append(max(dist.values()))
+    assert got["ecc"].tolist() == want
+    # landmark subset is a lower bound, exact at the landmarks' rows
+    sub = eccentricity(g, landmarks=[0, 5]).to_pandas().sort_values("id")
+    assert (sub["ecc"].to_numpy() <= got["ecc"].to_numpy()).all()
