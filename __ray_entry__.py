@@ -4369,6 +4369,47 @@ def _m_aiff_decode(sf_dir):
     return decode_aiff_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _m_au_decode(sf_dir):
+    """REAL Sun AU decode gate: even ids carry G.711 mu-law payloads
+    (byte j = (41·id + 13·j) % 256) at 8000 Hz with a poison
+    annotation blob the offset field must skip; odd ids carry 16-bit
+    BIG-ENDIAN PCM (sample j = signed16((53·id + 17·j) mod 2¹⁶)) at
+    16000 Hz with the spec's 0xFFFFFFFF unknown-size field the reader
+    must resolve to the payload tail. The SQL oracle evaluates both
+    branches analytically (the m_mulaw expansion formula + the
+    two's-complement fold), so header endianness, the offset skip,
+    the unknown-size convention and both sample paths are all
+    witnessed value-exactly."""
+    import numpy as np
+
+    from distributed_pagerank_ray.functions.multimodal import decode_au_ds, encode_au
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in ids:
+            i = int(i)
+            n = 16 + i % 17
+            j = np.arange(n, dtype=np.int64)
+            if i % 2 == 0:
+                raw = ((41 * i + 13 * j) % 256).astype(np.uint8).tobytes()
+                payloads.append(
+                    encode_au(raw, 1, 8000, annotation=b"\xa5" * (4 + i % 5))
+                )
+            else:
+                s = ((53 * i + 17 * j) % 65536).astype(np.uint16).astype(np.int16)
+                payloads.append(encode_au(s, 3, 16000, unknown_size=True))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_au_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -6419,6 +6460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entry; the full local exact-hash gate covers it)
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
         "m_aiff_decode": _m_aiff_decode,  # REAL AIFF 80-bit-float/big-endian decode, analytic oracle (r5 new)
+        "m_au_decode": _m_au_decode,  # REAL Sun AU decode (mu-law + BE PCM16, unknown-size), analytic oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
@@ -9211,6 +9253,35 @@ SELECT doc_id,
        CAST(max(abs(v)) AS BIGINT) AS peak,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
+GROUP BY doc_id
+""",
+        # planted AU: even ids mu-law (the m_mulaw expansion formula),
+        # odd ids big-endian PCM16 (two's-complement fold); offset and
+        # unknown-size handling witnessed through the values
+        "m_au_decode": """
+WITH s AS (
+  SELECT doc_id, j.j AS j,
+         CASE WHEN doc_id % 2 = 0 THEN
+           CASE WHEN (255 - (41 * doc_id + 13 * j.j) % 256) >= 128
+                THEN -(((((255 - (41 * doc_id + 13 * j.j) % 256) % 16) * 8 + 132)
+                        << (((255 - (41 * doc_id + 13 * j.j) % 256) // 16) % 8)) - 132)
+                ELSE  (((((255 - (41 * doc_id + 13 * j.j) % 256) % 16) * 8 + 132)
+                        << (((255 - (41 * doc_id + 13 * j.j) % 256) // 16) % 8)) - 132)
+           END
+         ELSE
+           (53 * doc_id + 17 * j.j) % 65536
+           - CASE WHEN (53 * doc_id + 17 * j.j) % 65536 >= 32768 THEN 65536 ELSE 0 END
+         END AS v
+  FROM documents, UNNEST(range(16 + doc_id % 17)) AS j(j)
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS encoding,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS sample_rate,
+       count(*) AS n_samples,
+       round(CAST(sum(abs(v)) AS DOUBLE) / count(*), 6) AS mean_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
+FROM s
 GROUP BY doc_id
 """,
         # planted AIFF PCM: sample j is the signed-int16 reading of

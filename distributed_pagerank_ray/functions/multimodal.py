@@ -2213,3 +2213,121 @@ def decode_aiff_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------ real Sun AU codec
+# The .snd/.au header (Sun/NeXT, 1992) is the simplest REAL audio
+# container still in the wild: ".snd" magic, five big-endian u32 fields
+# (data offset, data size, encoding, sample rate, channels), an optional
+# annotation blob the offset must skip, and the spec's unknown-size
+# convention data_size == 0xFFFFFFFF (readers must fall back to the
+# payload tail). Encodings here: 1 = G.711 mu-law byte stream (shares
+# _mulaw_decode_lut), 3 = 16-bit big-endian linear PCM.
+
+
+def encode_au(
+    data: "bytes | np.ndarray",
+    encoding: int,
+    sample_rate: int,
+    annotation: bytes = b"",
+    unknown_size: bool = False,
+) -> bytes:
+    """Canonical AU writer: encoding 1 takes raw mu-law bytes,
+    encoding 3 takes int16 samples (stored big-endian). ``annotation``
+    lands between header and data (offset skips it);
+    ``unknown_size=True`` writes the spec's 0xFFFFFFFF size field."""
+    import struct
+
+    if encoding == 1:
+        payload = bytes(data)
+    elif encoding == 3:
+        payload = np.asarray(data, dtype=">i2").tobytes()
+    else:
+        raise ValueError("encode_au supports encodings 1 (mu-law) and 3 (PCM16)")
+    off = 24 + len(annotation)
+    size = 0xFFFFFFFF if unknown_size else len(payload)
+    return (
+        b".snd"
+        + struct.pack(">IIIII", off, size, encoding, sample_rate, 1)
+        + annotation
+        + payload
+    )
+
+
+def decode_au(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL AU decode: magic + big-endian header, annotation skipped
+    via the offset field, 0xFFFFFFFF data size resolved to the payload
+    tail, known sizes cross-checked, mu-law expanded through the G.711
+    LUT or PCM16 read big-endian. Returns (encoding, sample_rate,
+    linear int32). Raises ValueError on malformed/unsupported input."""
+    import struct
+
+    if b is None or len(b) < 24 or b[:4] != b".snd":
+        raise ValueError("not a .snd/AU payload")
+    off, size, enc, rate, channels = struct.unpack_from(">IIIII", b, 4)
+    if off < 24 or off > len(b):
+        raise ValueError("AU data offset out of range")
+    if channels != 1:
+        raise ValueError("only mono AU supported")
+    data = b[off:]
+    if size != 0xFFFFFFFF:
+        if size > len(data):
+            raise ValueError("truncated AU data")
+        data = data[:size]
+    if enc == 1:
+        lut = _mulaw_decode_lut()
+        return 1, int(rate), lut[np.frombuffer(data, dtype=np.uint8)].astype(np.int32)
+    if enc == 3:
+        if len(data) % 2:
+            raise ValueError("odd PCM16 payload length")
+        return 3, int(rate), np.frombuffer(data, dtype=">i2").astype(np.int32)
+    raise ValueError(f"unsupported AU encoding {enc}")
+
+
+class AuDecode:
+    """Actor-pool AU decode stage (LUT built once per actor). Emits
+    encoding, sample_rate, n_samples, mean_abs (int64 sum, ONE
+    terminal division, 6 dp), peak, first_lin (sign/byte-order
+    witness)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+        self.lut = _mulaw_decode_lut()  # touch once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        encs, rates, counts, means, peaks, firsts = [], [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            enc, rate, lin = decode_au(buf.as_py())
+            lin64 = lin.astype(np.int64)
+            encs.append(enc)
+            rates.append(rate)
+            counts.append(len(lin))
+            means.append(
+                round(float(np.abs(lin64).sum()) / len(lin), 6) if len(lin) else 0.0
+            )
+            peaks.append(int(np.abs(lin64).max()) if len(lin) else 0)
+            firsts.append(int(lin64[0]) if len(lin) else 0)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("encoding", pa.array(np.array(encs, dtype=np.int64)))
+        out = out.append_column("sample_rate", pa.array(np.array(rates, dtype=np.int64)))
+        out = out.append_column("n_samples", pa.array(np.array(counts, dtype=np.int64)))
+        out = out.append_column("mean_abs", pa.array(means, pa.float64()))
+        out = out.append_column("peak", pa.array(np.array(peaks, dtype=np.int64)))
+        out = out.append_column("first_lin", pa.array(np.array(firsts, dtype=np.int64)))
+        return out
+
+
+def decode_au_ds(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool AU decode — same shape/sizing as decode_ppm."""
+    return ds.map_batches(
+        AuDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

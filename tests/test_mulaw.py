@@ -97,3 +97,51 @@ def test_actor_pool_stage(ray_session):
         assert row["n_samples"] == n and row["sample_rate"] == 8000
         assert row["mean_abs"] == mean_abs
         assert row["peak"] == peak and row["first_lin"] == first
+
+
+# ------------------------------------------------------------ Sun AU sibling
+
+
+def test_au_round_trip_and_hazards():
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_au,
+        encode_au,
+    )
+
+    lut = _mulaw_decode_lut()
+    raw = bytes((i * 37 + 5) % 256 for i in range(33))
+    # mu-law with annotation: offset must skip the poison bytes
+    enc, rate, lin = decode_au(encode_au(raw, 1, 8000, annotation=b"\x2e\x73\x6e\x64x"))
+    assert enc == 1 and rate == 8000
+    assert (lin == lut[np.frombuffer(raw, np.uint8)]).all()
+    # PCM16 big-endian with unknown size
+    s = np.array([1, -1, 256, -256, 32767, -32768], np.int16)
+    enc, rate, lin = decode_au(encode_au(s, 3, 16000, unknown_size=True))
+    assert enc == 3 and rate == 16000 and (lin == s).all()
+    # a little-endian misread of sample 256 (0x0100 BE) would give 1
+    assert lin[2] == 256
+    # known size smaller than payload tail: must truncate to size
+    b = encode_au(s, 3, 16000)
+    enc, rate, lin = decode_au(b + b"\x00\x00")  # trailing junk beyond size
+    assert (lin == s).all()
+
+
+def test_au_fail_loudly():
+    import struct
+
+    from distributed_pagerank_ray.functions.multimodal import decode_au, encode_au
+
+    s = np.array([1, 2, 3], np.int16)
+    good = encode_au(s, 3, 8000)
+    with pytest.raises(ValueError):
+        decode_au(good[:-1])  # truncated vs declared size
+    with pytest.raises(ValueError):
+        decode_au(b"RIFF" + good[4:])
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 12, 99)  # unsupported encoding
+    with pytest.raises(ValueError):
+        decode_au(bytes(bad))
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 4, 10)  # offset below header size
+    with pytest.raises(ValueError):
+        decode_au(bytes(bad))
