@@ -2639,6 +2639,20 @@ def _e_silhouette(sf_dir):
     )
 
 
+def _t_vocab_growth(sf_dir):
+    """Vocabulary-growth (Heaps-law) curve: distinct words charged to
+    their FIRST doc_id bucket via the min-BSP "first occurrence"
+    primitive (functions/textstats.py::vocab_growth); texts carry the
+    planted whitespace pad so trim parity is witnessed. The SQL twin
+    is min(bucket) per word + a window cumsum."""
+    from distributed_pagerank_ray.functions.textstats import vocab_growth
+
+    return vocab_growth(
+        _docs(sf_dir).map_batches(_plant_ws_pad, batch_format="pyarrow"),
+        num_buckets=16,
+    )
+
+
 def _r_hourly_users(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import hourly_distinct_users
 
@@ -6463,6 +6477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_au_decode": _m_au_decode,  # REAL Sun AU decode (mu-law + BE PCM16, unknown-size), analytic oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
+        "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
         # (g_host_graph OUTSIDE the window: the graph family is
         # witnessed in-window nine ways and URL normalization carries
@@ -7816,6 +7831,24 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 ORDER BY a
+""",
+        # first-occurrence bucket per word = min(doc_id // B); the
+        # window cumsum is HUGEINT -> CAST
+        "t_vocab_growth": f"""
+WITH {_SQL_PAD_CTE},
+t AS (
+  SELECT doc_id,
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+') END AS arr
+  FROM padded
+),
+bsz AS (SELECT (count(*) + 15) // 16 AS B FROM documents),
+w AS (SELECT doc_id, unnest(arr) AS word FROM t),
+fb AS (SELECT word, min(doc_id // (SELECT B FROM bsz)) AS b FROM w GROUP BY word),
+nw AS (SELECT b, count(*) AS new_words FROM fb GROUP BY b)
+SELECT b AS bucket, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM nw ORDER BY bucket
 """,
         # positional bigrams with multiplicity (NOT the DISTINCT
         # _WORD_GRAMS_CTE); clipped sum is HUGEINT -> CAST; division

@@ -1952,3 +1952,86 @@ def unicode_normalize_batch(t: pa.Table, col: str = "text", form: str = "NFC") -
     out = [None if v is None else unicodedata.normalize(form, v) for v in vals]
     idx = t.column_names.index(col)
     return t.set_column(idx, col, pa.array(out, pa.string()))
+
+
+def vocab_growth(
+    docs: "object",
+    num_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+) -> "object":
+    """Vocabulary-growth curve (the Heaps-law view every corpus report
+    plots): docs are cut into ``num_buckets`` contiguous doc_id ranges
+    and each distinct word is charged to the FIRST bucket it appears
+    in; output per non-empty bucket: ``new_words`` and the running
+    ``cum_vocab``.
+
+    Scale shape: per-batch the pinned RE2-\\s tokens hash in one
+    siphash call and collapse to per-(word, min bucket) partials
+    (lexsort + first-occurrence cut), then ONE min-BSP keyed by the
+    64-bit word hash finds each word's global first bucket — the
+    "first occurrence" primitive is exactly the walk engine's argmin
+    shuffle. The driver folds only num_buckets rows (the cumsum).
+    Word identity is the siphash (process-stable; 2⁻⁶⁴ collision
+    odds — the shared posture of every hash-keyed text op here)."""
+    import ray.data
+
+    from ..util import count_i64_keys, min_i64_by_key
+    from .dedup import _re2_word_split, hash_str_array
+
+    nd = docs.count()
+    B = max(1, -(-nd // num_buckets))  # ceil(nd / num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or id_col not in t.column_names:
+            return pa.table({"h": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [_re2_word_split(x) for x in t.column(text_col).to_pylist()]
+        lens = np.fromiter((len(w) for w in toks), np.int64, len(toks))
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in toks:
+            flat[pos : pos + len(w)] = w
+            pos += len(w)
+        h = hash_str_array(flat).view(np.int64)
+        b = np.repeat(ids // B, lens)
+        # per-batch (word, min bucket) partial: lexsort + run cut
+        order = np.lexsort((b, h))
+        h, b = h[order], b[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return pa.table({"h": pa.array(h[first]), "b": pa.array(b[first])})
+
+    firsts = min_i64_by_key(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "h",
+        "b",
+        num_shards=num_shards,
+    )
+    counts = (
+        count_i64_keys(
+            firsts.map_batches(
+                lambda t: pa.table({"b": t.column("b")})
+                if "b" in t.column_names
+                else pa.table({"b": pa.array([], pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            "b",
+            num_shards=num_shards,
+            count_col="new_words",
+        )
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(counts["b"].to_numpy(dtype=np.int64)),
+            "new_words": pa.array(counts["new_words"].to_numpy(dtype=np.int64)),
+            "cum_vocab": pa.array(counts["new_words"].to_numpy(dtype=np.int64).cumsum()),
+        }
+    )

@@ -967,3 +967,40 @@ def test_clipped_ngram_overlap_brute_force():
         cb = Counter(zip(tb, tb[1:]))
         assert ga == sum(ca.values()) and gb == sum(cb.values())
         assert gc == sum(min(ca[g], cb[g]) for g in ca)
+
+
+def test_vocab_growth_brute_force():
+    from distributed_pagerank_ray.functions.dedup import _re2_word_split
+    from distributed_pagerank_ray.functions.textstats import vocab_growth
+
+    texts = [
+        "apple banana apple",
+        "banana cherry",
+        "",
+        "  \t ",
+        "date apple egg",
+        "fig",
+        "cherry fig grape",
+        "grape apple",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = vocab_growth(ds, num_buckets=4, num_shards=2).to_pandas()
+    B = -(-len(texts) // 4)
+    first = {}
+    for i, t in enumerate(texts):
+        for w in _re2_word_split(t):
+            first.setdefault(w, i // B)
+    from collections import Counter
+
+    nw = Counter(first.values())
+    want_buckets = sorted(nw)
+    assert got["bucket"].tolist() == want_buckets
+    assert got["new_words"].tolist() == [nw[b] for b in want_buckets]
+    assert got["cum_vocab"].tolist() == list(np.cumsum([nw[b] for b in want_buckets]))
