@@ -4424,6 +4424,48 @@ def _m_au_decode(sf_dir):
     return decode_au_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _x_http_headers(sf_dir):
+    """HTTP response-header conformance gate (sources/http.py): per-doc
+    planted messages exercise the real hazards — obs-fold continuation
+    INSIDE Content-Type (d%4==3), swapped-case field names with a
+    quoted charset and a decoy boundary parameter (d%4==1), a
+    charset-less type (d%4==2), chunked Transfer-Encoding overriding a
+    present Content-Length (d%5==0), and a duplicate X- header counted
+    but not parsed (even ids). Oracle is the closed-form table."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.http import parse_http_headers_ds
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t.column("doc_id").to_pylist():
+            status = (200, 301, 404)[d % 3]
+            lines = [b"HTTP/1.1 %d X" % status, b"Server: t%d" % d]
+            if d % 4 == 0:
+                lines.append(b"Content-Type: text/html; charset=UTF-8")
+            elif d % 4 == 1:
+                lines.append(b"content-TYPE: text/plain;boundary=z;charset=\"ISO-8859-1\"")
+            elif d % 4 == 2:
+                lines.append(b"Content-Type: application/json")
+            else:
+                lines.append(b"Content-Type: text/html;\r\n charset=utf-8")
+            if d % 5 == 0:
+                lines.append(b"Transfer-Encoding: CHUNKED")
+                lines.append(b"Content-Length: 999")  # chunked must win
+            else:
+                lines.append(b"Content-Length: %d" % (100 + d % 900))
+            if d % 2 == 0:
+                lines.append(b"X-Extra: 1")
+            payloads.append(b"\r\n".join(lines) + b"\r\n\r\nbody")
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return parse_http_headers_ds(docs.map_batches(synth, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -6475,6 +6517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_mulaw_decode": _m_mulaw_decode,  # REAL G.711 mu-law expansion, analytic oracle (r5 new)
         "m_aiff_decode": _m_aiff_decode,  # REAL AIFF 80-bit-float/big-endian decode, analytic oracle (r5 new)
         "m_au_decode": _m_au_decode,  # REAL Sun AU decode (mu-law + BE PCM16, unknown-size), analytic oracle (r5 new)
+        "x_http_headers": _x_http_headers,  # RFC 7230 header parse (obs-fold/quoting/chunked), closed-form oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -9287,6 +9330,24 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # closed-form table of the planted HTTP messages: n_headers =
+        # Server + Content-Type + framing (2 when chunked: TE + the
+        # overridden CL) + the even-id X-Extra
+        "x_http_headers": """
+SELECT doc_id,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END AS BIGINT) AS status,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+         WHEN 2 THEN 'application/json' ELSE 'text/html' END AS mime,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+         WHEN 2 THEN '' ELSE 'utf-8' END AS charset,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 100 + doc_id % 900 END AS BIGINT) AS clen,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS chunked,
+       CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+              + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_headers
+FROM documents
 """,
         # planted AU: even ids mu-law (the m_mulaw expansion formula),
         # odd ids big-endian PCM16 (two's-complement fold); offset and

@@ -1,0 +1,130 @@
+"""HTTP response-header parsing — the crawl-stack stage between the
+WARC container walk (sources/warc.py, which only splits status/body)
+and content handling: media type + charset negotiation, framing
+(Content-Length vs chunked), and header counting.
+
+Reference parity anchor: the reference engine fetches edge lists over
+plain HTTP without header inspection (pkg/graph/graph.go:16-49); header
+semantics here are the new-engine crawl treatment mandated by the
+survey (§2.5), pinned to the RFC 7230/9110 core:
+
+- field names are case-insensitive tokens; OWS around the value is
+  trimmed;
+- obs-fold (CRLF followed by SP/HTAB) continues the PREVIOUS field
+  value and must be unfolded to a single SP before splitting lines —
+  the classic parser divergence (RFC 7230 §3.2.4);
+- Content-Type parameters: media type is everything before the first
+  ';' (lowercased); the charset parameter value may be a quoted-string
+  or a bare token, compared case-insensitively;
+- Transfer-Encoding containing the token "chunked" (any case) wins
+  over Content-Length (which is reported as -1 = unframed-by-length).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_OBS_FOLD = re.compile(rb"\r\n[ \t]+")
+_CHARSET = re.compile(rb"""charset=(?:"([^"]*)"|([^;\s"]*))""", re.I)
+
+
+def parse_http_headers(b: bytes) -> tuple[int, str, str, int, int, int]:
+    """(status, mime, charset, clen, chunked, n_headers) from one HTTP
+    response message (headers terminated by CRLFCRLF; body ignored).
+    Raises ValueError on a malformed status line or header framing —
+    fail loudly, quarantine upstream (the PpmDecode contract)."""
+    if b is None:
+        raise ValueError("empty HTTP payload")
+    end = b.find(b"\r\n\r\n")
+    head = b if end < 0 else b[:end]
+    head = _OBS_FOLD.sub(b" ", head)  # unfold continuations FIRST
+    lines = head.split(b"\r\n")
+    if not lines or not lines[0].startswith(b"HTTP/"):
+        raise ValueError("missing HTTP status line")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        raise ValueError(f"malformed status line {lines[0]!r}")
+    status = int(parts[1])
+    mime = ""
+    charset = ""
+    clen = -1
+    chunked = 0
+    n_headers = 0
+    seen_ct = False
+    seen_cl = False
+    for line in lines[1:]:
+        if not line:
+            continue
+        colon = line.find(b":")
+        if colon <= 0:
+            raise ValueError(f"malformed header line {line!r}")
+        name = line[:colon].strip().lower()
+        value = line[colon + 1 :].strip(b" \t")
+        n_headers += 1
+        if name == b"content-type" and not seen_ct:
+            seen_ct = True
+            mime = value.split(b";", 1)[0].strip(b" \t").lower().decode("latin-1")
+            m = _CHARSET.search(value)
+            if m:
+                raw = m.group(1) if m.group(1) is not None else m.group(2)
+                charset = raw.strip(b" \t").lower().decode("latin-1")
+        elif name == b"content-length" and not seen_cl:
+            seen_cl = True
+            if value.isdigit():
+                clen = int(value)
+        elif name == b"transfer-encoding":
+            toks = {t.strip().lower() for t in value.split(b",")}
+            if b"chunked" in toks:
+                chunked = 1
+    if chunked:
+        clen = -1  # chunked framing wins (RFC 7230 §3.3.3)
+    return status, mime, charset, clen, chunked, n_headers
+
+
+class HttpHeaderParse:
+    """Actor-pool HTTP header extraction: regexes are module-compiled;
+    per-record work is one find + one unfold + a line walk. Emits
+    status, mime, charset, clen, chunked, n_headers."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("status", "mime", "charset", "clen", "chunked", "n_headers")}
+        for buf in batch.column(self.bin_col):
+            s, m, c, cl, ch, nh = parse_http_headers(buf.as_py())
+            cols["status"].append(s)
+            cols["mime"].append(m)
+            cols["charset"].append(c)
+            cols["clen"].append(cl)
+            cols["chunked"].append(ch)
+            cols["n_headers"].append(nh)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("status", pa.array(np.array(cols["status"], dtype=np.int64)))
+        out = out.append_column("mime", pa.array(cols["mime"], pa.string()))
+        out = out.append_column("charset", pa.array(cols["charset"], pa.string()))
+        out = out.append_column("clen", pa.array(np.array(cols["clen"], dtype=np.int64)))
+        out = out.append_column("chunked", pa.array(np.array(cols["chunked"], dtype=np.int64)))
+        out = out.append_column(
+            "n_headers", pa.array(np.array(cols["n_headers"], dtype=np.int64))
+        )
+        return out
+
+
+def parse_http_headers_ds(
+    ds: "object",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> "object":
+    """Actor-pool HTTP header parse — ExtractLinks' stage shape."""
+    return ds.map_batches(
+        HttpHeaderParse,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

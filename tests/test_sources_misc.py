@@ -138,3 +138,49 @@ def test_csv_quoting_roundtrip(ray_session, tmp_path):
     )
     assert list(got["doc_id"]) == [r[0] for r in rows]
     assert list(got["name"]) == [r[1] for r in rows]
+
+
+# -------------------------------------------------------- HTTP header parse
+
+
+def test_http_headers_hazards():
+    from distributed_pagerank_ray.sources.http import parse_http_headers
+
+    # obs-fold inside Content-Type, quoted charset, decoy param
+    b = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html;\r\n\tboundary=x;\r\n charset=\"UTF-8\"\r\n"
+        b"Content-Length: 7\r\n\r\nbody..."
+    )
+    assert parse_http_headers(b) == (200, "text/html", "utf-8", 7, 0, 2)
+    # chunked wins over Content-Length; token list is case-insensitive
+    b = (
+        b"HTTP/1.0 404 NF\r\n"
+        b"transfer-encoding: gzip , Chunked\r\n"
+        b"CONTENT-LENGTH: 10\r\n\r\n"
+    )
+    assert parse_http_headers(b) == (404, "", "", -1, 1, 2)
+    # duplicate content-type: FIRST wins; second still counted
+    b = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: a/b;charset=x\r\n"
+        b"Content-Type: c/d;charset=y\r\n\r\n"
+    )
+    assert parse_http_headers(b) == (200, "a/b", "x", -1, 0, 2)
+    # headers with no body terminator still parse (head-only capture)
+    assert parse_http_headers(b"HTTP/1.1 200 OK\r\nA: 1") == (200, "", "", -1, 0, 1)
+
+
+def test_http_headers_fail_loudly():
+    import pytest
+
+    from distributed_pagerank_ray.sources.http import parse_http_headers
+
+    with pytest.raises(ValueError):
+        parse_http_headers(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")  # request, not response
+    with pytest.raises(ValueError):
+        parse_http_headers(b"HTTP/1.1 abc OK\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_http_headers(b"HTTP/1.1 200 OK\r\nno-colon-line\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_http_headers(None)
