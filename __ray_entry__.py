@@ -2653,6 +2653,22 @@ def _t_vocab_growth(sf_dir):
     )
 
 
+def _r_quantile_sketch(sf_dir):
+    """ε-approximate price quantiles via the deterministic mergeable
+    summary (functions/sketches.py::quantile_sketch, δ = 0.01): sketch
+    values are merge-order-dependent, so the gate row is the IN-QUERY
+    exact-rank identity (distributed rank count of each estimate vs
+    its target, the e_pq_adc posture); the oracle pins (q, n, ok=1)."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.sketches import quantile_sketch
+
+    return quantile_sketch(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]),
+        "l_extendedprice",
+    )
+
+
 def _r_hourly_users(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import hourly_distinct_users
 
@@ -6553,6 +6569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_events_streaks": _r_events_streaks,  # gaps-and-islands streaks, SQL-gated (r5 new)
         "r_interval_cover": _r_interval_cover,  # interval-union coverage, SQL-gated (r5 new)
         "r_mode_per_user": _r_mode_per_user,  # deterministic grouped mode, SQL-gated (r5 new)
+        "r_quantile_sketch": _r_quantile_sketch,  # mergeable eps-quantile summary, rank-identity gate (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
@@ -8891,6 +8908,16 @@ WITH o AS (
 SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_len,
        CAST(max(dur) AS BIGINT) AS max_dur_s
 FROM s GROUP BY user_id
+""",
+        # the sketch estimates are merge-order-dependent; the gated
+        # row is the engine-computed exact-rank identity (ok must be 1
+        # for every q if the summary honors its deterministic bound)
+        "r_quantile_sketch": """
+SELECT CAST(q.q AS DOUBLE) AS q,
+       (SELECT count(*) FROM lineitem) AS n,
+       CAST(1 AS BIGINT) AS rank_err_ok
+FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) q(q)
+ORDER BY q
 """,
         # deterministic mode: tie rule (count desc, cents asc) via
         # row_number — bare mode() is tie-unstable across engines

@@ -340,3 +340,142 @@ def kmv_distinct(
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------- mergeable ε-quantile summary (MRL)
+
+
+def _compress_weighted(v: np.ndarray, w: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a sorted weighted summary to ≤ ``budget`` points:
+    contiguous cumulative-weight segments of ~equal total weight, each
+    represented by its LAST value carrying the whole segment weight.
+    Representing a segment by its max value biases each point's rank
+    upward by at most the segment weight — the additive error the
+    caller budgets for (Manku/Rajagopalan/Lindsay-style deterministic
+    summary; mergeable by concat-sort-recompress)."""
+    if len(v) <= budget:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    # segment boundary for point i = smallest index with cw >= (i+1)/budget·total
+    targets = (np.arange(1, budget + 1, dtype=np.float64)) * (total / budget)
+    idx = np.unique(np.searchsorted(cw, targets, side="left").clip(0, len(v) - 1))
+    seg_w = np.diff(np.concatenate(([0], cw[idx])))
+    keep = seg_w > 0
+    return v[idx][keep], seg_w[keep].astype(np.int64)
+
+
+def quantile_sketch(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: "tuple[float, ...]" = (0.01, 0.25, 0.5, 0.75, 0.99),
+    delta: float = 0.01,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """ε-approximate quantiles via a DETERMINISTIC mergeable summary —
+    the 100-TB quantile path (the exact grouped quantiles elsewhere in
+    this repo sort or histogram the data; this streams it in one pass
+    + one verify pass). Per block: sort + compress to ≤ 4/δ weighted
+    points (≤ δ/4 of the block's weight per point); partials re-merge
+    per partition and once at the end (each re-compression adds ≤ δ/4
+    of TOTAL weight), so every estimate's true rank is within δ·n of
+    its target — checked IN-QUERY by an exact distributed rank count
+    of the estimates (the e_pq_adc identity posture: the sketch values
+    themselves are merge-order-dependent, the bound is not). Output
+    per q: (q, n, rank_err_ok)."""
+    import ray.data
+
+    from ..util import ensure_schema
+
+    budget = max(8, int(np.ceil(4.0 / delta)))
+
+    def block_sketch(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or col not in t.column_names:
+            return pa.table({"v": pa.array([], pa.float64()), "w": pa.array([], pa.int64())})
+        x = np.sort(t.column(col).cast(pa.float64()).to_numpy(zero_copy_only=False))
+        x = x[~np.isnan(x)]
+        v, w = _compress_weighted(x, np.ones(len(x), np.int64), budget)
+        return pa.table({"v": pa.array(v, pa.float64()), "w": pa.array(w)})
+
+    def remerge(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "v" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.float64()), "w": pa.array([], pa.int64())})
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, w = _compress_weighted(v[order], w[order], budget)
+        return pa.table({"v": pa.array(v, pa.float64()), "w": pa.array(w)})
+
+    partials = (
+        ds.map_batches(block_sketch, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .map_batches(remerge, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(remerge, batch_format="pyarrow")
+        .map_batches(
+            ensure_schema({"v": pa.float64(), "w": pa.int64()}), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("v", kind="stable")
+    )
+    v = partials["v"].to_numpy(dtype=np.float64)
+    w = partials["w"].to_numpy(dtype=np.int64)
+    n = int(w.sum())
+    if n == 0:
+        return ray.data.from_items(
+            [{"q": float(q), "n": 0, "rank_err_ok": 1} for q in qs]
+        )
+    cw = np.cumsum(w)
+    ests = np.array(
+        [v[min(np.searchsorted(cw, q * n, side="left"), len(v) - 1)] for q in qs]
+    )
+
+    # exact distributed rank INTERVAL of each estimate (one extra
+    # streaming pass): a tie run makes "the rank of value v" the whole
+    # interval [count(< v), count(<= v)] — the bound holds iff that
+    # interval touches [q·n − δ·n, q·n + δ·n]
+    def rank_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or col not in t.column_names:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                }
+            )
+        x = t.column(col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        lo = (x[None, :] < ests[:, None]).sum(axis=1).astype(np.int64)
+        hi = (x[None, :] <= ests[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(qs), dtype=np.int64)),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ranks = (
+        ds.map_batches(rank_partial, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("lo", alias_name="lo"), Sum("hi", alias_name="hi"))
+        .map_batches(
+            ensure_schema({"i": pa.int64(), "lo": pa.int64(), "hi": pa.int64()}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    lo = ranks["lo"].to_numpy(dtype=np.int64)
+    hi = ranks["hi"].to_numpy(dtype=np.int64)
+    qn = np.asarray(qs) * n
+    slack = delta * n + 1.0
+    ok = ((hi >= qn - slack) & (lo <= qn + slack)).astype(np.int64)
+    return ray.data.from_items(
+        [
+            {"q": float(q), "n": n, "rank_err_ok": int(o)}
+            for q, o in zip(qs, ok)
+        ]
+    )
