@@ -4519,6 +4519,17 @@ def _g_resource_alloc_parts(sf_dir):
     )
 
 
+def _g_richclub_parts(sf_dir):
+    """Rich-club coefficients of the part co-occurrence graph
+    (pipelines/metrics.py::rich_club): per threshold k, how densely
+    the deg>k vertices interlink. Exact integers + one terminal
+    division; the SQL twin evaluates the same degree joins."""
+    from distributed_pagerank_ray.pipelines.metrics import rich_club
+    from distributed_pagerank_ray.pipelines.relational import part_cooccurrence_edges
+
+    return rich_club(part_cooccurrence_edges(sf_dir), num_partitions=8)
+
+
 def _g_adamic_adar_parts(sf_dir):
     """Adamic-Adar link strength of the part co-occurrence graph's own
     edges (top-20 by score): Σ 1/ln(deg m) over common neighbors m —
@@ -6559,6 +6570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_closeness_doc": _g_closeness_doc,  # closeness via the matrix-BFS fold, closed-form oracle (r5 new)
         "g_resource_alloc_parts": _g_resource_alloc_parts,  # RA link index via the shared wedge pipeline (r5 new)
         "g_eccentricity_doc": _g_eccentricity_doc,  # per-vertex eccentricity fold, closed-form oracle (r5 new)
+        "g_richclub_parts": _g_richclub_parts,  # rich-club coefficients, SQL-gated (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -9482,6 +9494,31 @@ SELECT s.a, s.b, round(s.score, 6) AS score
 FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
 ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
 LIMIT 20
+""",
+        # rich-club: same und/sym/deg CTEs; phi division via CAST
+        # (bare 2.0 routes through DECIMAL)
+        "g_richclub_parts": """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a),
+j AS (
+  SELECT e.a, e.b, da.d AS da, db.d AS db
+  FROM und e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       (SELECT count(*) FROM deg WHERE d > ks.k) AS n_k,
+       (SELECT count(*) FROM j WHERE da > ks.k AND db > ks.k) AS e_k,
+       CASE WHEN (SELECT count(*) FROM deg WHERE d > ks.k) >= 2
+            THEN round(CAST(2 * (SELECT count(*) FROM j WHERE da > ks.k AND db > ks.k) AS DOUBLE)
+                       / ((SELECT count(*) FROM deg WHERE d > ks.k)
+                          * ((SELECT count(*) FROM deg WHERE d > ks.k) - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM ks ORDER BY k
 """,
         # Resource Allocation: same CTEs as AA with 1/d relay weight
         # (deg-1 relays impossible on a symmetrized existing-edge

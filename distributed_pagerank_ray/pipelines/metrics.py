@@ -1261,3 +1261,125 @@ def local_clustering(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def rich_club(
+    und_edges: "ray.data.Dataset",
+    ks: "tuple[int, ...]" = (1, 2, 4, 8, 16, 32),
+    num_partitions: int = 8,
+    num_shards: int = 16,
+) -> "ray.data.Dataset":
+    """Rich-club coefficients φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) —
+    do high-degree vertices preferentially link to each other (the hub
+    'old boys network' signal of web graphs; Colizza et al. 2006).
+    Input: canonical undirected distinct edges (a < b). Output one row
+    per k: (k, n_k, e_k, phi 6dp).
+
+    Scale shape: undirected degrees via the count BSP; TWO hash joins
+    attach both endpoint degrees to the edge stream; then one
+    map_batches evaluates ALL thresholds per batch (a |ks|-column
+    boolean fold → per-k partial counts) and the driver folds
+    |ks| rows. The degree histogram side (n_k) is the same count-BSP
+    output folded driver-side — O(distinct degrees) rows."""
+    e = und_edges.map_batches(
+        lambda t: pa.table({"a": t.column("a").cast(pa.int64()), "b": t.column("b").cast(pa.int64())})
+        if "a" in t.column_names
+        else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    sym = e.union(
+        e.map_batches(
+            lambda t: pa.table({"a": t.column("b"), "b": t.column("a")})
+            if "a" in t.column_names
+            else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    deg = count_i64_keys(
+        sym.map_batches(
+            lambda t: pa.table({"v": t.column("a")})
+            if "a" in t.column_names
+            else pa.table({"v": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "v",
+        num_shards=num_shards,
+        count_col="deg",
+    ).materialize()
+
+    ka = np.asarray(sorted(ks), dtype=np.int64)
+
+    # n_k from the degree histogram (count-of-counts BSP output is
+    # O(distinct degrees) — driver-fold free)
+    hist = count_i64_keys(
+        deg.map_batches(
+            lambda t: pa.table({"deg": t.column("deg")})
+            if "deg" in t.column_names
+            else pa.table({"deg": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        "deg",
+        num_shards=num_shards,
+        count_col="c",
+    ).to_pandas()
+    dv = hist["deg"].to_numpy(dtype=np.int64)
+    dc = hist["c"].to_numpy(dtype=np.int64)
+    n_k = np.array([dc[dv > k].sum() for k in ka], dtype=np.int64)
+
+    da = compact_for_join(e, num_partitions).join(
+        compact_for_join(deg, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("v",),
+    )
+
+    def rename_da(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "da": pa.array([], pa.int64())}
+            )
+        return pa.table({"a": t.column("a"), "b": t.column("b"), "da": t.column("deg")})
+
+    both = compact_for_join(
+        da.map_batches(rename_da, batch_format="pyarrow"), num_partitions
+    ).join(
+        compact_for_join(deg, num_partitions),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("v",),
+    )
+
+    def ek_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "da" not in t.column_names:
+            return pa.table(
+                {"i": pa.array([], pa.int64()), "e": pa.array([], pa.int64())}
+            )
+        a = t.column("da").to_numpy(zero_copy_only=False)
+        b = t.column("deg").to_numpy(zero_copy_only=False)
+        cnt = ((a[None, :] > ka[:, None]) & (b[None, :] > ka[:, None])).sum(axis=1)
+        return pa.table(
+            {"i": pa.array(np.arange(len(ka), dtype=np.int64)), "e": pa.array(cnt.astype(np.int64))}
+        )
+
+    ek = (
+        both.map_batches(ek_partial, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("e", alias_name="e"))
+        .map_batches(ensure_schema({"i": pa.int64(), "e": pa.int64()}), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("i")
+    )
+    e_k = np.zeros(len(ka), dtype=np.int64)
+    e_k[ek["i"].to_numpy(dtype=np.int64)] = ek["e"].to_numpy(dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(
+            n_k >= 2, 2.0 * e_k / (n_k.astype(np.float64) * (n_k - 1)), 0.0
+        )
+    return ray.data.from_items(
+        [
+            {"k": int(k), "n_k": int(nk), "e_k": int(ekk), "phi": round(float(p), 6)}
+            for k, nk, ekk, p in zip(ka, n_k, e_k, phi)
+        ]
+    )

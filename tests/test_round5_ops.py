@@ -1004,3 +1004,35 @@ def test_vocab_growth_brute_force():
     assert got["bucket"].tolist() == want_buckets
     assert got["new_words"].tolist() == [nw[b] for b in want_buckets]
     assert got["cum_vocab"].tolist() == list(np.cumsum([nw[b] for b in want_buckets]))
+
+
+def test_rich_club_brute_force():
+    from distributed_pagerank_ray.pipelines.metrics import rich_club
+
+    rng = np.random.default_rng(31)
+    raw = {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 30, 200), rng.integers(0, 30, 200))
+        if a != b
+    }
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in und], pa.int64()),
+                "b": pa.array([e[1] for e in und], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = rich_club(ds, ks=(1, 3, 7), num_partitions=2, num_shards=2).to_pandas()
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for _, row in got.iterrows():
+        k = row["k"]
+        rich = {v for v, d in deg.items() if d > k}
+        ek = sum(1 for a, b in und if a in rich and b in rich)
+        assert row["n_k"] == len(rich) and row["e_k"] == ek
+        want = round(2.0 * ek / (len(rich) * (len(rich) - 1)), 6) if len(rich) >= 2 else 0.0
+        assert row["phi"] == want
