@@ -4921,6 +4921,83 @@ def _g_eccentricity_doc(sf_dir):
     return eccentricity(g, batch_k=512, directed=False)
 
 
+def _g_ppr_push_doc(sf_dir):
+    """Push-based approximate PPR (pipelines/pprpush.py) from seed 0 on
+    the planted diamond+tail 8-groups: mass only reaches the seed's own
+    group, so n_pos (vertices with p > 0) is exactly 8 and the argmax
+    is the seed (0.2208 vs runner-up 0.1595 at α = 0.15 — wide margin).
+    mass_ok/res_ok are the engine-computed push invariants (Σp+Σr = 1;
+    every residual below its ε·deg threshold at exit) — the identity
+    posture, since the p floats themselves are ACL-bounded estimates."""
+    import tempfile
+
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+    from distributed_pagerank_ray.pipelines.pprpush import ppr_push
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
+            sel = i[p == pos]
+            for o in offs:
+                srcs.append(sel)
+                dsts.append(sel + o)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    g = build_graph(
+        docs.map_batches(make, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix="dpr_ppr_gate_"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
+    )
+    res = ppr_push(g, seed=0, alpha=0.15, eps=1e-8)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "p" not in t.column_names:
+            return pa.table(
+                {
+                    "n_pos": pa.array([], pa.int64()),
+                    "top_v": pa.array([], pa.int64()),
+                    "top_p": pa.array([], pa.float64()),
+                }
+            )
+        pv = t.column("p").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        k = int(pv.argmax())
+        return pa.table(
+            {
+                "n_pos": pa.array([int((pv > 0).sum())]),
+                "top_v": pa.array([int(ids[k])]),
+                "top_p": pa.array([float(pv[k])]),
+            }
+        )
+
+    parts = res.estimates().map_batches(fold, batch_format="pyarrow").to_pandas()
+    top = parts.loc[parts["top_p"].idxmax()]
+    return pa.table(
+        {
+            "seed": pa.array([0], pa.int64()),
+            "n": pa.array([res.n], pa.int64()),
+            "n_pos": pa.array([int(parts["n_pos"].sum())], pa.int64()),
+            "top_v": pa.array([int(top["top_v"])], pa.int64()),
+            "mass_ok": pa.array([int(res.mass_ok)], pa.int64()),
+            "res_ok": pa.array([int(res.res_ok)], pa.int64()),
+        }
+    )
+
+
 def _planted_k4_chain_edges(sf_dir):
     """The planted cohesive-subgraph gate graph: consecutive groups of
     8 doc ids carry a K4 on positions {0,1,2,3}, a triangle CHAIN
@@ -6571,6 +6648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_resource_alloc_parts": _g_resource_alloc_parts,  # RA link index via the shared wedge pipeline (r5 new)
         "g_eccentricity_doc": _g_eccentricity_doc,  # per-vertex eccentricity fold, closed-form oracle (r5 new)
         "g_richclub_parts": _g_richclub_parts,  # rich-club coefficients, SQL-gated (r5 new)
+        "g_ppr_push_doc": _g_ppr_push_doc,  # ACL push PPR, invariant-identity gate (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -9494,6 +9572,14 @@ SELECT s.a, s.b, round(s.score, 6) AS score
 FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
 ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
 LIMIT 20
+""",
+        # push-PPR gate: structure (n_pos, argmax) is deterministic on
+        # the planted graph; mass/residual flags are engine identities
+        "g_ppr_push_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) AS nf FROM documents)
+SELECT CAST(0 AS BIGINT) AS seed, (SELECT nf FROM nn) AS n,
+       CAST(8 AS BIGINT) AS n_pos, CAST(0 AS BIGINT) AS top_v,
+       CAST(1 AS BIGINT) AS mass_ok, CAST(1 AS BIGINT) AS res_ok
 """,
         # rich-club: same und/sym/deg CTEs; phi division via CAST
         # (bare 2.0 routes through DECIMAL)
