@@ -2669,6 +2669,19 @@ def _r_quantile_sketch(sf_dir):
     )
 
 
+def _t_rake_keywords(sf_dir):
+    """RAKE keyword extraction (functions/textstats.py::rake_keywords):
+    corpus top-20 candidate phrases by Σ deg/freq member scores —
+    phrase mining's degree-weighted sibling of PMI. Texts carry the
+    planted whitespace pad; the SQL twin builds the same stopword-cut
+    phrase islands with a window running count."""
+    from distributed_pagerank_ray.functions.textstats import rake_keywords
+
+    return rake_keywords(
+        _docs(sf_dir).map_batches(_plant_ws_pad, batch_format="pyarrow"), k=20
+    )
+
+
 def _r_hourly_users(sf_dir):
     from distributed_pagerank_ray.pipelines.relational import hourly_distinct_users
 
@@ -6625,6 +6638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
+        "t_rake_keywords": _t_rake_keywords,  # RAKE phrase mining, SQL-gated (r5 new)
         "t_normalize": _t_normalize,  # Zs-trim aligned with DuckDB trim() (r5; displaced late-r5)
         # (g_host_graph OUTSIDE the window: the graph family is
         # witnessed in-window nine ways and URL normalization carries
@@ -7981,6 +7995,51 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 ORDER BY a
+""",
+        # RAKE: stopword-cut islands via a window running count of
+        # stop tokens; word deg/freq stats over phrase occurrences;
+        # per-occurrence phrase scores are equal so max() dedups
+        "t_rake_keywords": f"""
+WITH {_SQL_PAD_CTE},
+t AS (
+  SELECT doc_id,
+         CASE WHEN length({_SQL_TRIM.format(col='text')}) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({_SQL_TRIM.format(col='text')}, '\\s+') END AS arr
+  FROM padded
+),
+tok AS (
+  SELECT doc_id, g.i AS pos, arr[g.i] AS w,
+         CASE WHEN arr[g.i] IN ('a','and','in','is','it','of','the','to') THEN 1 ELSE 0 END AS stop
+  FROM t, UNNEST(range(1, len(arr) + 1)) AS g(i)
+),
+isl AS (
+  SELECT doc_id, pos, w, stop,
+         CAST(SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+  FROM tok
+),
+ph AS (
+  SELECT doc_id, grp,
+         array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         count(*) AS plen
+  FROM isl WHERE stop = 0 GROUP BY doc_id, grp
+),
+occ AS (
+  SELECT i.doc_id, i.grp, i.w, p.plen
+  FROM isl i JOIN ph p ON p.doc_id = i.doc_id AND p.grp = i.grp
+  WHERE i.stop = 0
+),
+ws AS (SELECT w, count(*) AS f, CAST(sum(plen) AS BIGINT) AS d FROM occ GROUP BY w),
+sc AS (
+  SELECT o.doc_id, o.grp, sum(CAST(ws.d AS DOUBLE) / ws.f) AS score
+  FROM occ o JOIN ws ON ws.w = o.w GROUP BY o.doc_id, o.grp
+),
+fin AS (
+  SELECT p.phrase, count(*) AS n_occ, round(max(s.score), 6) AS score
+  FROM ph p JOIN sc s ON s.doc_id = p.doc_id AND s.grp = p.grp
+  GROUP BY p.phrase
+)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, score
+FROM fin ORDER BY score DESC, phrase ASC LIMIT 20
 """,
         # first-occurrence bucket per word = min(doc_id // B); the
         # window cumsum is HUGEINT -> CAST

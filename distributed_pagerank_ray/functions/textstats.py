@@ -2035,3 +2035,168 @@ def vocab_growth(
             "cum_vocab": pa.array(counts["new_words"].to_numpy(dtype=np.int64).cumsum()),
         }
     )
+
+
+RAKE_STOPWORDS = ("a", "and", "in", "is", "it", "of", "the", "to")
+
+
+def rake_keywords(
+    docs: "object",
+    k: int = 20,
+    stopwords: "tuple[str, ...]" = RAKE_STOPWORDS,
+    text_col: str = "text",
+    num_shards: int = 8,
+) -> "pa.Table":
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; word score = deg/freq
+    (deg = Σ phrase length over the word's phrase occurrences, freq =
+    occurrence count); phrase score = Σ member word scores. Returns
+    the corpus top-``k`` distinct phrases by (score 6dp desc, phrase
+    asc) with occurrence counts.
+
+    Scale shape: (1) one multi-counter payload-free BSP folds (freq,
+    deg) per 64-bit word hash; (2) the word-score table broadcasts via
+    ray.put (the word_pair_pmi posture — O(vocab) floats); (3) a
+    second pass dedups phrases through the string-carrying payload BSP
+    keyed by the phrase hash (payload = the phrase itself), scores
+    each DISTINCT phrase once by re-splitting it against the broadcast
+    lookup, and prunes per-block top-k partials before one tiny merge
+    (#blocks × k rows — the topk_rows shape, with the string
+    tie-break inlined)."""
+    import ray
+
+    from ..util import count_i64_keys, sum_i64_keys_with_payload
+    from .dedup import _re2_word_split, hash_str_array
+
+    stops = frozenset(stopwords)
+
+    def _phrases(texts):
+        """Yield (tokens_list, phrase_strings) per doc."""
+        for t in texts:
+            toks = _re2_word_split(t)
+            runs, cur = [], []
+            for w in toks:
+                if w in stops:
+                    if cur:
+                        runs.append(cur)
+                    cur = []
+                else:
+                    cur.append(w)
+            if cur:
+                runs.append(cur)
+            yield runs
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or text_col not in t.column_names:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "f": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        words, degs = [], []
+        for runs in _phrases(t.column(text_col).to_pylist()):
+            for run in runs:
+                words.extend(run)
+                degs.extend([len(run)] * len(run))
+        if not words:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "f": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        h = hash_str_array(np.array(words, dtype=object)).view(np.int64)
+        d = np.asarray(degs, dtype=np.int64)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        cut = np.ones(len(h), bool)
+        cut[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(cut)
+        return pa.table(
+            {
+                "h": pa.array(h[starts]),
+                "f": pa.array(np.diff(np.append(starts, len(h))).astype(np.int64)),
+                "d": pa.array(np.add.reduceat(d, starts).astype(np.int64)),
+            }
+        )
+
+    stats = sum_i64_keys_with_payload(
+        docs.map_batches(word_partial, batch_format="pyarrow"),
+        "h",
+        ["f", "d"],
+        [],
+        num_shards=num_shards,
+    ).to_pandas()
+    wh = stats["h"].to_numpy(dtype=np.int64)
+    order = np.argsort(wh)
+    wh = wh[order]
+    wscore = (
+        stats["d"].to_numpy(dtype=np.float64)[order]
+        / stats["f"].to_numpy(dtype=np.float64)[order]
+    )
+    lookup = ray.put((wh, wscore))
+
+    def phrase_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or text_col not in t.column_names:
+            return pa.table({"ph": pa.array([], pa.int64()), "n": pa.array([], pa.int64()), "phrase": pa.array([], pa.string())})
+        phrases = []
+        for runs in _phrases(t.column(text_col).to_pylist()):
+            phrases.extend(" ".join(run) for run in runs)
+        if not phrases:
+            return pa.table({"ph": pa.array([], pa.int64()), "n": pa.array([], pa.int64()), "phrase": pa.array([], pa.string())})
+        arr = np.array(phrases, dtype=object)
+        h = hash_str_array(arr).view(np.int64)
+        order = np.argsort(h, kind="stable")
+        h, arr = h[order], arr[order]
+        cut = np.ones(len(h), bool)
+        cut[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(cut)
+        return pa.table(
+            {
+                "ph": pa.array(h[starts]),
+                "n": pa.array(np.diff(np.append(starts, len(h))).astype(np.int64)),
+                "phrase": pa.array(arr[starts], pa.string()),
+            }
+        )
+
+    distinct = sum_i64_keys_with_payload(
+        docs.map_batches(phrase_partial, batch_format="pyarrow"),
+        "ph",
+        "n",
+        ["phrase"],
+        num_shards=num_shards,
+    )
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"phrase": pa.array([], pa.string()), "n_occ": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        if len(t) == 0 or "phrase" not in t.column_names:
+            return empty
+        whl, wsl = ray.get(lookup)
+        phrases = t.column("phrase").to_pylist()
+        scores = np.zeros(len(phrases))
+        for i, p in enumerate(phrases):
+            mh = hash_str_array(np.array(p.split(" "), dtype=object)).view(np.int64)
+            scores[i] = wsl[np.searchsorted(whl, mh)].sum()
+        df = pd.DataFrame(
+            {
+                "phrase": phrases,
+                "n_occ": t.column("n").to_numpy(zero_copy_only=False),
+                "score": np.round(scores, 6),
+            }
+        ).sort_values(["score", "phrase"], ascending=[False, True], kind="stable").head(k)
+        return pa.table(
+            {
+                "phrase": pa.array(df["phrase"].tolist(), pa.string()),
+                "n_occ": pa.array(df["n_occ"].to_numpy(dtype=np.int64)),
+                "score": pa.array(df["score"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    parts = distinct.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    fin = parts.sort_values(
+        ["score", "phrase"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "phrase": pa.array(fin["phrase"].tolist(), pa.string()),
+            "n_occ": pa.array(fin["n_occ"].to_numpy(dtype=np.int64)),
+            "score": pa.array(fin["score"].to_numpy(dtype=np.float64)),
+        }
+    )

@@ -1036,3 +1036,56 @@ def test_rich_club_brute_force():
         assert row["n_k"] == len(rich) and row["e_k"] == ek
         want = round(2.0 * ek / (len(rich) * (len(rich) - 1)), 6) if len(rich) >= 2 else 0.0
         assert row["phi"] == want
+
+
+def test_rake_keywords_brute_force():
+    from collections import Counter, defaultdict
+
+    from distributed_pagerank_ray.functions.dedup import _re2_word_split
+    from distributed_pagerank_ray.functions.textstats import RAKE_STOPWORDS, rake_keywords
+
+    texts = [
+        "deep learning of the neural network",
+        "neural network training is deep learning",
+        "the quick brown fox and a lazy dog",
+        "deep learning",
+        "",
+        "the the a of",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = rake_keywords(ds, k=5, num_shards=2).to_pandas()
+
+    stops = set(RAKE_STOPWORDS)
+    phrases = []
+    for t in texts:
+        cur = []
+        for w in _re2_word_split(t) + ["the"]:
+            if w in stops:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+    freq = Counter()
+    deg = defaultdict(int)
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    scored = {}
+    occ = Counter(phrases)
+    for p in occ:
+        scored[" ".join(p)] = round(sum(deg[w] / freq[w] for w in p), 6)
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["phrase"], got["score"])) == want
+    assert got.set_index("phrase")["n_occ"].to_dict() == {
+        " ".join(p) if isinstance(p, tuple) else p: occ[tuple(p.split(" "))]
+        for p in got["phrase"]
+    }
