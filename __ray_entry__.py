@@ -4495,6 +4495,78 @@ def _x_http_headers(sf_dir):
     return parse_http_headers_ds(docs.map_batches(synth, batch_format="pyarrow"), concurrency=2)
 
 
+def _x_chunked_decode(sf_dir):
+    """Chunked transfer-coding conformance gate (sources/http.py
+    ::decode_chunked): per-doc bodies of 1 + id%4 chunks with sizes
+    1 + (id+k)%7 over positional bytes (47·id + 7·j) % 256, a chunk
+    extension on the first size line for id%3==0, and a trailer field
+    for odd ids. body_sum is the reassembly witness; oracle computes
+    every column analytically."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.http import decode_chunked_ds
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t.column("doc_id").to_pylist():
+            sizes = [1 + (d + k) % 7 for k in range(1 + d % 4)]
+            total = sum(sizes)
+            body = bytes((47 * d + 7 * j) % 256 for j in range(total))
+            parts = []
+            pos = 0
+            for k, s in enumerate(sizes):
+                ext = b";x=1" if (k == 0 and d % 3 == 0) else b""
+                parts.append(b"%x" % s + ext + b"\r\n" + body[pos : pos + s] + b"\r\n")
+                pos += s
+            parts.append(b"0\r\n")
+            if d % 2 == 1:
+                parts.append(b"X-Sum: t\r\n")
+            parts.append(b"\r\n")
+            payloads.append(b"".join(parts))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_chunked_ds(docs.map_batches(synth, batch_format="pyarrow"), concurrency=2)
+
+
+def _m_gzip_decode(sf_dir):
+    """REAL gzip member decode gate (functions/multimodal.py): data
+    byte j = (29·id + 3·j) % 256 over n = 24 + id%9 bytes; odd ids
+    carry an FNAME field, ids ≡ 0 mod 3 an FEXTRA blob — the
+    flag-driven header walk is exercised, inflate is raw DEFLATE, and
+    CRC32 + ISIZE must verify (the decode raises otherwise). Oracle
+    computes n/sum/first analytically from the byte formula."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_gzip_ds,
+        encode_gzip_member,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t.column("doc_id").to_pylist():
+            n = 24 + d % 9
+            data = bytes((29 * d + 3 * j) % 256 for j in range(n))
+            payloads.append(
+                encode_gzip_member(
+                    data,
+                    fname=b"f%d" % d if d % 2 else None,
+                    fextra=b"\xde\xad" * (1 + d % 3) if d % 3 == 0 else None,
+                )
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return decode_gzip_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -6635,6 +6707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_aiff_decode": _m_aiff_decode,  # REAL AIFF 80-bit-float/big-endian decode, analytic oracle (r5 new)
         "m_au_decode": _m_au_decode,  # REAL Sun AU decode (mu-law + BE PCM16, unknown-size), analytic oracle (r5 new)
         "x_http_headers": _x_http_headers,  # RFC 7230 header parse (obs-fold/quoting/chunked), closed-form oracle (r5 new)
+        "x_chunked_decode": _x_chunked_decode,  # chunked transfer-coding reassembly, analytic oracle (r5 new)
+        "m_gzip_decode": _m_gzip_decode,  # REAL gzip member walk + inflate + CRC/ISIZE verify, analytic oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -9506,6 +9580,37 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # chunked bodies: all columns analytic from the size/byte
+        # formulas (body_sum = positional byte fold)
+        "x_chunked_decode": """
+WITH sz AS (
+  SELECT doc_id, CAST(sum(1 + (doc_id + k.k) % 7) AS BIGINT) AS total
+  FROM documents, UNNEST(range(1 + doc_id % 4)) AS k(k)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(1 + d.doc_id % 4 AS BIGINT) AS n_chunks,
+       s.total AS body_len,
+       (SELECT CAST(sum((47 * d.doc_id + 7 * j.j) % 256) AS BIGINT)
+        FROM UNNEST(range(s.total)) AS j(j)) AS body_sum,
+       CAST(d.doc_id % 2 AS BIGINT) AS n_trailers
+FROM documents d JOIN sz s ON s.doc_id = d.doc_id
+""",
+        # gzip members: analytic byte formula; crc_ok pinned 1 (decode
+        # raises on a CRC/ISIZE mismatch, so a row existing proves it)
+        "m_gzip_decode": """
+WITH b AS (
+  SELECT doc_id, j.j AS j, (29 * doc_id + 3 * j.j) % 256 AS v
+  FROM documents, UNNEST(range(24 + doc_id % 9)) AS j(j)
+)
+SELECT doc_id,
+       count(*) AS n_bytes,
+       CAST(sum(v) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_b,
+       CAST(max(doc_id % 2) AS BIGINT) AS has_name,
+       CAST(1 AS BIGINT) AS crc_ok
+FROM b GROUP BY doc_id
 """,
         # closed-form table of the planted HTTP messages: n_headers =
         # Server + Content-Type + framing (2 when chunked: TE + the

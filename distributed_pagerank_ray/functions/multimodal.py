@@ -2331,3 +2331,126 @@ def decode_au_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- real gzip member codec
+# gzip (RFC 1952) is the wire format crawlers actually store: a flag-
+# driven variable header (FEXTRA len-prefixed, FNAME/FCOMMENT
+# NUL-terminated, FHCRC) the reader must WALK (offsets are not fixed),
+# a raw-DEFLATE payload (stdlib zlib, the PNG posture: inflate is the
+# one stdlib-backed step, the container handling is ours), and the
+# CRC32 + ISIZE trailer that must both verify.
+
+
+def encode_gzip_member(
+    data: bytes, fname: "bytes | None" = None, fextra: "bytes | None" = None
+) -> bytes:
+    """Canonical gzip writer (CM=8, MTIME=0, XFL=0, OS=255) with
+    optional FNAME / FEXTRA fields — the hazard-payload generator."""
+    import struct
+    import zlib
+
+    flg = (4 if fextra is not None else 0) | (8 if fname is not None else 0)
+    out = bytearray(b"\x1f\x8b\x08" + bytes([flg]) + b"\x00\x00\x00\x00\x00\xff")
+    if fextra is not None:
+        out += struct.pack("<H", len(fextra)) + fextra
+    if fname is not None:
+        out += fname + b"\x00"
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    out += comp.compress(data) + comp.flush()
+    out += struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def decode_gzip_member(b: bytes) -> tuple[bytes, str]:
+    """REAL gzip member decode: magic + CM validation, flag-driven
+    header walk (FEXTRA, FNAME, FCOMMENT, FHCRC all handled), raw
+    inflate, CRC32 AND ISIZE trailer verification. Returns
+    (data, fname). Raises ValueError on any malformation — fail
+    loudly, quarantine upstream."""
+    import struct
+    import zlib
+
+    if b is None or len(b) < 18 or b[:2] != b"\x1f\x8b":
+        raise ValueError("not a gzip member")
+    if b[2] != 8:
+        raise ValueError(f"unsupported gzip CM {b[2]}")
+    flg = b[3]
+    if flg & 0xE0:
+        raise ValueError("reserved gzip FLG bits set")
+    pos = 10
+    if flg & 4:  # FEXTRA
+        if pos + 2 > len(b):
+            raise ValueError("truncated FEXTRA length")
+        (xlen,) = struct.unpack_from("<H", b, pos)
+        pos += 2 + xlen
+    fname = ""
+    if flg & 8:  # FNAME
+        nul = b.find(b"\x00", pos)
+        if nul < 0:
+            raise ValueError("unterminated FNAME")
+        fname = b[pos:nul].decode("latin-1")
+        pos = nul + 1
+    if flg & 16:  # FCOMMENT
+        nul = b.find(b"\x00", pos)
+        if nul < 0:
+            raise ValueError("unterminated FCOMMENT")
+        pos = nul + 1
+    if flg & 2:  # FHCRC
+        pos += 2
+    if pos >= len(b) - 8:
+        raise ValueError("gzip header overruns trailer")
+    d = zlib.decompressobj(-15)
+    try:
+        data = d.decompress(b[pos:-8]) + d.flush()
+    except zlib.error as e:
+        raise ValueError(f"deflate error: {e}") from None
+    crc, isize = struct.unpack_from("<II", b, len(b) - 8)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError("gzip CRC32 mismatch")
+    if len(data) & 0xFFFFFFFF != isize:
+        raise ValueError("gzip ISIZE mismatch")
+    return data, fname
+
+
+class GzipDecode:
+    """Actor-pool gzip member decode. Emits n_bytes, sum_b (Σ byte
+    values — the inflate witness), first_b, has_name, crc_ok (always 1
+    on success; the decode RAISES on a bad CRC — the column exists so
+    the gate row states the property explicitly)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nb, sb, fb, hn = [], [], [], []
+        for buf in batch.column(self.bin_col):
+            data, fname = decode_gzip_member(buf.as_py())
+            a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            nb.append(len(data))
+            sb.append(int(a.sum()))
+            fb.append(int(a[0]) if len(a) else -1)
+            hn.append(1 if fname else 0)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("n_bytes", pa.array(np.array(nb, dtype=np.int64)))
+        out = out.append_column("sum_b", pa.array(np.array(sb, dtype=np.int64)))
+        out = out.append_column("first_b", pa.array(np.array(fb, dtype=np.int64)))
+        out = out.append_column("has_name", pa.array(np.array(hn, dtype=np.int64)))
+        out = out.append_column("crc_ok", pa.array(np.ones(len(nb), dtype=np.int64)))
+        return out
+
+
+def decode_gzip_ds(
+    ds: "ray.data.Dataset",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 128,
+) -> "ray.data.Dataset":
+    """Actor-pool gzip decode — same shape/sizing as decode_ppm."""
+    return ds.map_batches(
+        GzipDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

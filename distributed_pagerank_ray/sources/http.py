@@ -128,3 +128,94 @@ def parse_http_headers_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+_HEX = frozenset(b"0123456789abcdefABCDEF")
+
+
+def decode_chunked(b: bytes) -> tuple[bytes, int, int]:
+    """REAL chunked transfer-coding decode (RFC 7230 §4.1): walk
+    hex-size lines (chunk extensions after ';' ignored), reassemble
+    the body, require the 0-size terminator, count trailer fields.
+    Returns (body, n_chunks, n_trailers). Raises ValueError on
+    malformed sizes/framing — fail loudly, quarantine upstream."""
+    if b is None:
+        raise ValueError("empty chunked payload")
+    pos = 0
+    out = bytearray()
+    n_chunks = 0
+    while True:
+        eol = b.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line terminator")
+        size_tok = b[pos:eol].split(b";", 1)[0].strip(b" \t")
+        if not size_tok or any(c not in _HEX for c in size_tok):
+            raise ValueError(f"chunked: bad size line {b[pos:eol]!r}")
+        size = int(size_tok, 16)
+        pos = eol + 2
+        if size == 0:
+            break
+        chunk = b[pos : pos + size]
+        if len(chunk) != size:
+            raise ValueError("chunked: truncated chunk data")
+        out += chunk
+        pos += size
+        if b[pos : pos + 2] != b"\r\n":
+            raise ValueError("chunked: missing data terminator")
+        pos += 2
+        n_chunks += 1
+    # trailer section: header lines until the blank line
+    n_trailers = 0
+    while True:
+        eol = b.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: unterminated trailer section")
+        line = b[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        if b":" not in line:
+            raise ValueError(f"chunked: malformed trailer {line!r}")
+        n_trailers += 1
+    return bytes(out), n_chunks, n_trailers
+
+
+class ChunkedDecode:
+    """Actor-pool chunked-body decode stage. Emits n_chunks, body_len,
+    body_sum (Σ byte values — the reassembly-order witness: any
+    misplaced chunk boundary shifts it) and n_trailers."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nc, bl, bs, nt = [], [], [], []
+        for buf in batch.column(self.bin_col):
+            body, n_chunks, n_trailers = decode_chunked(buf.as_py())
+            a = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+            nc.append(n_chunks)
+            bl.append(len(body))
+            bs.append(int(a.sum()))
+            nt.append(n_trailers)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("n_chunks", pa.array(np.array(nc, dtype=np.int64)))
+        out = out.append_column("body_len", pa.array(np.array(bl, dtype=np.int64)))
+        out = out.append_column("body_sum", pa.array(np.array(bs, dtype=np.int64)))
+        out = out.append_column("n_trailers", pa.array(np.array(nt, dtype=np.int64)))
+        return out
+
+
+def decode_chunked_ds(
+    ds: "object",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> "object":
+    """Actor-pool chunked decode — ExtractLinks' stage shape."""
+    return ds.map_batches(
+        ChunkedDecode,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

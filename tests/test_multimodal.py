@@ -433,3 +433,38 @@ def test_tga_malformed_rejected():
     bad[16] = 16
     with pytest.raises(ValueError, match="supported"):
         run(bytes(bad))
+
+
+def test_gzip_member_walk_and_trailer():
+    import gzip as _gzip
+    import struct
+
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        decode_gzip_member,
+        encode_gzip_member,
+    )
+
+    data = bytes((i * 29 + 3) % 256 for i in range(200))
+    for fn, fx in ((None, None), (b"name", None), (None, b"xx"), (b"n", b"\xde\xad\xbe")):
+        b = encode_gzip_member(data, fn, fx)
+        assert _gzip.decompress(b) == data  # stdlib agrees with the writer
+        out, name = decode_gzip_member(b)
+        assert out == data and name == (fn or b"").decode()
+    # stdlib-written member (with mtime) decodes too
+    out, name = decode_gzip_member(_gzip.compress(data, 5))
+    assert out == data
+    b = encode_gzip_member(data, b"x")
+    bad = bytearray(b)
+    bad[-8] ^= 1
+    with pytest.raises(ValueError):
+        decode_gzip_member(bytes(bad))  # CRC flip
+    bad = bytearray(b)
+    struct.pack_into("<I", bad, len(bad) - 4, 7)
+    with pytest.raises(ValueError):
+        decode_gzip_member(bytes(bad))  # ISIZE lie
+    bad = bytearray(b)
+    bad[3] |= 0xE0
+    with pytest.raises(ValueError):
+        decode_gzip_member(bytes(bad))  # reserved FLG bits

@@ -184,3 +184,26 @@ def test_http_headers_fail_loudly():
         parse_http_headers(b"HTTP/1.1 200 OK\r\nno-colon-line\r\n\r\n")
     with pytest.raises(ValueError):
         parse_http_headers(None)
+
+
+def test_chunked_decode_hazards():
+    import pytest
+
+    from distributed_pagerank_ray.sources.http import decode_chunked
+
+    body = bytes(range(20))
+    enc = (
+        b"a;ext=\"v\"\r\n" + body[:10] + b"\r\n"
+        b"A\r\n" + body[10:] + b"\r\n"  # uppercase hex size
+        b"0\r\nX-A: 1\r\nX-B: 2\r\n\r\n"
+    )
+    out, nc, nt = decode_chunked(enc)
+    assert out == body and nc == 2 and nt == 2
+    with pytest.raises(ValueError):
+        decode_chunked(b"zz\r\nxx\r\n0\r\n\r\n")  # bad hex
+    with pytest.raises(ValueError):
+        decode_chunked(b"5\r\nab\r\n0\r\n\r\n")  # truncated data
+    with pytest.raises(ValueError):
+        decode_chunked(b"2\r\nab--0\r\n\r\n")  # missing data CRLF
+    with pytest.raises(ValueError):
+        decode_chunked(b"2\r\nab\r\n0\r\nbad-trailer\r\n\r\n")  # no colon
