@@ -4567,6 +4567,59 @@ def _m_gzip_decode(sf_dir):
     return decode_gzip_ds(docs.map_batches(make, batch_format="pyarrow"), concurrency=2)
 
 
+def _x_fetch_chain(sf_dir):
+    """COMPOSED crawler-ingest gate: per doc, a full HTTP response
+    whose chunked body (1 + id%3 chunks) reassembles to a gzip member
+    whose inflated payload is planted HTML carrying exactly 1 + id%4
+    anchors — one stage drives header parse → chunked reassembly →
+    gzip walk/inflate/CRC → the REAL ExtractLinks regex
+    (sources/http.py::FetchChain). Even ids skip the chunked layer
+    (Content-Length framing) and ids ≡ 0 mod 5 skip gzip (identity
+    body) so every branch of the chain is witnessed. Oracle is the
+    closed-form column table."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.multimodal import encode_gzip_member
+    from distributed_pagerank_ray.sources.http import fetch_chain_ds
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t.column("doc_id").to_pylist():
+            n_links = 1 + d % 4
+            html = b"<html><head><title>p%d</title></head><body>" % d
+            for k in range(n_links):
+                html += b'<a href="http://h%d.test/p%d">a %d</a>' % (d, k, k)
+            html += b"</body></html>"
+            body = html if d % 5 == 0 else encode_gzip_member(html, fname=b"f%d" % d if d % 2 else None)
+            chunked = d % 2 == 1
+            if chunked:
+                n_chunks = 1 + d % 3
+                cuts = [len(body) * i // n_chunks for i in range(n_chunks + 1)]
+                # planted chunks are never empty: len(body) >> n_chunks
+                parts = []
+                for i in range(n_chunks):
+                    seg = body[cuts[i] : cuts[i + 1]]
+                    parts.append(b"%x\r\n" % len(seg) + seg + b"\r\n")
+                wire_body = b"".join(parts) + b"0\r\n\r\n"
+                framing = b"Transfer-Encoding: chunked\r\n"
+            else:
+                wire_body = body
+                framing = b"Content-Length: %d\r\n" % len(body)
+            payloads.append(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + framing
+                + b"\r\n"
+                + wire_body
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return fetch_chain_ds(docs.map_batches(synth, batch_format="pyarrow"), concurrency=2)
+
+
 def _g_reciprocity_doc(sf_dir):
     """Directed-graph edge reciprocity over a PLANTED deterministic
     graph (the gate-parity recipe: the sf tables carry no directed
@@ -6709,6 +6762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_http_headers": _x_http_headers,  # RFC 7230 header parse (obs-fold/quoting/chunked), closed-form oracle (r5 new)
         "x_chunked_decode": _x_chunked_decode,  # chunked transfer-coding reassembly, analytic oracle (r5 new)
         "m_gzip_decode": _m_gzip_decode,  # REAL gzip member walk + inflate + CRC/ISIZE verify, analytic oracle (r5 new)
+        "x_fetch_chain": _x_fetch_chain,  # composed headers+chunked+gzip+extract chain, closed-form oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -9580,6 +9634,16 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # composed fetch chain: closed-form per-id columns
+        "x_fetch_chain": """
+SELECT doc_id,
+       CAST(200 AS BIGINT) AS status,
+       'text/html' AS mime,
+       CAST(doc_id % 2 AS BIGINT) AS chunked,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 3 ELSE 0 END AS BIGINT) AS n_chunks,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_links
+FROM documents
 """,
         # chunked bodies: all columns analytic from the size/byte
         # formulas (body_sum = positional byte fold)

@@ -219,3 +219,65 @@ def decode_chunked_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+class FetchChain:
+    """Composed fetch pipeline stage: raw HTTP response bytes →
+    header parse → chunked reassembly (when framed so) → gzip member
+    inflate (when the magic matches) → real HTML link extraction
+    (stages.extract.extract_page) — the whole crawler ingest path in
+    one actor-pool stage. Emits status, mime, chunked, n_chunks,
+    n_links per record. Anything malformed raises (every layer of the
+    chain already fails loudly)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        from ..stages.extract import extract_page
+
+        self.bin_col = bin_col
+        self._extract = extract_page
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st, mi, ch, nc, nl = [], [], [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py()
+            status, mime, _charset, clen, chunked, _nh = parse_http_headers(b)
+            end = b.find(b"\r\n\r\n")
+            body = b"" if end < 0 else b[end + 4 :]
+            n_chunks = 0
+            if chunked:
+                body, n_chunks, _nt = decode_chunked(body)
+            elif clen >= 0:
+                body = body[:clen]
+            if body[:2] == b"\x1f\x8b":
+                from ..functions.multimodal import decode_gzip_member
+
+                body, _fname = decode_gzip_member(body)
+            _, links = self._extract(body)
+            st.append(status)
+            mi.append(mime)
+            ch.append(chunked)
+            nc.append(n_chunks)
+            nl.append(len(links))
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("status", pa.array(np.array(st, dtype=np.int64)))
+        out = out.append_column("mime", pa.array(mi, pa.string()))
+        out = out.append_column("chunked", pa.array(np.array(ch, dtype=np.int64)))
+        out = out.append_column("n_chunks", pa.array(np.array(nc, dtype=np.int64)))
+        out = out.append_column("n_links", pa.array(np.array(nl, dtype=np.int64)))
+        return out
+
+
+def fetch_chain_ds(
+    ds: "object",
+    bin_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 128,
+) -> "object":
+    """Actor-pool composed fetch-ingest chain — ExtractLinks' shape."""
+    return ds.map_batches(
+        FetchChain,
+        fn_constructor_kwargs={"bin_col": bin_col},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

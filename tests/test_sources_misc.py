@@ -207,3 +207,34 @@ def test_chunked_decode_hazards():
         decode_chunked(b"2\r\nab--0\r\n\r\n")  # missing data CRLF
     with pytest.raises(ValueError):
         decode_chunked(b"2\r\nab\r\n0\r\nbad-trailer\r\n\r\n")  # no colon
+
+
+def test_fetch_chain_all_branches(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from distributed_pagerank_ray.functions.multimodal import encode_gzip_member
+    from distributed_pagerank_ray.sources.http import fetch_chain_ds
+
+    html = b'<html><body><a href="http://x.test/1">one</a><a href="http://x.test/2">two</a></body></html>'
+    gz = encode_gzip_member(html, fname=b"p")
+    # chunked + gzip
+    seg = [gz[: len(gz) // 2], gz[len(gz) // 2 :]]
+    wire = b"".join(b"%x\r\n" % len(s) + s + b"\r\n" for s in seg) + b"0\r\n\r\n"
+    msg1 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nTransfer-Encoding: chunked\r\n\r\n" + wire
+    # content-length + identity
+    msg2 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: %d\r\n\r\n" % len(html) + html
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array([msg1, msg2], pa.binary()),
+            }
+        )
+    )
+    got = fetch_chain_ds(ds, concurrency=1).to_pandas().sort_values("doc_id")
+    assert got["n_links"].tolist() == [2, 2]
+    assert got["chunked"].tolist() == [1, 0]
+    assert got["n_chunks"].tolist() == [2, 0]
+    assert got["mime"].tolist() == ["text/html", "text/html"]
