@@ -3103,6 +3103,53 @@ def _x_warc_ingest(sf_dir):
     return read_warc(base)
 
 
+def _x_warcgz_ingest(sf_dir):
+    """warc.gz conformance gate — the SAME planted records as
+    x_warc_ingest but shipped in the REAL Common-Crawl layout: every
+    WARC record is its own gzip member (flag-walked, CRC32+ISIZE
+    verified) and the reader must find member boundaries from the
+    inflater itself (gzip has no length prefix). Identical analytic
+    oracle shape."""
+    import os
+
+    import duckdb
+
+    from distributed_pagerank_ray.sources.warc import WarcGzParse, build_warc_gz
+
+    import ray.data
+
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+    base = f"/tmp/dpr_warcgz/{os.path.basename(os.path.normpath(sf_dir))}_{n}"
+    done = base + "/_DONE"
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for lo in range(0, n, 64):
+            recs = []
+            for i in range(lo, min(lo + 64, n)):
+                body = (
+                    f"<html>doc {i} "
+                    + "y" * (i % 50)
+                    + ("WARC/1.0\r\n" if i % 7 == 0 else "")
+                    + "</html>"
+                ).encode("ascii")
+                recs.append(
+                    (
+                        f"http://site{i % 5}.example/page/{i}",
+                        404 if i % 13 == 0 else 200,
+                        body,
+                    )
+                )
+            tmp = f"{base}/part-{lo:06d}.warcgz.tmp"
+            with open(tmp, "wb") as f:
+                f.write(build_warc_gz(recs))
+            os.replace(tmp, f"{base}/part-{lo:06d}.warcgz")
+        with open(done + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + ".tmp", done)
+    ds = ray.data.read_binary_files(base, file_extensions=["warcgz"])
+    return ds.map_batches(WarcGzParse(), batch_size=4, batch_format="pyarrow")
+
+
 def _m_tiff_decode(sf_dir):
     """Fourth REAL image decode gate (baseline TIFF, 8-bit gray):
     deterministic payloads from doc_id with pixel(y,x) =
@@ -6763,6 +6810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_chunked_decode": _x_chunked_decode,  # chunked transfer-coding reassembly, analytic oracle (r5 new)
         "m_gzip_decode": _m_gzip_decode,  # REAL gzip member walk + inflate + CRC/ISIZE verify, analytic oracle (r5 new)
         "x_fetch_chain": _x_fetch_chain,  # composed headers+chunked+gzip+extract chain, closed-form oracle (r5 new)
+        "x_warcgz_ingest": _x_warcgz_ingest,  # real warc.gz member-per-record ingest, analytic oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -8838,6 +8886,18 @@ FROM documents
         # regeneration of the planted WARC records in _x_warc_ingest:
         # the oracle rebuilds each body string (incl. the embedded
         # WARC/1.0 magic for id%7==0) and takes its length
+        # same planted records as x_warc_ingest, through the
+        # member-per-record gzip stream split
+        "x_warcgz_ingest": """
+SELECT 'http://site' || (doc_id % 5) || '.example/page/' || doc_id AS url,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,
+       CAST(length('<html>doc ' || doc_id || ' '
+                   || repeat('y', CAST(doc_id % 50 AS INTEGER))
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN 'WARC/1.0' || chr(13) || chr(10) ELSE '' END
+                   || '</html>') AS BIGINT) AS body_len
+FROM documents ORDER BY doc_id
+""",
         "x_warc_ingest": """
 SELECT 'http://site' || (doc_id % 5) || '.example/page/' || doc_id AS url,
        CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS BIGINT) AS status,

@@ -2454,3 +2454,59 @@ def decode_gzip_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+def split_gzip_members(b: bytes) -> list[bytes]:
+    """Split a MULTI-MEMBER gzip stream (the warc.gz layout: one
+    member per record, concatenated) into the decoded payloads, each
+    member's header walked and CRC32/ISIZE verified by
+    ``decode_gzip_member``. Member boundaries come from the inflater's
+    ``unused_data`` — the only correct way to find them (gzip has no
+    length prefix). Raises ValueError on any malformed member or
+    trailing garbage."""
+    import struct
+    import zlib
+
+    out: list[bytes] = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        if b[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"trailing non-gzip bytes at offset {pos}")
+        # find this member's end: inflate from the header-walked offset
+        # and let zlib report where the DEFLATE stream stopped
+        head = b[pos:]
+        # reuse the single-member validator for header + trailer checks,
+        # but it needs the exact member slice — locate the boundary first
+        if head[2] != 8:
+            raise ValueError(f"unsupported gzip CM {head[2]}")
+        flg = head[3]
+        if flg & 0xE0:
+            raise ValueError("reserved gzip FLG bits set")
+        hpos = 10
+        if flg & 4:
+            (xlen,) = struct.unpack_from("<H", head, hpos)
+            hpos += 2 + xlen
+        if flg & 8:
+            hpos = head.find(b"\x00", hpos) + 1
+        if flg & 16:
+            hpos = head.find(b"\x00", hpos) + 1
+        if flg & 2:
+            hpos += 2
+        if hpos <= 0 or hpos + 8 > len(head):
+            raise ValueError("gzip member header overruns stream")
+        d = zlib.decompressobj(-15)
+        try:
+            d.decompress(head[hpos:])
+        except zlib.error as e:
+            raise ValueError(f"deflate error: {e}") from None
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        consumed = len(head) - hpos - len(d.unused_data)
+        member_len = hpos + consumed + 8
+        if member_len > len(head):
+            raise ValueError("gzip member missing trailer")
+        data, _ = decode_gzip_member(head[:member_len])
+        out.append(data)
+        pos += member_len
+    return out

@@ -128,17 +128,19 @@ def read_warc(
     )
 
 
+def _record(rtype: str, extra: dict, payload: bytes) -> bytes:
+    head = [f"WARC/1.0", f"WARC-Type: {rtype}"]
+    head += [f"{k}: {v}" for k, v in extra.items()]
+    head.append(f"Content-Length: {len(payload)}")
+    return ("\r\n".join(head) + "\r\n\r\n").encode("ascii") + payload + b"\r\n\r\n"
+
+
 def build_warc(records: "list[tuple[str, int, bytes]]", info: str = "synthetic") -> bytes:
     """Test/gate encoder: one warcinfo record, then per (uri, status,
     body) a ``request`` record (parsers must skip it) and a
     ``response`` record wrapping an HTTP message."""
 
-    def rec(rtype: str, extra: dict, payload: bytes) -> bytes:
-        head = [f"WARC/1.0", f"WARC-Type: {rtype}"]
-        head += [f"{k}: {v}" for k, v in extra.items()]
-        head.append(f"Content-Length: {len(payload)}")
-        return ("\r\n".join(head) + "\r\n\r\n").encode("ascii") + payload + b"\r\n\r\n"
-
+    rec = _record
     chunks = [rec("warcinfo", {}, f"software: {info}".encode("ascii"))]
     for uri, status, body in records:
         chunks.append(
@@ -150,3 +152,51 @@ def build_warc(records: "list[tuple[str, int, bytes]]", info: str = "synthetic")
         )
         chunks.append(rec("response", {"WARC-Target-URI": uri}, http))
     return b"".join(chunks)
+
+
+def build_warc_gz(records: "list[tuple[str, int, bytes]]", info: str = "synthetic") -> bytes:
+    """The warc.gz layout (what Common Crawl actually ships): every
+    WARC record is its OWN gzip member, members concatenated — readers
+    can then seek to any record boundary and inflate independently."""
+    from ..functions.multimodal import encode_gzip_member
+
+    members = [_record("warcinfo", {}, f"software: {info}".encode("ascii"))]
+    for uri, status, body in records:
+        members.append(
+            _record("request", {"WARC-Target-URI": uri}, f"GET {uri} HTTP/1.1".encode())
+        )
+        http = (
+            f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n".encode("ascii")
+            + body
+        )
+        members.append(_record("response", {"WARC-Target-URI": uri}, http))
+    return b"".join(encode_gzip_member(m) for m in members)
+
+
+class WarcGzParse:
+    """Actor-pool stage for .warc.gz files: split the multi-member
+    gzip stream (per-record members, CRC-verified) and parse the
+    reassembled records — (url, status, body_len) per response."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.multimodal import split_gzip_members
+
+        urls: list[str] = []
+        statuses: list[int] = []
+        blens: list[int] = []
+        for buf in batch.column(self.bytes_col):
+            records = b"".join(split_gzip_members(buf.as_py()))
+            for uri, status, blen in parse_warc_bytes(records):
+                urls.append(uri)
+                statuses.append(status)
+                blens.append(blen)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "status": pa.array(np.array(statuses, dtype=np.int64)),
+                "body_len": pa.array(np.array(blens, dtype=np.int64)),
+            }
+        )

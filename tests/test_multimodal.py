@@ -468,3 +468,42 @@ def test_gzip_member_walk_and_trailer():
     bad[3] |= 0xE0
     with pytest.raises(ValueError):
         decode_gzip_member(bytes(bad))  # reserved FLG bits
+
+
+def test_split_gzip_members_boundaries():
+    import pytest
+
+    from distributed_pagerank_ray.functions.multimodal import (
+        encode_gzip_member,
+        split_gzip_members,
+    )
+
+    parts = [bytes((i * 13 + j) % 256 for j in range(50 + i)) for i in range(5)]
+    stream = b"".join(
+        encode_gzip_member(p, fname=b"r%d" % i if i % 2 else None)
+        for i, p in enumerate(parts)
+    )
+    assert split_gzip_members(stream) == parts
+    with pytest.raises(ValueError):
+        split_gzip_members(stream + b"junk")  # trailing garbage
+    with pytest.raises(ValueError):
+        split_gzip_members(stream[:-3])  # truncated last member
+    # a corrupted middle member must not be silently skipped
+    bad = bytearray(stream)
+    bad[len(stream) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        split_gzip_members(bytes(bad))
+
+
+def test_warc_gz_round_trip():
+    from distributed_pagerank_ray.functions.multimodal import split_gzip_members
+    from distributed_pagerank_ray.sources.warc import build_warc_gz, parse_warc_bytes
+
+    recs = [("http://a.test/1", 200, b"hello"), ("http://a.test/2", 404, b"x" * 37)]
+    gz = build_warc_gz(recs)
+    members = split_gzip_members(gz)
+    assert len(members) == 5  # warcinfo + 2 x (request + response)
+    assert parse_warc_bytes(b"".join(members)) == [
+        ("http://a.test/1", 200, 5),
+        ("http://a.test/2", 404, 37),
+    ]
