@@ -4082,6 +4082,43 @@ def _r_interval_cover(sf_dir):
     return interval_cover(sf_dir)
 
 
+def _x_robots_sitemaps(sf_dir):
+    """Sitemap-discovery gate (sources/robots.py
+    ::parse_sitemap_directives): planted per-host robots carry a
+    pre-group UPPERCASE SITEMAP line with a trailing comment, an
+    in-group lowercase one (group-independent per the protocol) for
+    ids % 2 == 0, a relative URL that must be skipped (full URLs
+    required) and a 'sitemap-index:' decoy key. Oracle is the
+    closed-form (host, ord, url) table."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.robots import robots_sitemaps
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        hosts, blobs = [], []
+        for d in t.column("doc_id").to_pylist():
+            parts = [
+                "SITEMAP: https://h%d.test/a%d.xml  # comment\n" % (d, d % 7),
+                "User-agent: *\nDisallow: /x\n",
+            ]
+            if d % 2 == 0:
+                parts.append("sitemap: https://h%d.test/b%d.xml\n" % (d, d % 5))
+            parts.append("Sitemap: /relative-skipped\n")
+            parts.append("sitemap-index: https://h%d.test/decoy.xml\n" % d)
+            hosts.append("h%d.test" % d)
+            blobs.append("".join(parts))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots": pa.array(blobs, pa.string()),
+            }
+        )
+
+    return robots_sitemaps(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -6811,6 +6848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_gzip_decode": _m_gzip_decode,  # REAL gzip member walk + inflate + CRC/ISIZE verify, analytic oracle (r5 new)
         "x_fetch_chain": _x_fetch_chain,  # composed headers+chunked+gzip+extract chain, closed-form oracle (r5 new)
         "x_warcgz_ingest": _x_warcgz_ingest,  # real warc.gz member-per-record ingest, analytic oracle (r5 new)
+        "x_robots_sitemaps": _x_robots_sitemaps,  # robots Sitemap-directive discovery, closed-form oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -9694,6 +9732,17 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # sitemap discovery: first directive always present; the
+        # in-group second one only for even ids
+        "x_robots_sitemaps": """
+SELECT 'h' || doc_id || '.test' AS host, CAST(0 AS BIGINT) AS ord,
+       'https://h' || doc_id || '.test/a' || (doc_id % 7) || '.xml' AS sitemap_url
+FROM documents
+UNION ALL
+SELECT 'h' || doc_id || '.test', CAST(1 AS BIGINT),
+       'https://h' || doc_id || '.test/b' || (doc_id % 5) || '.xml'
+FROM documents WHERE doc_id % 2 = 0
 """,
         # composed fetch chain: closed-form per-id columns
         "x_fetch_chain": """

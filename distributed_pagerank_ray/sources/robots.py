@@ -306,3 +306,61 @@ def crawl_delays(
         )
 
     return robots_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def parse_sitemap_directives(blob: "bytes | str") -> list[str]:
+    """Sitemap: URLs in file order (RFC 9309 §2.3 other-records /
+    sitemaps.org protocol): the field name is case-insensitive, the
+    record is GROUP-INDEPENDENT (valid anywhere in the file, even
+    inside a user-agent group — it does not close the group for rule
+    parsing, but here we only collect), '#' comments are stripped, and
+    the value must look absolute (scheme://) or it is skipped (the
+    protocol requires full URLs)."""
+    if isinstance(blob, bytes):
+        text = blob.decode("utf-8", errors="replace")
+    else:
+        text = blob or ""
+    out: list[str] = []
+    for raw in text.replace("\r\n", "\n").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if "://" in value:
+            out.append(value)
+    return out
+
+
+def robots_sitemaps(
+    robots: "ray.data.Dataset",
+    host_col: str = "host",
+    robots_col: str = "robots",
+) -> "ray.data.Dataset":
+    """(host, ord, sitemap_url) per Sitemap directive — the crawl
+    frontier's sitemap-discovery feed (robots.txt is where sitemap
+    URLs are published). Vectorized per batch: one pure-python parse
+    per blob (blobs are small by protocol), flat Arrow output."""
+    import numpy as np
+
+    def parse(t: pa.Table) -> pa.Table:
+        hosts, ords, urls = [], [], []
+        if len(t) and host_col in t.column_names:
+            for h, b in zip(
+                t.column(host_col).to_pylist(), t.column(robots_col).to_pylist()
+            ):
+                for i, u in enumerate(parse_sitemap_directives(b)):
+                    hosts.append(h)
+                    ords.append(i)
+                    urls.append(u)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "ord": pa.array(np.array(ords, dtype=np.int64)),
+                "sitemap_url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return robots.map_batches(parse, batch_format="pyarrow")

@@ -91,3 +91,25 @@ def test_crawl_delays():
     )
     rows = {r["host"]: r["delay_ms"] for r in crawl_delays(ds, "bot", default_ms=123).take_all()}
     assert rows == {"a.test": 2500, "b.test": 123}
+
+
+def test_sitemap_directives_hazards():
+    from distributed_pagerank_ray.sources.robots import parse_sitemap_directives
+
+    blob = (
+        "# header comment\r\n"
+        "SITEMAP: https://h.test/s1.xml  # trailing\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /x\r\n"
+        "sitemap: https://h.test/s2.xml\r\n"  # inside a group: still valid
+        "Sitemap: /relative-skipped\r\n"
+        "sitemap-index: https://h.test/decoy.xml\r\n"
+        "Sitemap:https://h.test/s3.xml\r\n"  # no space after colon
+    )
+    assert parse_sitemap_directives(blob) == [
+        "https://h.test/s1.xml",
+        "https://h.test/s2.xml",
+        "https://h.test/s3.xml",
+    ]
+    assert parse_sitemap_directives(b"") == []
+    assert parse_sitemap_directives(None) == []
