@@ -4119,6 +4119,73 @@ def _x_robots_sitemaps(sf_dir):
     return robots_sitemaps(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def _t_url_pct_norm(sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization gate
+    (functions/urls.py::pct_normalize): unreserved escapes decode
+    (%7E → ~, %41 → A), reserved escapes keep their meaning but
+    uppercase their hex (%2f → %2F), malformed '%' sequences pass
+    through untouched. Planted per-id variants; closed-form oracle."""
+    import ray.data
+
+    from distributed_pagerank_ray.functions.urls import pct_normalize_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        urls = []
+        for d in t.column("doc_id").to_pylist():
+            if d % 4 == 0:
+                urls.append("http://h%d.test/%%7Euser%d" % (d, d))
+            elif d % 4 == 1:
+                urls.append("http://h%d.test/a%%2fb%%2Fc%d" % (d, d))
+            elif d % 4 == 2:
+                urls.append("http://h%d.test/100%%" % d)
+            else:
+                urls.append("http://h%d.test/%%zz%%30x%d" % (d, d))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "url": pa.array(urls, pa.string())}
+        )
+
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        pct_normalize_batch, batch_format="pyarrow"
+    )
+
+
+def _x_enc_sniff(sf_dir):
+    """Charset-sniff gate (sources/http.py::sniff_encoding): planted
+    payloads cover plain UTF-8, BOM'd UTF-8, BOM'd UTF-16LE, BOM'd
+    UTF-32LE (whose BOM STARTS with the UTF-16LE BOM — the check-order
+    hazard) and undecodable legacy bytes. n_bytes excludes the BOM;
+    oracle is the closed-form table."""
+    import ray.data
+
+    from distributed_pagerank_ray.sources.http import EncodingSniff
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        payloads = []
+        for d in t.column("doc_id").to_pylist():
+            k = d % 5
+            if k == 0:
+                payloads.append(("text%d" % d).encode("utf-8"))
+            elif k == 1:
+                payloads.append(b"\xef\xbb\xbf" + ("t%d" % d).encode("utf-8"))
+            elif k == 2:
+                payloads.append(("t%d" % d).encode("utf-16"))  # LE BOM + 2/char
+            elif k == 3:
+                payloads.append(b"\xff\xfe\x00\x00" + b" " * (d % 9))
+            else:
+                payloads.append(b"caf\xe9" + b"y" * (d % 3))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        EncodingSniff(), batch_format="pyarrow"
+    )
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -6849,6 +6916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_fetch_chain": _x_fetch_chain,  # composed headers+chunked+gzip+extract chain, closed-form oracle (r5 new)
         "x_warcgz_ingest": _x_warcgz_ingest,  # real warc.gz member-per-record ingest, analytic oracle (r5 new)
         "x_robots_sitemaps": _x_robots_sitemaps,  # robots Sitemap-directive discovery, closed-form oracle (r5 new)
+        "t_url_pct_norm": _t_url_pct_norm,  # RFC 3986 percent-encoding normalization, closed-form oracle (r5 new)
+        "x_enc_sniff": _x_enc_sniff,  # BOM/UTF-8 charset sniff with the UTF-32-order hazard, closed-form oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -9732,6 +9801,37 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # percent-normalization: closed-form per-variant expectations
+        "t_url_pct_norm": """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'http://h' || doc_id || '.test/%7Euser' || doc_id
+         WHEN 1 THEN 'http://h' || doc_id || '.test/a%2fb%2Fc' || doc_id
+         WHEN 2 THEN 'http://h' || doc_id || '.test/100%'
+         ELSE 'http://h' || doc_id || '.test/%zz%30x' || doc_id END AS url,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'http://h' || doc_id || '.test/~user' || doc_id
+         WHEN 1 THEN 'http://h' || doc_id || '.test/a%2Fb%2Fc' || doc_id
+         WHEN 2 THEN 'http://h' || doc_id || '.test/100%'
+         ELSE 'http://h' || doc_id || '.test/%zz0x' || doc_id END AS norm_url
+FROM documents
+""",
+        # encoding sniff: closed-form enc/bom/length table
+        "x_enc_sniff": """
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom' WHEN 2 THEN 'utf-16le'
+         WHEN 3 THEN 'utf-32le' ELSE 'unknown-8bit' END AS enc,
+       CAST(CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 0 END AS BIGINT) AS bom_len,
+       CAST(CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 4 + length(CAST(doc_id AS VARCHAR))
+         WHEN 1 THEN 1 + length(CAST(doc_id AS VARCHAR))
+         WHEN 2 THEN 2 * (1 + length(CAST(doc_id AS VARCHAR)))
+         WHEN 3 THEN doc_id % 9
+         ELSE 4 + doc_id % 3 END AS BIGINT) AS n_bytes
+FROM documents
 """,
         # sitemap discovery: first directive always present; the
         # in-group second one only for even ids

