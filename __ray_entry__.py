@@ -4071,6 +4071,17 @@ def _r_mode_per_user(sf_dir):
     return mode_value_per_user(sf_dir)
 
 
+def _r_decay_sum(sf_dir):
+    """Recency-decayed engagement per user with dyadic weights
+    (relational.decayed_value_per_user): integer numerator
+    Σ cents·2^(16−k), k = whole hours before the global max event
+    time floored at 16; ONE terminal division. Window SUM-free and
+    association-order-free by construction."""
+    from distributed_pagerank_ray.pipelines.relational import decayed_value_per_user
+
+    return decayed_value_per_user(sf_dir)
+
+
 def _r_interval_cover(sf_dir):
     """Per-user interval-union coverage (pipelines/relational.py
     interval_cover): event spans [s, s + 60 + event_id%600) merged
@@ -6957,6 +6968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_interval_cover": _r_interval_cover,  # interval-union coverage, SQL-gated (r5 new)
         "r_mode_per_user": _r_mode_per_user,  # deterministic grouped mode, SQL-gated (r5 new)
         "r_quantile_sketch": _r_quantile_sketch,  # mergeable eps-quantile summary, rank-identity gate (r5 new)
+        "r_decay_sum": _r_decay_sum,  # dyadic-weight time-decay scores, SQL-gated (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
@@ -9352,6 +9364,22 @@ WITH o AS (
 SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_len,
        CAST(max(dur) AS BIGINT) AS max_dur_s
 FROM s GROUP BY user_id
+""",
+        # dyadic decay: k = floor-hours before max ts (epoch_us
+        # difference // 1e6 // 3600, the date_diff boundary rule),
+        # integer numerator, one terminal division by 2^16
+        "r_decay_sum": """
+WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+t AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         LEAST((((SELECT m FROM mx) - epoch_us(ts)) // 1000000) // 3600, 16) AS k
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * (1 << CAST(16 - k AS INTEGER))) AS BIGINT) AS num,
+       round(CAST(sum(cents * (1 << CAST(16 - k AS INTEGER))) AS DOUBLE) / 65536, 6) AS decayed
+FROM t GROUP BY user_id
 """,
         # the sketch estimates are merge-order-dependent; the gated
         # row is the engine-computed exact-rank identity (ok must be 1

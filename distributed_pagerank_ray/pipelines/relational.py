@@ -2679,6 +2679,95 @@ def events_streaks(
     )
 
 
+def decayed_value_per_user(sf_dir: str, num_shards: int = 16) -> "ray.data.Dataset":
+    """Exponentially time-decayed engagement score per user — the
+    recency-weighted sum every ranking/engagement pipeline keeps, made
+    EXACT-HASH-SAFE by dyadic weights: weight = 2^(−k) with k = whole
+    HOURS before the global max event time, floored at k = 16 (the
+    decay floor: anything older than 16 h keeps weight 2⁻¹⁶). The
+    engine accumulates the integer numerator Σ cents · 2^(16−k) — all
+    int64, order-free — and performs ONE terminal division by 2¹⁶
+    (the float-parity rule; a float exp() sum would be
+    association-order fragile). Output (user_id, num, decayed 6dp).
+
+    Scale shape: one tiny max-fold for the anchor time, then per-batch
+    integer partials through the weighted count BSP."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    from ..util import count_i64_keys
+
+    t_max = int(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array(
+                        [
+                            int(
+                                t.column("ts")
+                                .cast(pa.timestamp("us"))
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)
+                                .max()
+                            )
+                        ]
+                        if len(t)
+                        else [],
+                        _I64,
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).max("m")
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return pa.table({"u": pa.array([], _I64), "p": pa.array([], _I64)})
+        u = t.column("user_id").cast(_I64).to_numpy(zero_copy_only=False)
+        us = (
+            t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = np.floor(
+            t.column("value").cast(_F64).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        k = np.minimum((t_max - us) // 1_000_000 // 3600, 16)
+        w = cents << (16 - k)
+        uniq, inv = np.unique(u, return_inverse=True)
+        return pa.table(
+            {
+                "u": pa.array(uniq),
+                "p": pa.array(np.bincount(inv, weights=w, minlength=len(uniq)).astype(np.int64)),
+            }
+        )
+
+    summed = count_i64_keys(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        "u",
+        num_shards=num_shards,
+        count_col="num",
+        weight_col="p",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "u" not in t.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], _I64),
+                    "num": pa.array([], _I64),
+                    "decayed": pa.array([], _F64),
+                }
+            )
+        num = t.column("num").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("u"),
+                "num": pa.array(num),
+                "decayed": pa.array(np.round(num / 65536.0, 6), _F64),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
 def mode_value_per_user(sf_dir: str, num_shards: int = 16) -> "ray.data.Dataset":
     """Deterministic grouped MODE — most frequent value per group with
     the tie rule pinned (count desc, value asc; SQL's bare ``mode()``

@@ -1089,3 +1089,38 @@ def test_rake_keywords_brute_force():
         " ".join(p) if isinstance(p, tuple) else p: occ[tuple(p.split(" "))]
         for p in got["phrase"]
     }
+
+
+def test_decayed_value_brute_force(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import decayed_value_per_user
+
+    rng = np.random.default_rng(19)
+    n = 300
+    sec = rng.integers(0, 90 * 3600, n)  # ages up to 90h: floor fires
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "ts": pd.to_datetime(sec * 1_000_000, unit="us"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = (
+        decayed_value_per_user(str(tmp_path), num_shards=2)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    t_max = int(sec.max())
+    cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+    k = np.minimum((t_max - sec) // 3600, 16)
+    num = cents << (16 - k)
+    want = (
+        pd.DataFrame({"user_id": df["user_id"], "num": num})
+        .groupby("user_id", as_index=False)["num"]
+        .sum()
+    )
+    assert got["num"].tolist() == want["num"].tolist()
+    assert (got["decayed"] == np.round(got["num"] / 65536.0, 6)).all()
