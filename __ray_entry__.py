@@ -5298,6 +5298,49 @@ def _g_ppr_push_doc(sf_dir):
     )
 
 
+def _g_effdiam_doc(sf_dir):
+    """Effective diameter (q = 0.9 reachable-pair distance quantile,
+    pipelines/centrality.py::effective_diameter) on the planted
+    diamond+tail 8-groups: the per-group 56-ordered-pair distance
+    histogram is the fixed vector [16,14,10,8,6,2] for d = 1..6, so
+    eff_diameter = 5 (cum 54 ≥ 0.9·56) and mean = 148/56 in closed
+    form. Exact all-landmarks run, capped at 2048 vertices."""
+    import tempfile
+
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.centrality import effective_diameter
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
+            sel = i[p == pos]
+            for o in offs:
+                srcs.append(sel)
+                dsts.append(sel + o)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    g = build_graph(
+        docs.map_batches(make, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix="dpr_effd_gate_"),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
+    )
+    return effective_diameter(g, q=0.9, batch_k=512, directed=False)
+
+
 def _planted_k4_chain_edges(sf_dir):
     """The planted cohesive-subgraph gate graph: consecutive groups of
     8 doc ids carry a K4 on positions {0,1,2,3}, a triangle CHAIN
@@ -6957,6 +7000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_eccentricity_doc": _g_eccentricity_doc,  # per-vertex eccentricity fold, closed-form oracle (r5 new)
         "g_richclub_parts": _g_richclub_parts,  # rich-club coefficients, SQL-gated (r5 new)
         "g_ppr_push_doc": _g_ppr_push_doc,  # ACL push PPR, invariant-identity gate (r5 new)
+        "g_effdiam_doc": _g_effdiam_doc,  # 0.9-quantile effective diameter, closed-form oracle (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -10037,6 +10081,15 @@ SELECT s.a, s.b, round(s.score, 6) AS score
 FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
 ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
 LIMIT 20
+""",
+        # effective diameter: per-group distance histogram is the
+        # fixed [16,14,10,8,6,2] vector; mean division via CAST
+        "g_effdiam_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) // 8 AS g FROM documents)
+SELECT CAST(56 * g AS BIGINT) AS n_pairs,
+       CAST(5 AS BIGINT) AS eff_diameter,
+       round(CAST(148 * g AS DOUBLE) / (56 * g), 6) AS mean_dist
+FROM nn
 """,
         # push-PPR gate: structure (n_pos, argmax) is deterministic on
         # the planted graph; mass/residual flags are engine identities

@@ -514,6 +514,113 @@ def eccentricity(
     return ray.data.from_arrow_refs([to_table.remote(s, acc_refs[s]) for s in range(S)])
 
 
+@ray.remote
+def _lm_hist_fold(acc_prev, D: np.ndarray, max_d: int):
+    """Histogram of finite non-self distances in this landmark batch's
+    shard matrix (integer BFS distances → bincount), summed into the
+    running per-shard histogram. Distances above ``max_d`` clamp into
+    the last bin (reported; a web graph's tail is tiny)."""
+    finite = np.isfinite(D) & (D > 0)
+    d = D[finite].astype(np.int64)
+    if len(d) == 0:
+        h = np.zeros(max_d + 1, np.int64)
+    else:
+        h = np.bincount(np.minimum(d, max_d), minlength=max_d + 1)
+    return h if acc_prev is None else acc_prev + h
+
+
+def effective_diameter(
+    graph: GraphTables,
+    q: float = 0.9,
+    landmarks: "np.ndarray | list[int] | None" = None,
+    batch_k: int = 256,
+    max_iters: int = 100,
+    directed: bool = False,
+    combine_fanin: int = 0,
+    max_d: int = 512,
+) -> "ray.data.Dataset":
+    """One row (n_pairs, eff_diameter, mean_dist 6dp): the q-quantile
+    of the reachable-pair shortest-path distribution — THE standard
+    web-graph connectivity number ("90% of reachable pairs are within
+    d hops"; Leskovec et al. densification papers). eff_diameter is
+    the smallest integer d with cum(d) ≥ q·n_pairs (the discrete
+    convention — no interpolation, so the gate is integer-exact).
+    EXACT with ``landmarks=None``; a landmark sample summarizes the
+    sampled source rows. Same batched landmark matrix-BFS as
+    harmonic_centrality; the fold is a per-shard integer histogram
+    (distances are small ints — O(max_d) driver state)."""
+    n, shard_rows = graph.n, graph.shard_rows
+    if not (0 < q <= 1):
+        raise ValueError("q must be in (0, 1]")
+    if landmarks is None:
+        landmarks = np.arange(n, dtype=np.int64)
+    else:
+        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
+        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
+            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
+
+    if directed:
+        edge_src = graph.edges()
+    else:
+        edge_src = ray.data.read_parquet(
+            symmetrize_edges(graph), columns=["src", "dst"]
+        )
+    S = n_shards(n, shard_rows)
+    edges_mat = edge_src.materialize()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
+    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
+
+    acc_refs: list = [None] * S
+    for b0 in range(0, len(landmarks), batch_k):
+        lms = landmarks[b0 : b0 + batch_k]
+        K = len(lms)
+        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
+        for _ in range(max_iters):
+            gathers = [
+                _lm_gather.options(num_returns=S).remote(
+                    b, dist_refs, n, shard_rows, S, K
+                )
+                for b in blocks
+            ]
+            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
+            if combine_fanin > 0:
+                from ..util import tree_combine_refs
+
+                cols = [
+                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
+                    for s in range(S)
+                ]
+            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
+            changed = int(sum(ray.get([o[0] for o in outs])))
+            dist_refs = [o[1] for o in outs]
+            if changed == 0:
+                break
+        acc_refs = [
+            _lm_hist_fold.remote(acc_refs[s], dist_refs[s], max_d) for s in range(S)
+        ]
+
+    hists = [h for h in ray.get(acc_refs) if h is not None]
+    if not hists:
+        return ray.data.from_items(
+            [{"n_pairs": 0, "eff_diameter": 0, "mean_dist": 0.0}]
+        )
+    h = np.sum(hists, axis=0)
+    n_pairs = int(h.sum())
+    cum = np.cumsum(h)
+    eff = int(np.searchsorted(cum, q * n_pairs, side="left"))
+    mean = float((h * np.arange(len(h))).sum()) / n_pairs if n_pairs else 0.0
+    return ray.data.from_items(
+        [
+            {
+                "n_pairs": n_pairs,
+                "eff_diameter": eff,
+                "mean_dist": round(mean, 6),
+            }
+        ]
+    )
+
+
 # ------------------------------------------------------- betweenness (Brandes)
 #
 # bc(v) = Σ_{s≠v≠t} σ_st(v) / σ_st over ORDERED (s, t) pairs (the

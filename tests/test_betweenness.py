@@ -243,3 +243,21 @@ def test_eccentricity_brute_and_landmark_lower_bound(tmp_path, ray_session):
     # landmark subset is a lower bound, exact at the landmarks' rows
     sub = eccentricity(g, landmarks=[0, 5]).to_pandas().sort_values("id")
     assert (sub["ecc"].to_numpy() <= got["ecc"].to_numpy()).all()
+
+
+def test_effective_diameter_brute_and_quantile_edges(tmp_path, ray_session):
+    from distributed_pagerank_ray.pipelines.centrality import effective_diameter
+
+    # path graph 0-1-2-3-4: pairwise distance histogram is closed-form
+    g = _graph(tmp_path, [0, 1, 2, 3], [1, 2, 3, 4], "effd_path", shard_rows=2)
+    got = effective_diameter(g, q=0.9).to_pandas().iloc[0]
+    # ordered pairs: d1x8, d2x6, d3x4, d4x2 (n=20); cum(3)=18 = 0.9*20
+    assert got["n_pairs"] == 20
+    assert got["eff_diameter"] == 3  # cum(3) hits the target exactly
+    assert got["mean_dist"] == round((8 + 12 + 12 + 8) / 20, 6)
+    # q=1.0 is the true diameter
+    full = effective_diameter(g, q=1.0).to_pandas().iloc[0]
+    assert full["eff_diameter"] == 4
+    # landmark subset counts only sampled source rows
+    sub = effective_diameter(g, landmarks=[0]).to_pandas().iloc[0]
+    assert sub["n_pairs"] == 4
