@@ -4197,6 +4197,43 @@ def _x_enc_sniff(sf_dir):
     )
 
 
+def _x_hreflang(sf_dir):
+    """hreflang alternate-link extraction gate
+    (stages/extract.py::AlternateLinks): planted HTML exercises the
+    attribute hazards — UPPERCASE names with swapped order and single
+    quotes (position 0, every doc), a rel=alternate link WITHOUT
+    hreflang (skipped), a stylesheet decoy, and a second alternate for
+    ids % 3 == 0. hreflang values lowercase (BCP 47). Closed-form
+    oracle."""
+    import ray.data
+
+    from distributed_pagerank_ray.stages.extract import alternate_links
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        htmls = []
+        for d in t.column("doc_id").to_pylist():
+            parts = [
+                b"<html><head>",
+                b'<link rel="stylesheet" href="http://c.test/s.css">',
+                b"<LINK HREFLANG='DE-de' REL='alternate' HREF='http://h%d.test/de'>" % d,
+                b'<link rel="alternate" href="http://h%d.test/nolang">' % d,
+            ]
+            if d % 3 == 0:
+                parts.append(
+                    b'<link rel="alternate" hreflang="fr" href="http://h%d.test/fr%d">'
+                    % (d, d % 7)
+                )
+            parts.append(b"</head><body>x</body></html>")
+            htmls.append(b"".join(parts))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "html": pa.array(htmls, pa.binary())}
+        )
+
+    return alternate_links(docs.map_batches(synth, batch_format="pyarrow"), concurrency=2)
+
+
 def _x_crawl_delays(sf_dir):
     """SQL-gated Crawl-delay extraction: per-host robots planted with
     a decoy crawler-group delay, a bot-group fractional delay
@@ -6972,6 +7009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_robots_sitemaps": _x_robots_sitemaps,  # robots Sitemap-directive discovery, closed-form oracle (r5 new)
         "t_url_pct_norm": _t_url_pct_norm,  # RFC 3986 percent-encoding normalization, closed-form oracle (r5 new)
         "x_enc_sniff": _x_enc_sniff,  # BOM/UTF-8 charset sniff with the UTF-32-order hazard, closed-form oracle (r5 new)
+        "x_hreflang": _x_hreflang,  # hreflang alternate-link extraction, closed-form oracle (r5 new)
         "t_jaro_winkler": _t_jaro_winkler,  # DuckDB-bit-exact Jaro-Winkler scoring (r5 new)
         "t_bigram_overlap": _t_bigram_overlap,  # BLEU-style clipped bigram precision, SQL-gated (r5 new)
         "t_vocab_growth": _t_vocab_growth,  # Heaps-law vocabulary growth via first-occurrence min-BSP (r5 new)
@@ -9873,6 +9911,17 @@ SELECT doc_id,
        CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_lin
 FROM lin
 GROUP BY doc_id
+""",
+        # hreflang alternates: first row always (lowercased de-de),
+        # second only for ids % 3 == 0
+        "x_hreflang": """
+SELECT doc_id, CAST(0 AS BIGINT) AS ord, 'de-de' AS hreflang,
+       'http://h' || doc_id || '.test/de' AS href
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), 'fr',
+       'http://h' || doc_id || '.test/fr' || (doc_id % 7)
+FROM documents WHERE doc_id % 3 = 0
 """,
         # percent-normalization: closed-form per-variant expectations
         "t_url_pct_norm": """

@@ -63,3 +63,32 @@ def test_anchor_stats_brute_force():
     for g in got:
         assert g["n_inlinks"] == want_n[g["dst_id"]]
         assert g["anchor_chars"] == want_ch[g["dst_id"]]
+
+
+def test_alternate_links_attribute_hazards():
+    import pyarrow as pa
+
+    from distributed_pagerank_ray.stages.extract import AlternateLinks
+
+    html = (
+        b"<html><head>"
+        b'<link rel="stylesheet" href="s.css">'
+        b"<LINK HREFLANG='DE-de' REL='alternate' HREF='http://h/de'>"
+        b'<link rel="alternate" href="http://h/x">'  # no hreflang: skipped
+        b'<link hreflang="fr" rel="alternate" href="http://h/fr"/>'  # self-closing
+        b"</head></html>"
+    )
+    t = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "html": pa.array([html], pa.binary())}
+    )
+    out = AlternateLinks()(t).to_pydict()
+    assert out == {
+        "doc_id": [7, 7],
+        "ord": [0, 1],
+        "hreflang": ["de-de", "fr"],
+        "href": ["http://h/de", "http://h/fr"],
+    }
+    empty = AlternateLinks()(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "html": pa.array([b"<p>x</p>"], pa.binary())})
+    )
+    assert len(empty) == 0
