@@ -48,6 +48,20 @@ def __getattr__(name):
         "sorted_neighborhood_pairs": ("distributed_pagerank_ray.functions.dedup", "sorted_neighborhood_pairs"),
         "forest_summary": ("distributed_pagerank_ray.pipelines.mst", "forest_summary"),
         "levenshtein_bytes": ("distributed_pagerank_ray.functions.editdist", "levenshtein_bytes"),
+        "jaro_winkler_bytes": ("distributed_pagerank_ray.functions.editdist", "jaro_winkler_bytes"),
+        "ppr_push": ("distributed_pagerank_ray.pipelines.pprpush", "ppr_push"),
+        "quantile_sketch": ("distributed_pagerank_ray.functions.sketches", "quantile_sketch"),
+        "closeness_centrality": ("distributed_pagerank_ray.pipelines.centrality", "closeness_centrality"),
+        "eccentricity": ("distributed_pagerank_ray.pipelines.centrality", "eccentricity"),
+        "effective_diameter": ("distributed_pagerank_ray.pipelines.centrality", "effective_diameter"),
+        "rich_club": ("distributed_pagerank_ray.pipelines.metrics", "rich_club"),
+        "rake_keywords": ("distributed_pagerank_ray.functions.textstats", "rake_keywords"),
+        "vocab_growth": ("distributed_pagerank_ray.functions.textstats", "vocab_growth"),
+        "parse_http_headers": ("distributed_pagerank_ray.sources.http", "parse_http_headers"),
+        "decode_chunked": ("distributed_pagerank_ray.sources.http", "decode_chunked"),
+        "split_gzip_members": ("distributed_pagerank_ray.functions.multimodal", "split_gzip_members"),
+        "build_warc_gz": ("distributed_pagerank_ray.sources.warc", "build_warc_gz"),
+        "centroid_silhouette": ("distributed_pagerank_ray.functions.similarity", "centroid_silhouette"),
         "bm25_scores": ("distributed_pagerank_ray.functions.textstats", "bm25_scores"),
         "knn_pq_adc": ("distributed_pagerank_ray.functions.pq", "knn_pq_adc"),
         "PageRankConfig": ("distributed_pagerank_ray.config", "PageRankConfig"),
