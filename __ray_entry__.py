@@ -5122,6 +5122,47 @@ def _g_scc_doc(sf_dir):
     )
 
 
+def _planted_diamond_tail_graph(sf_dir, prefix):
+    """Shared planted-graph builder for the centrality/PPR gates:
+    consecutive 8-groups of doc ids form a diamond (0,1),(0,2),(1,3),
+    (2,3) plus a 4-hop tail (3,4)..(6,7), capped at 2048 vertices
+    (full groups) — closed-form per-position constants for
+    betweenness/closeness/eccentricity/effective-diameter and a
+    deterministic seed component for push-PPR."""
+    import tempfile
+
+    import ray.data
+
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nf = min(2048, docs.count() // 8 * 8)
+
+    def make(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy(zero_copy_only=False)
+        i = i[i < nf]
+        p = i % 8
+        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
+        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
+            sel = i[p == pos]
+            for o in offs:
+                srcs.append(sel)
+                dsts.append(sel + o)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    return build_graph(
+        docs.map_batches(make, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix=prefix),
+        src_col="src",
+        dst_col="dst",
+        mint=False,
+        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
+    )
+
+
 def _g_betweenness_doc(sf_dir):
     """Betweenness centrality (Brandes through the per-shard BSP
     matrix exchanges, pipelines/centrality.py) on a PLANTED graph:
@@ -5134,41 +5175,9 @@ def _g_betweenness_doc(sf_dir):
     tests/test_betweenness.py. Vertex set capped at 2048 (full groups
     only) so the EXACT all-landmarks run stays gate-cheap at both
     scales."""
-    import tempfile
-
-    import ray.data
-
-    from distributed_pagerank_ray.config import RunConfig
     from distributed_pagerank_ray.pipelines.centrality import betweenness_centrality
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    nf = min(2048, docs.count() // 8 * 8)
-
-    def make(t: pa.Table) -> pa.Table:
-        i = t.column("doc_id").to_numpy(zero_copy_only=False)
-        i = i[i < nf]
-        p = i % 8
-        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
-        # per-group edges keyed by the LOWER endpoint's position:
-        # diamond (0,1),(0,2),(1,3),(2,3) + tail (3,4),(4,5),(5,6),(6,7)
-        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
-            sel = i[p == pos]
-            for o in offs:
-                srcs.append(sel)
-                dsts.append(sel + o)
-        return pa.table(
-            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
-        )
-
-    g = build_graph(
-        docs.map_batches(make, batch_format="pyarrow"),
-        tempfile.mkdtemp(prefix="dpr_bc_gate_"),
-        src_col="src",
-        dst_col="dst",
-        mint=False,
-        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
-    )
+    g = _planted_diamond_tail_graph(sf_dir, "dpr_bc_gate_")
     return betweenness_centrality(g, batch_k=512, directed=False)
 
 
@@ -5180,39 +5189,9 @@ def _g_closeness_doc(sf_dir):
     brute BFS in tests/test_betweenness.py's closeness sibling), so
     the oracle is a VALUES lookup. Exact all-landmarks run, vertex set
     capped at 2048."""
-    import tempfile
-
-    import ray.data
-
-    from distributed_pagerank_ray.config import RunConfig
     from distributed_pagerank_ray.pipelines.centrality import closeness_centrality
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    nf = min(2048, docs.count() // 8 * 8)
-
-    def make(t: pa.Table) -> pa.Table:
-        i = t.column("doc_id").to_numpy(zero_copy_only=False)
-        i = i[i < nf]
-        p = i % 8
-        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
-        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
-            sel = i[p == pos]
-            for o in offs:
-                srcs.append(sel)
-                dsts.append(sel + o)
-        return pa.table(
-            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
-        )
-
-    g = build_graph(
-        docs.map_batches(make, batch_format="pyarrow"),
-        tempfile.mkdtemp(prefix="dpr_close_gate_"),
-        src_col="src",
-        dst_col="dst",
-        mint=False,
-        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
-    )
+    g = _planted_diamond_tail_graph(sf_dir, "dpr_close_gate_")
     return closeness_centrality(g, batch_k=512, directed=False)
 
 
@@ -5222,39 +5201,9 @@ def _g_eccentricity_doc(sf_dir):
     diamond+tail 8-groups: closed-form per-position eccentricities
     [6,5,5,4,3,4,5,6] (position 4 is the graph center). Exact
     all-landmarks run, capped at 2048 vertices."""
-    import tempfile
-
-    import ray.data
-
-    from distributed_pagerank_ray.config import RunConfig
     from distributed_pagerank_ray.pipelines.centrality import eccentricity
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    nf = min(2048, docs.count() // 8 * 8)
-
-    def make(t: pa.Table) -> pa.Table:
-        i = t.column("doc_id").to_numpy(zero_copy_only=False)
-        i = i[i < nf]
-        p = i % 8
-        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
-        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
-            sel = i[p == pos]
-            for o in offs:
-                srcs.append(sel)
-                dsts.append(sel + o)
-        return pa.table(
-            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
-        )
-
-    g = build_graph(
-        docs.map_batches(make, batch_format="pyarrow"),
-        tempfile.mkdtemp(prefix="dpr_ecc_gate_"),
-        src_col="src",
-        dst_col="dst",
-        mint=False,
-        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
-    )
+    g = _planted_diamond_tail_graph(sf_dir, "dpr_ecc_gate_")
     return eccentricity(g, batch_k=512, directed=False)
 
 
@@ -5266,39 +5215,9 @@ def _g_ppr_push_doc(sf_dir):
     mass_ok/res_ok are the engine-computed push invariants (Σp+Σr = 1;
     every residual below its ε·deg threshold at exit) — the identity
     posture, since the p floats themselves are ACL-bounded estimates."""
-    import tempfile
-
-    import ray.data
-
-    from distributed_pagerank_ray.config import RunConfig
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
     from distributed_pagerank_ray.pipelines.pprpush import ppr_push
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    nf = min(2048, docs.count() // 8 * 8)
-
-    def make(t: pa.Table) -> pa.Table:
-        i = t.column("doc_id").to_numpy(zero_copy_only=False)
-        i = i[i < nf]
-        p = i % 8
-        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
-        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
-            sel = i[p == pos]
-            for o in offs:
-                srcs.append(sel)
-                dsts.append(sel + o)
-        return pa.table(
-            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
-        )
-
-    g = build_graph(
-        docs.map_batches(make, batch_format="pyarrow"),
-        tempfile.mkdtemp(prefix="dpr_ppr_gate_"),
-        src_col="src",
-        dst_col="dst",
-        mint=False,
-        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
-    )
+    g = _planted_diamond_tail_graph(sf_dir, "dpr_ppr_gate_")
     res = ppr_push(g, seed=0, alpha=0.15, eps=1e-8)
 
     def fold(t: pa.Table) -> pa.Table:
@@ -5342,39 +5261,9 @@ def _g_effdiam_doc(sf_dir):
     histogram is the fixed vector [16,14,10,8,6,2] for d = 1..6, so
     eff_diameter = 5 (cum 54 ≥ 0.9·56) and mean = 148/56 in closed
     form. Exact all-landmarks run, capped at 2048 vertices."""
-    import tempfile
-
-    import ray.data
-
-    from distributed_pagerank_ray.config import RunConfig
     from distributed_pagerank_ray.pipelines.centrality import effective_diameter
-    from distributed_pagerank_ray.pipelines.graphbuild import build_graph
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    nf = min(2048, docs.count() // 8 * 8)
-
-    def make(t: pa.Table) -> pa.Table:
-        i = t.column("doc_id").to_numpy(zero_copy_only=False)
-        i = i[i < nf]
-        p = i % 8
-        srcs, dsts = [np.array([], np.int64)], [np.array([], np.int64)]
-        for pos, offs in ((0, (1, 2)), (1, (2,)), (2, (1,)), (3, (1,)), (4, (1,)), (5, (1,)), (6, (1,))):
-            sel = i[p == pos]
-            for o in offs:
-                srcs.append(sel)
-                dsts.append(sel + o)
-        return pa.table(
-            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
-        )
-
-    g = build_graph(
-        docs.map_batches(make, batch_format="pyarrow"),
-        tempfile.mkdtemp(prefix="dpr_effd_gate_"),
-        src_col="src",
-        dst_col="dst",
-        mint=False,
-        run_cfg=RunConfig(num_partitions=4, shard_rows=512),
-    )
+    g = _planted_diamond_tail_graph(sf_dir, "dpr_effd_gate_")
     return effective_diameter(g, q=0.9, batch_k=512, directed=False)
 
 
@@ -8405,9 +8294,12 @@ occ AS (
   FROM isl i JOIN ph p ON p.doc_id = i.doc_id AND p.grp = i.grp
   WHERE i.stop = 0
 ),
-ws AS (SELECT w, count(*) AS f, CAST(sum(plen) AS BIGINT) AS d FROM occ GROUP BY w),
+ws AS (
+  SELECT w, FLOOR(CAST(sum(plen) AS DOUBLE) / count(*) * 1048576) / 1048576 AS s
+  FROM occ GROUP BY w
+),
 sc AS (
-  SELECT o.doc_id, o.grp, sum(CAST(ws.d AS DOUBLE) / ws.f) AS score
+  SELECT o.doc_id, o.grp, sum(ws.s) AS score
   FROM occ o JOIN ws ON ws.w = o.w GROUP BY o.doc_id, o.grp
 ),
 fin AS (

@@ -226,6 +226,29 @@ def run_bench() -> dict:
         "t_readability",
         "t_stopword_ratio",
         "x_crawl_delays",
+        # late-r5 batch 2
+        "r_interval_cover",
+        "r_mode_per_user",
+        "r_decay_sum",
+        "r_quantile_sketch",
+        "t_jaro_winkler",
+        "t_bigram_overlap",
+        "t_vocab_growth",
+        "t_rake_keywords",
+        "e_silhouette",
+        "g_richclub_parts",
+        "g_resource_alloc_parts",
+        "x_http_headers",
+        "x_chunked_decode",
+        "m_gzip_decode",
+        "x_fetch_chain",
+        "x_warcgz_ingest",
+        "m_aiff_decode",
+        "m_au_decode",
+        "x_enc_sniff",
+        "t_url_pct_norm",
+        "x_hreflang",
+        "x_robots_sitemaps",
     ]:
         def run(n=name):
             ds = qs[n](sf_dir)
@@ -256,6 +279,10 @@ def run_bench() -> dict:
     queries["g_mis_doc"] = round(t, 3)
     t, _ = _timed(lambda: qs["g_matching_doc"](sf_dir).count())
     queries["g_matching_doc"] = round(t, 3)
+
+    # push-PPR gate graph: single rep (BSP exchange floor dominates)
+    t, _ = _timed(lambda: len(qs["g_ppr_push_doc"](sf_dir)))
+    queries["g_ppr_push_doc"] = round(t, 3)
 
     ray.shutdown()
     return result

@@ -104,7 +104,7 @@ def levenshtein_brute(a: str, b: str) -> int:
 # plain Jaro score exceeds 0.7 (strict: 0.6969… gets no boost).
 
 
-def jaro_bytes(col_a, col_b, prefix_chars: int = 40) -> np.ndarray:
+def jaro_bytes(col_a, col_b, prefix_chars: int = 40, padded=None) -> np.ndarray:
     """float64 Jaro similarity between ``col_a[i]`` and ``col_b[i]``,
     each truncated to its first ``prefix_chars`` CHARACTERS then
     compared byte-wise — DuckDB ``jaro_similarity(substr(a,1,n),
@@ -115,8 +115,8 @@ def jaro_bytes(col_a, col_b, prefix_chars: int = 40) -> np.ndarray:
     together; per step one boolean window mask + one argmax across the
     B axis. Transpositions fall out of rank-aligned matched-character
     matrices at the end. Cost O(batch · Lmax²)."""
-    A, la = _pad_utf8(col_a, prefix_chars)
-    B, lb = _pad_utf8(col_b, prefix_chars)
+    A, la = _pad_utf8(col_a, prefix_chars) if padded is None else padded[:2]
+    B, lb = _pad_utf8(col_b, prefix_chars) if padded is None else padded[2:]
     P, La = A.shape
     Lb = B.shape[1]
     if P == 0:
@@ -167,7 +167,7 @@ def jaro_winkler_bytes(col_a, col_b, prefix_chars: int = 40) -> np.ndarray:
     only where jaro > 0.7."""
     A, la = _pad_utf8(col_a, prefix_chars)
     B, lb = _pad_utf8(col_b, prefix_chars)
-    sim = jaro_bytes(col_a, col_b, prefix_chars)
+    sim = jaro_bytes(col_a, col_b, prefix_chars, padded=(A, la, B, lb))
     if len(sim) == 0:
         return sim
     k = min(4, A.shape[1], B.shape[1])

@@ -2459,54 +2459,74 @@ def decode_gzip_ds(
 def split_gzip_members(b: bytes) -> list[bytes]:
     """Split a MULTI-MEMBER gzip stream (the warc.gz layout: one
     member per record, concatenated) into the decoded payloads, each
-    member's header walked and CRC32/ISIZE verified by
-    ``decode_gzip_member``. Member boundaries come from the inflater's
+    member's flag-driven header walked and its CRC32 + ISIZE trailer
+    verified. Member boundaries come from the inflater's
     ``unused_data`` — the only correct way to find them (gzip has no
-    length prefix). Raises ValueError on any malformed member or
-    trailing garbage."""
+    length prefix). Raises ValueError on ANY malformation (truncated
+    header/trailer, bad magic, reserved flags, deflate error, CRC or
+    ISIZE mismatch, trailing garbage).
+
+    Single pass per member: slicing is over one memoryview (no
+    per-member copies of the remaining stream) and each member
+    inflates exactly ONCE — the trailer is verified against the
+    already-inflated data (a 1 GiB 50k-member Common-Crawl file would
+    pay O(members · size) memmove + double inflate otherwise)."""
     import struct
     import zlib
 
+    if b is None:
+        raise ValueError("empty gzip stream")
+    mv = memoryview(b)
     out: list[bytes] = []
     pos = 0
     n = len(b)
     while pos < n:
-        if b[pos : pos + 2] != b"\x1f\x8b":
-            raise ValueError(f"trailing non-gzip bytes at offset {pos}")
-        # find this member's end: inflate from the header-walked offset
-        # and let zlib report where the DEFLATE stream stopped
-        head = b[pos:]
-        # reuse the single-member validator for header + trailer checks,
-        # but it needs the exact member slice — locate the boundary first
-        if head[2] != 8:
-            raise ValueError(f"unsupported gzip CM {head[2]}")
-        flg = head[3]
-        if flg & 0xE0:
-            raise ValueError("reserved gzip FLG bits set")
-        hpos = 10
-        if flg & 4:
-            (xlen,) = struct.unpack_from("<H", head, hpos)
-            hpos += 2 + xlen
-        if flg & 8:
-            hpos = head.find(b"\x00", hpos) + 1
-        if flg & 16:
-            hpos = head.find(b"\x00", hpos) + 1
-        if flg & 2:
-            hpos += 2
-        if hpos <= 0 or hpos + 8 > len(head):
-            raise ValueError("gzip member header overruns stream")
+        head = mv[pos:]
+        try:
+            if bytes(head[:2]) != b"\x1f\x8b":
+                raise ValueError(f"trailing non-gzip bytes at offset {pos}")
+            if head[2] != 8:
+                raise ValueError(f"unsupported gzip CM {head[2]}")
+            flg = head[3]
+            if flg & 0xE0:
+                raise ValueError("reserved gzip FLG bits set")
+            hpos = 10
+            if flg & 4:
+                (xlen,) = struct.unpack_from("<H", head, hpos)
+                hpos += 2 + xlen
+            if flg & 8:
+                nul = b.find(b"\x00", pos + hpos)
+                if nul < 0:
+                    raise ValueError("unterminated FNAME")
+                hpos = nul - pos + 1
+            if flg & 16:
+                nul = b.find(b"\x00", pos + hpos)
+                if nul < 0:
+                    raise ValueError("unterminated FCOMMENT")
+                hpos = nul - pos + 1
+            if flg & 2:
+                hpos += 2
+            if hpos + 8 > len(head):
+                raise ValueError("gzip member header overruns stream")
+        except (struct.error, IndexError):
+            raise ValueError("truncated gzip member header") from None
         d = zlib.decompressobj(-15)
         try:
-            d.decompress(head[hpos:])
+            data = d.decompress(head[hpos:])  # memoryview: zero-copy into zlib
         except zlib.error as e:
             raise ValueError(f"deflate error: {e}") from None
+        data += d.flush()
         if not d.eof:
             raise ValueError("truncated gzip member")
         consumed = len(head) - hpos - len(d.unused_data)
-        member_len = hpos + consumed + 8
-        if member_len > len(head):
+        trailer_at = pos + hpos + consumed
+        if trailer_at + 8 > n:
             raise ValueError("gzip member missing trailer")
-        data, _ = decode_gzip_member(head[:member_len])
+        crc, isize = struct.unpack_from("<II", b, trailer_at)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError("gzip CRC32 mismatch")
+        if len(data) & 0xFFFFFFFF != isize:
+            raise ValueError("gzip ISIZE mismatch")
         out.append(data)
-        pos += member_len
+        pos = trailer_at + 8
     return out

@@ -799,9 +799,14 @@ def centroid_silhouette(
         D = np.sqrt(((X[:, None, :] - Cm[None, :, :]) ** 2).sum(-1))
         a = D[np.arange(len(X)), own_idx]
         D[np.arange(len(X)), own_idx] = np.inf
-        b = D.min(axis=1) if Cm.shape[0] > 1 else np.zeros(len(X))
-        mx = np.maximum(a, b)
-        s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        if Cm.shape[0] > 1:
+            b = D.min(axis=1)
+            mx = np.maximum(a, b)
+            s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        else:
+            # single label: no "other" cluster exists — the documented
+            # contract is s = 0 (not (0−a)/a = −1)
+            s = np.zeros(len(X))
         uniq, inv = np.unique(own, return_inverse=True)
         return pa.table(
             {

@@ -2125,9 +2125,19 @@ def rake_keywords(
     wh = stats["h"].to_numpy(dtype=np.int64)
     order = np.argsort(wh)
     wh = wh[order]
+    # word scores quantize to the dyadic 2^-20 grid (floor — the
+    # bit-identical-across-engines op): dyadic member scores make the
+    # phrase sum ASSOCIATION-ORDER-FREE, so the SQL twin's bare SUM()
+    # is exact rather than 1-ulp fragile (the t_bm25 rule, solved by
+    # quantization instead of an unrolled left-assoc chain because
+    # phrase length is unbounded)
     wscore = (
-        stats["d"].to_numpy(dtype=np.float64)[order]
-        / stats["f"].to_numpy(dtype=np.float64)[order]
+        np.floor(
+            stats["d"].to_numpy(dtype=np.float64)[order]
+            / stats["f"].to_numpy(dtype=np.float64)[order]
+            * 1048576.0
+        )
+        / 1048576.0
     )
     lookup = ray.put((wh, wscore))
 

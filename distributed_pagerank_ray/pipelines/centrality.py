@@ -136,37 +136,33 @@ def _lm_reduce(old: np.ndarray, *payloads):
     return int((acc != old).sum()), acc
 
 
-@ray.remote
-def _lm_harmonic(acc_prev, D: np.ndarray):
-    """Row-wise Σ 1/d over this landmark batch, excluding self (d=0)
-    and unreached (inf); added to the running per-shard accumulator."""
-    with np.errstate(divide="ignore"):
-        inv = 1.0 / D
-    inv[~np.isfinite(inv)] = 0.0  # d=0 → inf → self; d=inf → 0 → unreached
-    out = inv.sum(axis=1)
-    return out if acc_prev is None else acc_prev + out
-
-
-def harmonic_centrality(
-    graph: GraphTables,
-    landmarks: "np.ndarray | list[int] | None" = None,
-    batch_k: int = 256,
-    max_iters: int = 100,
-    directed: bool = False,
-    combine_fanin: int = 0,
-) -> "ray.data.Dataset":
-    """(id, harmonic) for every vertex. ``landmarks=None`` uses ALL
-    vertices (exact — small graphs / oracle gates); otherwise the
-    landmark-sample estimate is scaled by n/K."""
-    n, shard_rows = graph.n, graph.shard_rows
+def _normalize_landmarks(n: int, landmarks) -> np.ndarray:
     if landmarks is None:
-        landmarks = np.arange(n, dtype=np.int64)
-    else:
-        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
-        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
-            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
-    scale = n / len(landmarks)
+        return np.arange(n, dtype=np.int64)
+    landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
+    if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
+        raise ValueError(f"landmarks must be non-empty, within [0, {n})")
+    return landmarks
 
+
+def _landmark_bfs_fold(
+    graph: GraphTables,
+    landmarks: np.ndarray,
+    batch_k: int,
+    max_iters: int,
+    directed: bool,
+    combine_fanin: int,
+    fold_remote,
+    fold_extra: tuple = (),
+) -> tuple[list, int]:
+    """THE shared landmark matrix-BFS driver: run the batched K-column
+    BFS to its hop-distance fixpoint and fold each batch's final
+    per-shard distance matrix into a running accumulator via
+    ``fold_remote(acc_prev, D, *fold_extra)`` — harmonic / closeness /
+    eccentricity / distance-summary / effective-diameter differ ONLY
+    in that fold (every fold is additive or idempotent, so the
+    landmark batch stays the resume unit). Returns (acc_refs, S)."""
+    n, shard_rows = graph.n, graph.shard_rows
     if directed:
         edge_src = graph.edges()
     else:
@@ -179,7 +175,7 @@ def harmonic_centrality(
     target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
     blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
 
-    harm_refs: list = [None] * S
+    acc_refs: list = [None] * S
     for b0 in range(0, len(landmarks), batch_k):
         lms = landmarks[b0 : b0 + batch_k]
         K = len(lms)
@@ -204,9 +200,41 @@ def harmonic_centrality(
             dist_refs = [o[1] for o in outs]
             if changed == 0:
                 break
-        harm_refs = [
-            _lm_harmonic.remote(harm_refs[s], dist_refs[s]) for s in range(S)
+        acc_refs = [
+            fold_remote.remote(acc_refs[s], dist_refs[s], *fold_extra)
+            for s in range(S)
         ]
+    return acc_refs, S
+
+
+@ray.remote
+def _lm_harmonic(acc_prev, D: np.ndarray):
+    """Row-wise Σ 1/d over this landmark batch, excluding self (d=0)
+    and unreached (inf); added to the running per-shard accumulator."""
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / D
+    inv[~np.isfinite(inv)] = 0.0  # d=0 → inf → self; d=inf → 0 → unreached
+    out = inv.sum(axis=1)
+    return out if acc_prev is None else acc_prev + out
+
+
+def harmonic_centrality(
+    graph: GraphTables,
+    landmarks: "np.ndarray | list[int] | None" = None,
+    batch_k: int = 256,
+    max_iters: int = 100,
+    directed: bool = False,
+    combine_fanin: int = 0,
+) -> "ray.data.Dataset":
+    """(id, harmonic) for every vertex. ``landmarks=None`` uses ALL
+    vertices (exact — small graphs / oracle gates); otherwise the
+    landmark-sample estimate is scaled by n/K."""
+    n, shard_rows = graph.n, graph.shard_rows
+    landmarks = _normalize_landmarks(n, landmarks)
+    scale = n / len(landmarks)
+    harm_refs, S = _landmark_bfs_fold(
+        graph, landmarks, batch_k, max_iters, directed, combine_fanin, _lm_harmonic
+    )
 
     @ray.remote
     def to_table(s: int, harm):
@@ -255,51 +283,10 @@ def distance_summary(
     shard instead of Σ 1/d, so the additive-resume contract is
     identical."""
     n, shard_rows = graph.n, graph.shard_rows
-    if landmarks is None:
-        landmarks = np.arange(n, dtype=np.int64)
-    else:
-        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
-        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
-            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
-
-    if directed:
-        edge_src = graph.edges()
-    else:
-        edge_src = ray.data.read_parquet(
-            symmetrize_edges(graph), columns=["src", "dst"]
-        )
-    S = n_shards(n, shard_rows)
-    edges_mat = edge_src.materialize()
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
-    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
-
-    acc_refs: list = [None] * S
-    for b0 in range(0, len(landmarks), batch_k):
-        lms = landmarks[b0 : b0 + batch_k]
-        K = len(lms)
-        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
-        for _ in range(max_iters):
-            gathers = [
-                _lm_gather.options(num_returns=S).remote(
-                    b, dist_refs, n, shard_rows, S, K
-                )
-                for b in blocks
-            ]
-            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
-            if combine_fanin > 0:
-                from ..util import tree_combine_refs
-
-                cols = [
-                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
-                    for s in range(S)
-                ]
-            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
-            changed = int(sum(ray.get([o[0] for o in outs])))
-            dist_refs = [o[1] for o in outs]
-            if changed == 0:
-                break
-        acc_refs = [_lm_dist_fold.remote(acc_refs[s], dist_refs[s]) for s in range(S)]
+    landmarks = _normalize_landmarks(n, landmarks)
+    acc_refs, S = _landmark_bfs_fold(
+        graph, landmarks, batch_k, max_iters, directed, combine_fanin, _lm_dist_fold
+    )
 
     triples = [t for t in ray.get(acc_refs) if t is not None]
     if not triples:
@@ -354,51 +341,10 @@ def closeness_centrality(
     only the per-batch fold differs ((Σd, count) int64 pairs per shard,
     additive across batches = the resume unit)."""
     n, shard_rows = graph.n, graph.shard_rows
-    if landmarks is None:
-        landmarks = np.arange(n, dtype=np.int64)
-    else:
-        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
-        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
-            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
-
-    if directed:
-        edge_src = graph.edges()
-    else:
-        edge_src = ray.data.read_parquet(
-            symmetrize_edges(graph), columns=["src", "dst"]
-        )
-    S = n_shards(n, shard_rows)
-    edges_mat = edge_src.materialize()
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
-    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
-
-    acc_refs: list = [None] * S
-    for b0 in range(0, len(landmarks), batch_k):
-        lms = landmarks[b0 : b0 + batch_k]
-        K = len(lms)
-        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
-        for _ in range(max_iters):
-            gathers = [
-                _lm_gather.options(num_returns=S).remote(
-                    b, dist_refs, n, shard_rows, S, K
-                )
-                for b in blocks
-            ]
-            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
-            if combine_fanin > 0:
-                from ..util import tree_combine_refs
-
-                cols = [
-                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
-                    for s in range(S)
-                ]
-            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
-            changed = int(sum(ray.get([o[0] for o in outs])))
-            dist_refs = [o[1] for o in outs]
-            if changed == 0:
-                break
-        acc_refs = [_lm_close_fold.remote(acc_refs[s], dist_refs[s]) for s in range(S)]
+    landmarks = _normalize_landmarks(n, landmarks)
+    acc_refs, S = _landmark_bfs_fold(
+        graph, landmarks, batch_k, max_iters, directed, combine_fanin, _lm_close_fold
+    )
 
     @ray.remote
     def to_table(s: int, acc):
@@ -453,51 +399,10 @@ def eccentricity(
     fold differs (running per-shard max, idempotent = the resume
     unit)."""
     n, shard_rows = graph.n, graph.shard_rows
-    if landmarks is None:
-        landmarks = np.arange(n, dtype=np.int64)
-    else:
-        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
-        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
-            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
-
-    if directed:
-        edge_src = graph.edges()
-    else:
-        edge_src = ray.data.read_parquet(
-            symmetrize_edges(graph), columns=["src", "dst"]
-        )
-    S = n_shards(n, shard_rows)
-    edges_mat = edge_src.materialize()
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
-    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
-
-    acc_refs: list = [None] * S
-    for b0 in range(0, len(landmarks), batch_k):
-        lms = landmarks[b0 : b0 + batch_k]
-        K = len(lms)
-        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
-        for _ in range(max_iters):
-            gathers = [
-                _lm_gather.options(num_returns=S).remote(
-                    b, dist_refs, n, shard_rows, S, K
-                )
-                for b in blocks
-            ]
-            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
-            if combine_fanin > 0:
-                from ..util import tree_combine_refs
-
-                cols = [
-                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
-                    for s in range(S)
-                ]
-            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
-            changed = int(sum(ray.get([o[0] for o in outs])))
-            dist_refs = [o[1] for o in outs]
-            if changed == 0:
-                break
-        acc_refs = [_lm_ecc_fold.remote(acc_refs[s], dist_refs[s]) for s in range(S)]
+    landmarks = _normalize_landmarks(n, landmarks)
+    acc_refs, S = _landmark_bfs_fold(
+        graph, landmarks, batch_k, max_iters, directed, combine_fanin, _lm_ecc_fold
+    )
 
     @ray.remote
     def to_table(s: int, acc):
@@ -552,53 +457,17 @@ def effective_diameter(
     n, shard_rows = graph.n, graph.shard_rows
     if not (0 < q <= 1):
         raise ValueError("q must be in (0, 1]")
-    if landmarks is None:
-        landmarks = np.arange(n, dtype=np.int64)
-    else:
-        landmarks = np.asarray(sorted(int(v) for v in landmarks), dtype=np.int64)
-        if len(landmarks) == 0 or landmarks[0] < 0 or landmarks[-1] >= n:
-            raise ValueError(f"landmarks must be non-empty, within [0, {n})")
-
-    if directed:
-        edge_src = graph.edges()
-    else:
-        edge_src = ray.data.read_parquet(
-            symmetrize_edges(graph), columns=["src", "dst"]
-        )
-    S = n_shards(n, shard_rows)
-    edges_mat = edge_src.materialize()
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    target_blocks = max(S, min(4 * ncpu, max(1, edges_mat.count() // 65536)))
-    blocks = edges_mat.repartition(target_blocks).materialize().to_arrow_refs()
-
-    acc_refs: list = [None] * S
-    for b0 in range(0, len(landmarks), batch_k):
-        lms = landmarks[b0 : b0 + batch_k]
-        K = len(lms)
-        dist_refs = [_lm_init_shard.remote(s, n, shard_rows, lms) for s in range(S)]
-        for _ in range(max_iters):
-            gathers = [
-                _lm_gather.options(num_returns=S).remote(
-                    b, dist_refs, n, shard_rows, S, K
-                )
-                for b in blocks
-            ]
-            cols = [gathers] if S == 1 else [list(c) for c in zip(*gathers)]
-            if combine_fanin > 0:
-                from ..util import tree_combine_refs
-
-                cols = [
-                    tree_combine_refs(cols[s], _lm_combine, combine_fanin)
-                    for s in range(S)
-                ]
-            outs = [_lm_reduce.remote(dist_refs[s], *cols[s]) for s in range(S)]
-            changed = int(sum(ray.get([o[0] for o in outs])))
-            dist_refs = [o[1] for o in outs]
-            if changed == 0:
-                break
-        acc_refs = [
-            _lm_hist_fold.remote(acc_refs[s], dist_refs[s], max_d) for s in range(S)
-        ]
+    landmarks = _normalize_landmarks(n, landmarks)
+    acc_refs, S = _landmark_bfs_fold(
+        graph,
+        landmarks,
+        batch_k,
+        max_iters,
+        directed,
+        combine_fanin,
+        _lm_hist_fold,
+        fold_extra=(max_d,),
+    )
 
     hists = [h for h in ray.get(acc_refs) if h is not None]
     if not hists:
@@ -608,7 +477,15 @@ def effective_diameter(
     h = np.sum(hists, axis=0)
     n_pairs = int(h.sum())
     cum = np.cumsum(h)
-    eff = int(np.searchsorted(cum, q * n_pairs, side="left"))
+    # integer-exact threshold: float q*n_pairs overshoots exact
+    # boundaries (0.9*40 = 36.000000000000004); Fraction(str(q))
+    # recovers the DECIMAL the caller wrote, and ceil(q·n) in exact
+    # integer arithmetic implements "smallest d with cum(d) >= q·n"
+    from fractions import Fraction
+
+    fq = Fraction(str(q))
+    target = -((-fq.numerator * n_pairs) // fq.denominator)  # ceil
+    eff = int(np.searchsorted(cum, target, side="left"))
     mean = float((h * np.arange(len(h))).sum()) / n_pairs if n_pairs else 0.0
     return ray.data.from_items(
         [

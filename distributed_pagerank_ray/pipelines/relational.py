@@ -2731,11 +2731,18 @@ def decayed_value_per_user(sf_dir: str, num_shards: int = 16) -> "ray.data.Datas
         ).astype(np.int64)
         k = np.minimum((t_max - us) // 1_000_000 // 3600, 16)
         w = cents << (16 - k)
-        uniq, inv = np.unique(u, return_inverse=True)
+        # int64-exact grouped sum (np.bincount's float64 weights lose
+        # exactness above 2^53): sort + run-cut + reduceat, the
+        # rake_keywords word_partial pattern
+        order = np.argsort(u, kind="stable")
+        u, w = u[order], w[order]
+        cut = np.ones(len(u), bool)
+        cut[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(cut)
         return pa.table(
             {
-                "u": pa.array(uniq),
-                "p": pa.array(np.bincount(inv, weights=w, minlength=len(uniq)).astype(np.int64)),
+                "u": pa.array(u[starts]),
+                "p": pa.array(np.add.reduceat(w, starts).astype(np.int64)),
             }
         )
 

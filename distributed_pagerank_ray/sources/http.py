@@ -34,8 +34,13 @@ _CHARSET = re.compile(rb"""charset=(?:"([^"]*)"|([^;\s"]*))""", re.I)
 def parse_http_headers(b: bytes) -> tuple[int, str, str, int, int, int]:
     """(status, mime, charset, clen, chunked, n_headers) from one HTTP
     response message (headers terminated by CRLFCRLF; body ignored).
-    Raises ValueError on a malformed status line or header framing —
-    fail loudly, quarantine upstream (the PpmDecode contract)."""
+    A payload WITHOUT the blank-line terminator is treated as a
+    head-only capture (every line is a header line) — the crawl-store
+    convention for truncated header dumps; a truncated full response
+    whose body contains non-header text therefore raises on the first
+    colon-less body line rather than passing silently. Raises
+    ValueError on a malformed status line or header framing — fail
+    loudly, quarantine upstream (the PpmDecode contract)."""
     if b is None:
         raise ValueError("empty HTTP payload")
     end = b.find(b"\r\n\r\n")

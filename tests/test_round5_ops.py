@@ -1081,8 +1081,14 @@ def test_rake_keywords_brute_force():
             deg[w] += len(p)
     scored = {}
     occ = Counter(phrases)
+    import math
+
     for p in occ:
-        scored[" ".join(p)] = round(sum(deg[w] / freq[w] for w in p), 6)
+        # the engine quantizes word scores to the dyadic 2^-20 grid
+        # (floor) so phrase sums are association-order-free
+        scored[" ".join(p)] = round(
+            sum(math.floor(deg[w] / freq[w] * 1048576) / 1048576 for w in p), 6
+        )
     want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["phrase"], got["score"])) == want
     assert got.set_index("phrase")["n_occ"].to_dict() == {
