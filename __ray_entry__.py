@@ -5267,6 +5267,23 @@ def _g_effdiam_doc(sf_dir):
     return effective_diameter(g, q=0.9, batch_k=512, directed=False)
 
 
+def _g_attack_doc(sf_dir):
+    """Targeted-attack robustness (pipelines/robustness.py) on the
+    planted diamond+tail 8-groups at deg_threshold = 3: exactly the
+    position-3 vertex of each group is a hub (undirected degree 3),
+    and its removal splits every group into a triangle-less {0,1,2}
+    diamond stump and the {4,5,6,7} tail — closed form: comps double,
+    the giant halves (8 → 4), one vertex per group leaves the src∪dst
+    set. Both CC runs are the REAL build+CC pipeline."""
+    from distributed_pagerank_ray.config import RunConfig
+    from distributed_pagerank_ray.pipelines.robustness import targeted_attack_report
+
+    g = _planted_diamond_tail_graph(sf_dir, "dpr_attack_gate_")
+    return targeted_attack_report(
+        g.edges(), deg_threshold=3, run_cfg=RunConfig(num_partitions=4, shard_rows=512)
+    )
+
+
 def _planted_k4_chain_edges(sf_dir):
     """The planted cohesive-subgraph gate graph: consecutive groups of
     8 doc ids carry a K4 on positions {0,1,2,3}, a triangle CHAIN
@@ -6928,6 +6945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_richclub_parts": _g_richclub_parts,  # rich-club coefficients, SQL-gated (r5 new)
         "g_ppr_push_doc": _g_ppr_push_doc,  # ACL push PPR, invariant-identity gate (r5 new)
         "g_effdiam_doc": _g_effdiam_doc,  # 0.9-quantile effective diameter, closed-form oracle (r5 new)
+        "g_attack_doc": _g_attack_doc,  # hub-removal robustness via double CC, closed-form oracle (r5 new)
         "r_zorder_key": _r_zorder_key,  # Morton clustering key, SQL-gated (r5 new)
         "t_dedup_keep_best": _t_dedup_keep_best,  # quality-argmax dedup keep, SQL-gated (r5 new)
         "r_topk_per_line": _r_topk_per_line,  # grouped top-k candidate BSP, SQL-gated (r5 new)
@@ -10022,6 +10040,20 @@ SELECT s.a, s.b, round(s.score, 6) AS score
 FROM scores s JOIN und e ON e.a = s.a AND e.b = s.b
 ORDER BY round(s.score, 6) DESC, s.a ASC, s.b ASC
 LIMIT 20
+""",
+        # hub-removal robustness: closed form per group (position 3
+        # is the only degree-3 vertex)
+        "g_attack_doc": """
+WITH nn AS (SELECT least(2048, count(*) // 8 * 8) // 8 AS g FROM documents)
+SELECT CAST(3 AS BIGINT) AS deg_threshold,
+       CAST(g AS BIGINT) AS n_hubs_removed,
+       CAST(8 * g AS BIGINT) AS n_before,
+       CAST(7 * g AS BIGINT) AS n_after,
+       CAST(g AS BIGINT) AS comps_before,
+       CAST(2 * g AS BIGINT) AS comps_after,
+       CAST(8 AS BIGINT) AS giant_before,
+       CAST(4 AS BIGINT) AS giant_after
+FROM nn
 """,
         # effective diameter: per-group distance histogram is the
         # fixed [16,14,10,8,6,2] vector; mean division via CAST

@@ -125,3 +125,26 @@ def test_local_clustering_brute_force(ray_session):
         assert (row["degree"], row["n_tri"]) == (d, t), v
         assert row["lcc"] == lcc, v
     assert (got["lcc"] == 0).any()  # zero-triangle vertices present
+
+
+def test_targeted_attack_report_brute(ray_session):
+    from distributed_pagerank_ray.pipelines.robustness import targeted_attack_report
+
+    # star (hub 0, leaves 1..5) + disjoint triangle 6-7-8
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8), (6, 8)]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in pairs])
+    out = targeted_attack_report(ds, deg_threshold=5).to_pandas().iloc[0]
+    # only the star hub has degree >= 5; its removal isolates all leaves
+    assert out["n_hubs_removed"] == 1
+    assert out["n_before"] == 9 and out["comps_before"] == 2
+    assert out["giant_before"] == 6
+    assert out["n_after"] == 3 and out["comps_after"] == 1  # only the triangle has edges left
+    assert out["giant_after"] == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        # removing every vertex of a triangle kills all edges
+        targeted_attack_report(
+            ray.data.from_items([{"src": 0, "dst": 1}, {"src": 1, "dst": 2}, {"src": 0, "dst": 2}]),
+            deg_threshold=2,
+        )
