@@ -4071,6 +4071,17 @@ def _r_mode_per_user(sf_dir):
     return mode_value_per_user(sf_dir)
 
 
+def _r_benford(sf_dir):
+    """Benford first-digit screen over extended prices
+    (relational.benford_digits): digits from the DECIMAL STRING of
+    integer cents (log10/floor derivations are power-of-ten fragile);
+    share = one terminal division; expected = log10(1+1/d), parity
+    verified at 6 dp."""
+    from distributed_pagerank_ray.pipelines.relational import benford_digits
+
+    return benford_digits(sf_dir)
+
+
 def _r_decay_sum(sf_dir):
     """Recency-decayed engagement per user with dyadic weights
     (relational.decayed_value_per_user): integer numerator
@@ -6958,6 +6969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r_mode_per_user": _r_mode_per_user,  # deterministic grouped mode, SQL-gated (r5 new)
         "r_quantile_sketch": _r_quantile_sketch,  # mergeable eps-quantile summary, rank-identity gate (r5 new)
         "r_decay_sum": _r_decay_sum,  # dyadic-weight time-decay scores, SQL-gated (r5 new)
+        "r_benford": _r_benford,  # Benford first-digit data-quality screen, SQL-gated (r5 new)
         "g_trustrank_mass": _g_trustrank_mass,  # TrustRank + spam mass, SQL-gated (r5 new)
         "t_bigram_fluency": _t_bigram_fluency,  # corpus-frequency LM fluency, SQL-gated (r5 new)
         "x_cdc_chunks": _x_cdc_chunks,  # content-defined chunking, analytic SQL gate (r5 new)
@@ -9356,6 +9368,20 @@ WITH o AS (
 SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS max_len,
        CAST(max(dur) AS BIGINT) AS max_dur_s
 FROM s GROUP BY user_id
+""",
+        # Benford: first digit from the cents VARCHAR head; share via
+        # CAST division; expected log10 parity verified at 6dp
+        "r_benford": """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE FLOOR(l_extendedprice * 100) > 0
+),
+t AS (SELECT count(*) AS total FROM c),
+g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit)
+SELECT g.digit, g.n,
+       round(CAST(g.n AS DOUBLE) / t.total, 6) AS share,
+       round(log10(1.0 + 1.0 / g.digit), 6) AS expected
+FROM g, t ORDER BY g.digit
 """,
         # dyadic decay: k = floor-hours before max ts (epoch_us
         # difference // 1e6 // 3600, the date_diff boundary rule),

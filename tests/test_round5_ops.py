@@ -1130,3 +1130,31 @@ def test_decayed_value_brute_force(tmp_path):
     )
     assert got["num"].tolist() == want["num"].tolist()
     assert (got["decayed"] == np.round(got["num"] / 65536.0, 6)).all()
+
+
+def test_benford_digits_brute(tmp_path):
+    import pandas as pd
+
+    from distributed_pagerank_ray.pipelines.relational import benford_digits
+
+    rng = np.random.default_rng(29)
+    # log-uniform magnitudes: close to Benford; plus power-of-ten edges
+    p = np.concatenate(
+        [10 ** rng.uniform(0, 4, 2000), np.array([10.0, 100.0, 1000.0, 9.99])]
+    )
+    df = pd.DataFrame({"l_extendedprice": p})
+    df.to_parquet(tmp_path / "lineitem.parquet", index=False)
+    got = benford_digits(str(tmp_path)).to_pandas().sort_values("digit")
+    cents = np.floor(p * 100).astype(np.int64)
+    first = np.array([int(str(c)[0]) for c in cents if c > 0])
+    import collections
+
+    want = collections.Counter(first)
+    total = len(first)
+    assert got["digit"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        assert row["n"] == want[row["digit"]]
+        assert row["share"] == round(want[row["digit"]] / total, 6)
+    # power-of-ten cents (1000 -> 100000) must report digit 1, not a
+    # float-log boundary artifact
+    assert want[1] >= 3
